@@ -1,0 +1,162 @@
+"""Hierarchical spatial cell grid (S2/H3 analog) — the engine's spatial
+index key.
+
+Replaces the reference's s2.ShapeIndex cell decomposition
+(lib/finder/coordinates/s2.go:17-20,45-46): instead of an in-process
+tree, every row (fact image or dimension city) gets a `cell_id` column
+and the kNN prune becomes a broadcast equi-join on that key.
+
+Grid at level L: 2**L latitude bands x 2**(L+1) longitude columns —
+square cells of 180/2**L degrees per side. cell_id = L*2**54 + i*nlon+j
+(level tag keeps mixed-level ids distinct for adaptive cell split).
+
+Three interchangeable implementations, tested for parity:
+  * Column expression (JVM, whole-stage codegen) — the hot path;
+  * vectorized pandas UDF (Arrow-batched NumPy) — the API the input
+    hint mandates for per-row compute, and the fallback when the
+    expression form isn't usable;
+  * plain NumPy — for tests / driver-side fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F, types as T
+
+from cityfinder_spark.sqlcompat import LEVEL_STRIDE
+
+KM_PER_DEG = 111.19492664455873  # pi/180 * 6371
+
+
+def grid_dims(level: int) -> tuple[int, int]:
+    return 1 << level, 2 << level
+
+
+def cell_size_deg(level: int) -> float:
+    return 180.0 / (1 << level)
+
+
+# ---------- NumPy ----------
+
+def cell_of_np(lat: np.ndarray, lon: np.ndarray, level: int) -> np.ndarray:
+    nlat, nlon = grid_dims(level)
+    i = np.clip(np.floor((lat + 90.0) / 180.0 * nlat).astype(np.int64), 0, nlat - 1)
+    j = np.floor((lon + 180.0) / 360.0 * nlon).astype(np.int64) % nlon
+    return level * LEVEL_STRIDE + i * nlon + j
+
+
+def decode_cell_np(cell_id: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell_id -> (level, i, j)."""
+    level = cell_id // LEVEL_STRIDE
+    rem = cell_id % LEVEL_STRIDE
+    nlon = np.left_shift(2, level.astype(np.int64))
+    return level, rem // nlon, rem % nlon
+
+
+def ring_neighbors_np(cell_id: int, k: int) -> np.ndarray:
+    """All cell ids within Chebyshev distance k (lon wraps, lat clamps).
+    Replaces ClosestEdgeQuery's internal neighbor traversal
+    (reference s2.go:57-59)."""
+    level = int(cell_id // LEVEL_STRIDE)
+    nlat, nlon = grid_dims(level)
+    rem = int(cell_id % LEVEL_STRIDE)
+    i, j = rem // nlon, rem % nlon
+    di, dj = np.meshgrid(np.arange(-k, k + 1), np.arange(-k, k + 1), indexing="ij")
+    ii = (i + di).ravel()
+    jj = (j + dj).ravel() % nlon
+    keep = (ii >= 0) & (ii < nlat)
+    return level * LEVEL_STRIDE + ii[keep] * nlon + jj[keep]
+
+
+# ---------- Spark Column expressions (hot path) ----------
+
+def cell_col(lat: str | Column, lon: str | Column, level: int) -> Column:
+    """Same arithmetic as sqlcompat.cell_sql, as a codegen'd Column."""
+    nlat, nlon = grid_dims(level)
+    latc = F.col(lat) if isinstance(lat, str) else lat
+    lonc = F.col(lon) if isinstance(lon, str) else lon
+    i = F.least(
+        F.greatest(F.floor((latc + 90.0) / 180.0 * nlat).cast("long"), F.lit(0)),
+        F.lit(nlat - 1),
+    )
+    j = F.pmod(F.floor((lonc + 180.0) / 360.0 * nlon).cast("long"), F.lit(nlon))
+    return F.lit(level).cast("long") * F.lit(LEVEL_STRIDE) + i * nlon + j
+
+
+def ring_cells_col(cell: Column, k: int, level: int) -> Column:
+    """array<long> of ring-k neighbor cells — pure Column (explodable),
+    used on the small broadcast side when building the cover table."""
+    nlat, nlon = grid_dims(level)
+    base = cell - F.lit(level * LEVEL_STRIDE)
+    i = (base / nlon).cast("long")
+    j = F.pmod(base, F.lit(nlon))
+    offs = F.expr(
+        f"flatten(transform(sequence({-k},{k}), di -> "
+        f"transform(sequence({-k},{k}), dj -> struct(di, dj))))"
+    )
+    cells = F.transform(
+        offs,
+        lambda o: F.when(
+            (i + o["di"] >= 0) & (i + o["di"] < nlat),
+            F.lit(level * LEVEL_STRIDE)
+            + (i + o["di"]) * nlon
+            + F.pmod(j + o["dj"], F.lit(nlon)),
+        ),
+    )
+    return F.filter(cells, lambda c: c.isNotNull())
+
+
+def certainty_radius_col(lat: str | Column, k: int, level: int) -> Column:
+    """Lower bound (km) on the distance from a point at latitude `lat`
+    to ANY point outside its ring-k neighborhood (SURVEY.md §7.3 —
+    the ring-expansion completeness proof). If the best in-ring
+    candidate is closer than this, it is the global nearest.
+
+      lat axis: a non-candidate differs by > k bands  -> >= k*h deg.
+      lon axis: differs by > k columns with both lats within the
+        ring's bands -> great-circle >= (2/pi)*k*w_rad*R*cos(phi_max)
+        (chord bound 2sin(x/2) >= 2x/pi for x<=pi).
+
+    Near the poles cos(phi_max) -> 0 and the bound -> 0: those rows
+    simply escalate to the exact fallback (correct, tiny fraction).
+    """
+    h = cell_size_deg(level)
+    latc = lat if not isinstance(lat, str) else F.col(lat)
+    # band index of the point, extended k bands outward
+    nlat, _ = grid_dims(level)
+    i = F.least(
+        F.greatest(F.floor((latc + 90.0) / 180.0 * nlat).cast("long"), F.lit(0)),
+        F.lit(nlat - 1),
+    )
+    lo = F.greatest(F.lit(-90.0), (i - k) * h - 90.0)
+    hi = F.least(F.lit(90.0), (i + 1 + k) * h - 90.0)
+    phi_max = F.greatest(F.abs(lo), F.abs(hi))
+    lat_bound = F.lit(k * h * KM_PER_DEG)
+    lon_bound = (
+        F.lit(2.0 / np.pi * k * h * KM_PER_DEG) * F.cos(F.radians(phi_max))
+    )
+    return F.least(lat_bound, F.greatest(lon_bound, F.lit(0.0)))
+
+
+# ---------- pandas UDFs (Arrow-vectorized, input-hint mandated API) ----------
+
+def make_cell_udf(level: int):
+    """cell_of(lat, lon) -> long as an Arrow-batched pandas UDF."""
+
+    @F.pandas_udf(T.LongType())
+    def cell_of(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        out = cell_of_np(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level)
+        return pd.Series(out)
+
+    return cell_of
+
+
+def make_ring_udf(k: int):
+    """ring_neighbors(cell_id) -> array<long> pandas UDF."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def ring_of(cell: pd.Series) -> pd.Series:
+        return cell.map(lambda c: ring_neighbors_np(int(c), k).tolist())
+
+    return ring_of

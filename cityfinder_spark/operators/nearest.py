@@ -1,0 +1,275 @@
+"""Nearest-city kNN (k=1 / top-k) as a distributed broadcast join.
+
+Reimplements the reference's S2 ShapeIndex + ClosestEdgeQuery lookup
+(lib/finder/coordinates/s2.go:52-75) as a Spark-first plan:
+
+  1. every city gets a spatial cell id at level L and is exploded into
+     its ring-k neighbor cells ("cell covering + ring expansion");
+     grouped per cell into a candidate array -> small broadcast table;
+  2. every fact row gets its cell id (pure Column arithmetic, codegen)
+     and takes ONE broadcast hash join against the cover — NO shuffle
+     of the fact side at all;
+  3. the argmin over candidates runs inside a higher-order `aggregate`
+     expression (JVM, whole-stage codegen): exact haversine refinement
+     with the mandated deterministic tie-break (rounded distance, then
+     city_id) — replaces `results[0]` at s2.go:65;
+  4. rows whose best candidate is not *provably* the global nearest
+     (certainty-radius lower bound, see geo.cells.certainty_radius_col)
+     escalate to an exact brute-force pass (cross join against the
+     broadcast cities + map-side-combined min aggregate). Replaces the
+     reference's "no city found" / index-miss path (s2.go:61-63) and
+     makes the operator exactly equal to a global argmin.
+
+Scale notes (100 TB / 1000 executors): the fast path is shuffle-free
+(broadcast join only) so dense-urban-cell skew cannot create shuffle
+skew — it only widens some candidate arrays, which adaptive cell
+splitting (operators.skew) bounds. The `bytes` image payload never
+enters a shuffle: the fallback joins back on the id column only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from cityfinder_spark.geo.cells import (
+    cell_col,
+    certainty_radius_col,
+    ring_cells_col,
+)
+from cityfinder_spark.geo.distance import haversine_col
+from cityfinder_spark.sqlcompat import ROUND_DIGITS
+
+# rounding slack (km) when comparing the rounded best distance against
+# the certainty lower bound — keeps the rounded tie-break exact.
+_SLACK = 10.0 ** (-ROUND_DIGITS)
+
+_BEST_TYPE = "struct<dist_km:double,city_id:bigint,name:string,country:string>"
+
+
+def choose_level(n_cities: int) -> int:
+    """Pick the grid level so occupied cells hold a handful of cities
+    (total cells ~ n/2). The reference's S2 config is dead code
+    (SURVEY §4 'Dead S2 config'); we size from density instead."""
+    if n_cities <= 0:
+        return 2
+    level = int((math.log2(max(n_cities, 2)) - 1) // 2)
+    return max(2, min(12, level))
+
+
+def _prep_cities(cities: DataFrame) -> DataFrame:
+    cols = set(cities.columns)
+    sel = [
+        F.col("city_id").cast("long").alias("city_id"),
+        F.col("lat").cast("double").alias("c_lat"),
+        F.col("lon").cast("double").alias("c_lon"),
+        (F.col("name") if "name" in cols else F.lit(None).cast("string")).alias("c_name"),
+        (F.col("country") if "country" in cols else F.lit(None).cast("string")).alias(
+            "c_country"
+        ),
+    ]
+    return cities.select(*sel)
+
+
+def build_cover(cities: DataFrame, level: int, ring: int) -> DataFrame:
+    """(cell_id, cands: array<struct<city_id,c_lat,c_lon,c_name,c_country>>)
+    — each city emitted into its own cell + ring-k neighbors, grouped.
+    Runs only on the small dimension side."""
+    cdf = _prep_cities(cities)
+    cell = cell_col("c_lat", "c_lon", level)
+    return (
+        cdf.withColumn("__cells", ring_cells_col(cell, ring, level))
+        .select(
+            F.explode("__cells").alias("cell_id"),
+            F.struct("city_id", "c_lat", "c_lon", "c_name", "c_country").alias("cand"),
+        )
+        .groupBy("cell_id")
+        .agg(F.sort_array(F.collect_list("cand")).alias("cands"))
+    )
+
+
+def _best_over_cands(lat_col: str, lon_col: str, digits: int) -> F.Column:
+    """min(struct(rounded dist, city_id, name, country)) over the
+    per-cell candidate array, as a codegen'd aggregate expression."""
+
+    def merge(acc, c):
+        d = F.round(haversine_col(F.col(lat_col), F.col(lon_col), c["c_lat"], c["c_lon"]), digits)
+        cand = F.struct(
+            d.alias("dist_km"),
+            c["city_id"].alias("city_id"),
+            c["c_name"].alias("name"),
+            c["c_country"].alias("country"),
+        )
+        return F.when(acc.isNull() | (cand < acc), cand).otherwise(acc)
+
+    return F.aggregate(
+        F.coalesce(
+            F.col("__cands"),
+            F.expr(
+                "cast(array() as array<struct<"
+                "city_id:bigint,c_lat:double,c_lon:double,"
+                "c_name:string,c_country:string>>)"
+            ),
+        ),
+        F.lit(None).cast(_BEST_TYPE),
+        merge,
+    )
+
+
+def brute_force_nearest(
+    points: DataFrame,
+    cities: DataFrame,
+    id_col: str = "pt_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    digits: int = ROUND_DIGITS,
+) -> DataFrame:
+    """Exact global argmin: cross join vs broadcast cities + min(struct).
+    Map-side partial aggregation reduces the shuffle to one row per
+    point. Used as (a) the escalation path, (b) the test oracle."""
+    cdf = _prep_cities(cities)
+    d = F.round(
+        haversine_col(F.col(lat_col), F.col(lon_col), F.col("c_lat"), F.col("c_lon")),
+        digits,
+    )
+    cand = F.struct(
+        d.alias("dist_km"),
+        F.col("city_id").alias("city_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_country").alias("country"),
+    )
+    return (
+        points.select(id_col, lat_col, lon_col)
+        .crossJoin(F.broadcast(cdf))
+        .groupBy(id_col)
+        .agg(F.min(cand).alias("__best"))
+    )
+
+
+def nearest_city_join(
+    points: DataFrame,
+    cities: DataFrame,
+    *,
+    level: int | None = None,
+    ring: int = 1,
+    id_col: str = "pt_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    digits: int = ROUND_DIGITS,
+    fallback: bool = True,
+    n_cities: int | None = None,
+) -> DataFrame:
+    """points + (city_id, name, country, dist_km) of the nearest city.
+
+    Exactly equal (incl. rounded-distance-then-id tie-break) to the
+    global brute-force argmin whenever fallback=True. Points with an
+    empty cities table get NULL city columns (the reference errors
+    "no city found", s2.go:61-63 — mapped to NULL in the relational
+    model).
+    """
+    if level is None:
+        n = n_cities if n_cities is not None else cities.count()
+        level = choose_level(n)
+
+    cover = build_cover(cities, level, ring)
+    pts_cols = points.columns
+    pts = points.withColumn("__cell", cell_col(lat_col, lon_col, level)).withColumn(
+        "__certainty", certainty_radius_col(lat_col, ring, level)
+    )
+    cov = cover.withColumnRenamed("cands", "__cands")
+    joined = (
+        pts.join(F.broadcast(cov), pts["__cell"] == cov["cell_id"], "left")
+        .drop("cell_id")
+        .withColumn("__best", _best_over_cands(lat_col, lon_col, digits))
+    )
+    ok = F.col("__best").isNotNull() & (
+        F.col("__best")["dist_km"] + _SLACK < F.col("__certainty")
+    )
+
+    def unpack(df: DataFrame) -> DataFrame:
+        return df.select(
+            *pts_cols,
+            F.col("__best")["city_id"].alias("city_id"),
+            F.col("__best")["name"].alias("name"),
+            F.col("__best")["country"].alias("country"),
+            F.col("__best")["dist_km"].alias("dist_km"),
+        )
+
+    if not fallback:
+        return unpack(joined)
+
+    fast = unpack(joined.where(ok))
+    rem = joined.where(~ok).drop("__best", "__cands", "__cell", "__certainty")
+    bf = brute_force_nearest(rem, cities, id_col, lat_col, lon_col, digits)
+    slow = unpack(rem.join(F.broadcast(bf), id_col, "left"))
+    return fast.unionByName(slow)
+
+
+def nearest_city_topk(
+    points: DataFrame,
+    cities: DataFrame,
+    *,
+    k: int = 3,
+    level: int | None = None,
+    ring: int = 1,
+    id_col: str = "pt_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    digits: int = ROUND_DIGITS,
+    n_cities: int | None = None,
+) -> DataFrame:
+    """Top-k nearest cities per point (explode + window strategy).
+
+    Certainty rule generalizes k=1: all k results are proven global iff
+    the k-th distance is below the ring's certainty radius; other rows
+    escalate to the exact cross-join path. Output one row per
+    (point, rank), rank 1..k ordered by (rounded dist, city_id).
+    """
+    if level is None:
+        n = n_cities if n_cities is not None else cities.count()
+        level = choose_level(n)
+    from pyspark.sql import Window
+
+    cdf = _prep_cities(cities)
+    cover = (
+        cdf.withColumn("__cells", ring_cells_col(cell_col("c_lat", "c_lon", level), ring, level))
+        .select(F.explode("__cells").alias("cell_id"), "city_id", "c_lat", "c_lon", "c_name", "c_country")
+    )
+    pts = points.select(id_col, lat_col, lon_col).withColumn(
+        "__cell", cell_col(lat_col, lon_col, level)
+    ).withColumn("__certainty", certainty_radius_col(lat_col, ring, level))
+
+    cand = pts.join(F.broadcast(cover), pts["__cell"] == cover["cell_id"], "inner").withColumn(
+        "dist_km",
+        F.round(haversine_col(F.col(lat_col), F.col(lon_col), F.col("c_lat"), F.col("c_lon")), digits),
+    )
+    w = Window.partitionBy(id_col).orderBy("dist_km", "city_id")
+    ranked = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    # a point is proven iff it has k in-ring results and the k-th is certain
+    kth = ranked.groupBy(id_col).agg(
+        F.max("rank").alias("__n"), F.max("dist_km").alias("__kth"),
+        F.first("__certainty").alias("__cert"),
+    )
+    proven = kth.where((F.col("__n") == k) & (F.col("__kth") + _SLACK < F.col("__cert"))).select(id_col)
+    fast = ranked.join(proven, id_col, "left_semi").select(
+        id_col, "city_id",
+        F.col("c_name").alias("name"), F.col("c_country").alias("country"),
+        "dist_km", "rank",
+    )
+    # escalate the rest: exact cross join + window
+    rem = pts.join(proven, id_col, "left_anti").select(id_col, lat_col, lon_col)
+    bf = rem.crossJoin(F.broadcast(cdf)).withColumn(
+        "dist_km",
+        F.round(haversine_col(F.col(lat_col), F.col(lon_col), F.col("c_lat"), F.col("c_lon")), digits),
+    )
+    slow = (
+        bf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col, "city_id",
+            F.col("c_name").alias("name"), F.col("c_country").alias("country"),
+            "dist_km", "rank",
+        )
+    )
+    return fast.unionByName(slow)

@@ -1,0 +1,49 @@
+"""SparkSession builder tuned for the sandbox (local[N], one JVM).
+
+At real scale the same confs apply per-executor; AQE + adaptive skew
+join are enabled so runtime re-planning handles stragglers/skew.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cityfinder_spark",
+    cores: int | str = "*",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: int N for local[N], or "*" for all cores.
+    shuffle_partitions: defaults to the core count (local mode — the
+    upstream default of 200 over-parallelizes small shuffles).
+    """
+    if shuffle_partitions is None:
+        ncores = os.cpu_count() or 8
+        shuffle_partitions = ncores if cores == "*" else int(cores)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # broadcast threshold: the cities cover table is the build side of
+        # every hot join; keep the auto threshold generous in sandbox.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,82 @@
+"""Portable SQL fragments evaluated identically by Spark SQL and DuckDB.
+
+The driver's correctness gate runs each Spark query side-by-side with a
+DuckDB oracle and hashes the values. Any formula used on both sides is
+defined ONCE here as a SQL string built from IEEE-754 basic ops
+(+ - * / floor cast least greatest %) so both engines produce
+bit-identical doubles. Only libm calls (sin/cos/atan2) may differ by
+ulps between JVM and C; every computed double that reaches an output is
+therefore rounded (ROUND_DIGITS) on both sides, and orderings tie-break
+on the rounded value then a unique id (the reference's mandated
+distance-then-ID tie-break, SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+EARTH_RADIUS_KM = 6371.0  # reference uses R=6371 (lib/city/city.go:70, s2.go:72)
+ROUND_DIGITS = 4  # 0.1 m granularity on km distances
+
+LEVEL_STRIDE = 18014398509481984  # 2**54 — level tag stride in cell ids
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Great-circle km, atan2 form — matches the reference's formula
+    (lib/city/city.go:69-81); identical text runs in Spark SQL + DuckDB."""
+    a = (
+        f"(pow(sin(radians(({lat2})-({lat1}))/2),2)"
+        f" + cos(radians({lat1}))*cos(radians({lat2}))"
+        f"*pow(sin(radians(({lon2})-({lon1}))/2),2))"
+    )
+    return (
+        f"(2.0*{EARTH_RADIUS_KM}*atan2(sqrt({a}),"
+        f" sqrt(greatest(0.0, 1.0-{a}))))"
+    )
+
+
+def haversine_rounded_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return f"round({haversine_sql(lat1, lon1, lat2, lon2)}, {ROUND_DIGITS})"
+
+
+def cell_sql(lat: str, lon: str, level: int) -> str:
+    """Hierarchical spatial cell id at `level` (S2/H3 analog).
+
+    Grid: 2**level latitude bands x 2**(level+1) longitude columns
+    (square cells in degrees: 180/2**level per side). The level is
+    tagged into the id (level * 2**54 + i*nlon + j) so ids from
+    different levels never collide (needed by adaptive cell split).
+    Replaces s2.PointFromLatLng + ShapeIndex cell decomposition
+    (reference lib/finder/coordinates/s2.go:39,45-46).
+    """
+    nlat = 1 << level
+    nlon = 2 << level
+    i = f"least(greatest(cast(floor((({lat})+90.0)/180.0*{nlat}) as bigint), 0), {nlat - 1})"
+    j = f"(((cast(floor((({lon})+180.0)/360.0*{nlon}) as bigint) % {nlon}) + {nlon}) % {nlon})"
+    return f"(cast({level} as bigint)*{LEVEL_STRIDE} + {i}*{nlon} + {j})"
+
+
+# --- deterministic pseudo-geo derivations over the driver's TPC-H tables ---
+# (FIXTURES.md §7: identical expression text in Spark and DuckDB so the
+# synthetic coordinates agree bit-for-bit.)
+
+def points_from_orders_sql(orders: str = "orders") -> str:
+    """Fact side: one geotagged 'image' row per order. Lat avoids the
+    exact poles; .495 offsets dodge exact cell-boundary values."""
+    return f"""
+    SELECT o_orderkey AS pt_id,
+           ((((o_orderkey * 48271) % 17900) / 100.0) - 89.495) AS lat,
+           ((((o_orderkey * 69621) % 36000) / 100.0) - 179.995) AS lon,
+           o_orderpriority AS caption
+    FROM {orders}
+    """
+
+
+def cities_from_customer_sql(customer: str = "customer", nation: str = "nation") -> str:
+    """Dimension side: one 'city' per customer; country from nation."""
+    return f"""
+    SELECT c_custkey AS city_id,
+           c_name AS name,
+           ((((c_custkey * 40503) % 16900) / 100.0) - 84.495) AS lat,
+           ((((c_custkey * 65413) % 35900) / 100.0) - 179.495) AS lon,
+           n_name AS country
+    FROM {customer} JOIN {nation} ON c_nationkey = n_nationkey
+    """

@@ -1,0 +1,16 @@
+from __future__ import annotations
+
+import pytest
+
+from cityfinder_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("cityfinder-tests", cores=8, shuffle_partitions=8)
+    yield s
+
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_001 = "/root/testdata/sf0.001"
+SF_DIR_01 = "/root/testdata/sf0.01"
