@@ -1,0 +1,157 @@
+"""Driver-contract query registry.
+
+Each entry pairs a Spark implementation (the engine's operators over
+the driver's TPC-H-ish parquet tables, with deterministic pseudo-geo
+derivations from sqlcompat) with an ANSI-SQL DuckDB oracle. Column
+names/aliases match exactly on both sides; every computed double is
+rounded via sqlcompat.ROUND_DIGITS on both sides.
+
+`__spark_entry__.py` re-exports queries()/oracle_sql()/entry() from
+here to keep the contract file thin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cityfinder_spark import sqlcompat as sc
+from cityfinder_spark.geo.cells import cell_col, make_cell_udf
+from cityfinder_spark.operators.nearest import nearest_city_join, nearest_city_topk
+
+CELL_LEVEL = 6  # fixed level for the cell_assign/hot_cells contract queries
+HOT_THRESHOLD = 4
+
+
+def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, ("orders",))
+    return spark.sql(sc.points_from_orders_sql())
+
+
+def _cities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(sc.cities_from_customer_sql())
+
+
+# ---------------- Spark queries ----------------
+
+def q_nearest_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: nearest-city kNN(k=1) join (SURVEY §2.3 J1)."""
+    pts = _points(spark, sf_dir)
+    cities = _cities(spark, sf_dir)
+    return nearest_city_join(pts, cities).select(
+        "pt_id", "caption", "city_id", "name", "country", "dist_km"
+    )
+
+
+def q_nearest_city_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest (window strategy; generalizes s2.go:65 results[0])."""
+    pts = _points(spark, sf_dir)
+    cities = _cities(spark, sf_dir)
+    return nearest_city_topk(pts, cities, k=3).select(
+        "pt_id", "city_id", "name", "country", "dist_km", "rank"
+    )
+
+
+def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/H3-analog cell-id assignment via the Arrow-vectorized pandas
+    UDF (SURVEY §2.6 kernel 1) — the oracle pins the UDF to the pure
+    arithmetic definition."""
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "pt_id", "lat", "lon",
+        make_cell_udf(CELL_LEVEL)("lat", "lon").alias("cell_id"),
+    )
+
+
+def q_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew pre-pass: per-cell fact counts above threshold (SURVEY §2.3
+    note on salting; feeds adaptive cell split)."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.select(cell_col("lat", "lon", CELL_LEVEL).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .where(F.col("n_points") >= HOT_THRESHOLD)
+    )
+
+
+# ---------------- DuckDB oracles ----------------
+
+def _o_nearest_city() -> str:
+    hav = sc.haversine_rounded_sql("p.lat", "p.lon", "c.lat", "c.lon")
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+         cts AS ({sc.cities_from_customer_sql()}),
+         ranked AS (
+           SELECT p.pt_id, p.caption, c.city_id, c.name, c.country,
+                  {hav} AS dist_km,
+                  row_number() OVER (PARTITION BY p.pt_id
+                                     ORDER BY {hav}, c.city_id) AS rn
+           FROM pts p CROSS JOIN cts c)
+    SELECT pt_id, caption, city_id, name, country, dist_km
+    FROM ranked WHERE rn = 1
+    """
+
+
+def _o_nearest_city_topk() -> str:
+    hav = sc.haversine_rounded_sql("p.lat", "p.lon", "c.lat", "c.lon")
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+         cts AS ({sc.cities_from_customer_sql()}),
+         ranked AS (
+           SELECT p.pt_id, c.city_id, c.name, c.country,
+                  {hav} AS dist_km,
+                  row_number() OVER (PARTITION BY p.pt_id
+                                     ORDER BY {hav}, c.city_id) AS rank
+           FROM pts p CROSS JOIN cts c)
+    SELECT pt_id, city_id, name, country, dist_km, rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+def _o_cell_assign() -> str:
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()})
+    SELECT pt_id, lat, lon, {sc.cell_sql("lat", "lon", CELL_LEVEL)} AS cell_id
+    FROM pts
+    """
+
+
+def _o_hot_cells() -> str:
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()})
+    SELECT {sc.cell_sql("lat", "lon", CELL_LEVEL)} AS cell_id,
+           count(*) AS n_points
+    FROM pts
+    GROUP BY 1 HAVING count(*) >= {HOT_THRESHOLD}
+    """
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "nearest_city": q_nearest_city,
+        "nearest_city_topk": q_nearest_city_topk,
+        "cell_assign": q_cell_assign,
+        "hot_cells": q_hot_cells,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "nearest_city": _o_nearest_city(),
+        "nearest_city_topk": _o_nearest_city_topk(),
+        "cell_assign": _o_cell_assign(),
+        "hot_cells": _o_hot_cells(),
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship smoke query at sf0.001 (driver checks rows >= 0)."""
+    return q_nearest_city(spark, "/root/testdata/sf0.001")

@@ -61,10 +61,12 @@ def cell_sql(lat: str, lon: str, level: int) -> str:
 def points_from_orders_sql(orders: str = "orders") -> str:
     """Fact side: one geotagged 'image' row per order. Lat avoids the
     exact poles; .495 offsets dodge exact cell-boundary values."""
+    # NB: division by cast(100 as double) — a bare `100.0` literal is
+    # DECIMAL in Spark SQL but DOUBLE in DuckDB; force IEEE doubles.
     return f"""
     SELECT o_orderkey AS pt_id,
-           ((((o_orderkey * 48271) % 17900) / 100.0) - 89.495) AS lat,
-           ((((o_orderkey * 69621) % 36000) / 100.0) - 179.995) AS lon,
+           ((((o_orderkey * 48271) % 17900) / cast(100 as double)) - 89.495) AS lat,
+           ((((o_orderkey * 69621) % 36000) / cast(100 as double)) - 179.995) AS lon,
            o_orderpriority AS caption
     FROM {orders}
     """
@@ -75,8 +77,8 @@ def cities_from_customer_sql(customer: str = "customer", nation: str = "nation")
     return f"""
     SELECT c_custkey AS city_id,
            c_name AS name,
-           ((((c_custkey * 40503) % 16900) / 100.0) - 84.495) AS lat,
-           ((((c_custkey * 65413) % 35900) / 100.0) - 179.495) AS lon,
+           ((((c_custkey * 40503) % 16900) / cast(100 as double)) - 84.495) AS lat,
+           ((((c_custkey * 65413) % 35900) / cast(100 as double)) - 179.495) AS lon,
            n_name AS country
     FROM {customer} JOIN {nation} ON c_nationkey = n_nationkey
     """
