@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cityfinder_spark import sqlcompat as sc
 from cityfinder_spark.geo.cells import cell_col, make_cell_udf
+from cityfinder_spark.operators.name_lookup import city_by_name
 from cityfinder_spark.operators.nearest import nearest_city_join, nearest_city_topk
+from cityfinder_spark.operators.postal_lookup import city_by_postal, dedup_postal
 
 CELL_LEVEL = 6  # fixed level for the cell_assign/hot_cells contract queries
 HOT_THRESHOLD = 4
@@ -82,6 +84,38 @@ def q_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_name_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + fuzzy city-by-name lookup (SURVEY §2.3 J2/J3/J6)."""
+    load_views(spark, sf_dir, ("orders", "customer", "nation"))
+    dim = spark.sql(sc.names_dim_sql())
+    q = spark.sql(sc.name_queries_sql())
+    return city_by_name(q, dim)
+
+
+def q_name_lookup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-only variant (fuzzy disabled -> NULL on miss)."""
+    load_views(spark, sf_dir, ("orders", "customer", "nation"))
+    dim = spark.sql(sc.names_dim_sql())
+    q = spark.sql(sc.name_queries_sql())
+    return city_by_name(q, dim, fuzzy=False)
+
+
+def q_postal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postal-code lookup with last-write-wins build dedup (J4/J5)."""
+    load_views(spark, sf_dir, ("orders", "customer", "nation"))
+    dim = spark.sql(sc.postal_dim_sql())
+    q = spark.sql(sc.postal_queries_sql())
+    return city_by_postal(q, dim)
+
+
+def q_postal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-time last-write-wins dedup itself (J5)."""
+    load_views(spark, sf_dir, ("customer", "nation"))
+    return dedup_postal(spark.sql(sc.postal_dim_sql())).select(
+        "country_code", "postal_code", "place_name", "lat", "lon", "accuracy", "line_no"
+    )
+
+
 # ---------------- DuckDB oracles ----------------
 
 def _o_nearest_city() -> str:
@@ -134,12 +168,94 @@ def _o_hot_cells() -> str:
     """
 
 
+def _o_name_lookup(fuzzy: bool = True) -> str:
+    fuzzy_cte = """
+         fuzzy AS (
+           SELECT * FROM (
+             SELECT q.q_id, q.q_name, q.q_country,
+                    d.city_id, d.name, d.lat AS c_lat, d.lon AS c_lon,
+                    'fuzzy' AS match_type,
+                    cast(levenshtein(q.q_name, d.name) as int) AS edit_dist,
+                    row_number() OVER (
+                      PARTITION BY q.q_id
+                      ORDER BY levenshtein(q.q_name, d.name), d.name, d.city_id
+                    ) AS rn
+             FROM q JOIN dim d ON q.q_country = d.country
+             WHERE levenshtein(q.q_name, d.name) <= 2
+               AND q.q_id NOT IN (SELECT q_id FROM exact)) t
+           WHERE rn = 1),
+    """
+    miss_src = (
+        "SELECT q_id FROM exact UNION ALL SELECT q_id FROM fuzzy"
+        if fuzzy
+        else "SELECT q_id FROM exact"
+    )
+    fuzzy_union = "UNION ALL SELECT q_id, q_name, q_country, city_id, name, c_lat, c_lon, match_type, edit_dist FROM fuzzy" if fuzzy else ""
+    return f"""
+    WITH dim AS ({sc.names_dim_sql()}),
+         q0 AS ({sc.name_queries_sql()}),
+         q AS (SELECT q_id, q_name, upper(q_country) AS q_country FROM q0),
+         exact AS (
+           SELECT * FROM (
+             SELECT q.q_id, q.q_name, q.q_country,
+                    d.city_id, d.name, d.lat AS c_lat, d.lon AS c_lon,
+                    'exact' AS match_type, cast(0 as int) AS edit_dist,
+                    row_number() OVER (PARTITION BY q.q_id ORDER BY d.city_id) AS rn
+             FROM q JOIN dim d
+               ON q.q_country = d.country AND q.q_name = d.name) t
+           WHERE rn = 1),
+         {fuzzy_cte if fuzzy else ""}
+         misses AS (
+           SELECT q_id, q_name, q_country,
+                  cast(NULL as bigint) AS city_id, cast(NULL as string) AS name,
+                  cast(NULL as double) AS c_lat, cast(NULL as double) AS c_lon,
+                  cast(NULL as string) AS match_type, cast(NULL as int) AS edit_dist
+           FROM q WHERE q_id NOT IN ({miss_src}))
+    SELECT q_id, q_name, q_country, city_id, name, c_lat, c_lon, match_type, edit_dist FROM exact
+    {fuzzy_union}
+    UNION ALL SELECT * FROM misses
+    """
+
+
+def _o_postal_lookup() -> str:
+    return f"""
+    WITH dim0 AS ({sc.postal_dim_sql()}),
+         dim AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY country_code, postal_code ORDER BY line_no DESC) AS rn
+             FROM dim0) t WHERE rn = 1),
+         q0 AS ({sc.postal_queries_sql()}),
+         q AS (SELECT q_id, q_code, upper(q_country) AS q_country FROM q0)
+    SELECT q.q_id, q.q_code, q.q_country,
+           d.place_name AS name, d.lat AS c_lat, d.lon AS c_lon,
+           cast(d.accuracy as int) AS accuracy
+    FROM q LEFT JOIN dim d
+      ON q.q_country = d.country_code AND q.q_code = d.postal_code
+    """
+
+
+def _o_postal_dedup() -> str:
+    return f"""
+    WITH dim0 AS ({sc.postal_dim_sql()})
+    SELECT country_code, postal_code, place_name, lat, lon, accuracy, line_no
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY country_code, postal_code ORDER BY line_no DESC) AS rn
+      FROM dim0) t WHERE rn = 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "nearest_city": q_nearest_city,
         "nearest_city_topk": q_nearest_city_topk,
         "cell_assign": q_cell_assign,
         "hot_cells": q_hot_cells,
+        "name_lookup": q_name_lookup,
+        "name_lookup_exact": q_name_lookup_exact,
+        "postal_lookup": q_postal_lookup,
+        "postal_dedup": q_postal_dedup,
     }
 
 
@@ -149,6 +265,10 @@ def oracle_sql() -> dict[str, str]:
         "nearest_city_topk": _o_nearest_city_topk(),
         "cell_assign": _o_cell_assign(),
         "hot_cells": _o_hot_cells(),
+        "name_lookup": _o_name_lookup(fuzzy=True),
+        "name_lookup_exact": _o_name_lookup(fuzzy=False),
+        "postal_lookup": _o_postal_lookup(),
+        "postal_dedup": _o_postal_dedup(),
     }
 
 

@@ -72,6 +72,67 @@ def points_from_orders_sql(orders: str = "orders") -> str:
     """
 
 
+def names_dim_sql(customer: str = "customer", nation: str = "nation") -> str:
+    """Name dimension with built-in duplicate (country, name) pairs
+    (c_custkey % 400) to pin first-match semantics (J2/J6)."""
+    return f"""
+    SELECT c_custkey AS city_id,
+           'City#' || lpad(cast(c_custkey % 400 as string), 4, '0') AS name,
+           ((((c_custkey * 40503) % 16900) / cast(100 as double)) - 84.495) AS lat,
+           ((((c_custkey * 65413) % 35900) / cast(100 as double)) - 179.495) AS lon,
+           n_name AS country
+    FROM {customer} JOIN {nation} ON c_nationkey = n_nationkey
+    """
+
+
+def name_queries_sql(orders: str = "orders", customer: str = "customer", nation: str = "nation") -> str:
+    """Lookup queries: exact / distance-1 / distance-2 / distance-3
+    mutations of dimension names, country via the order's customer.
+    Lowercased country exercises the uppercase-at-boundary rule (P5)."""
+    base = "'City#' || lpad(cast(o_orderkey % 500 as string), 4, '0')"
+    return f"""
+    SELECT o_orderkey AS q_id,
+           CASE
+             WHEN o_orderkey % 4 = 0 THEN {base}
+             WHEN o_orderkey % 4 = 1 THEN substr({base}, 1, 2) || substr({base}, 4)
+             WHEN o_orderkey % 4 = 2 THEN 'zz' || substr({base}, 3)
+             ELSE 'zzz' || substr({base}, 4)
+           END AS q_name,
+           lower(n_name) AS q_country
+    FROM {orders}
+    JOIN {customer} ON o_custkey = c_custkey
+    JOIN {nation} ON c_nationkey = n_nationkey
+    """
+
+
+def postal_dim_sql(customer: str = "customer", nation: str = "nation") -> str:
+    """Postal dimension with duplicate (country, code) pairs
+    (c_custkey % 40 within ~60-customer nations) to pin the
+    last-write-wins build dedup (J5)."""
+    return f"""
+    SELECT n_name AS country_code,
+           lpad(cast(c_custkey % 40 as string), 3, '0') AS postal_code,
+           c_name AS place_name,
+           ((((c_custkey * 40503) % 16900) / cast(100 as double)) - 84.495) AS lat,
+           ((((c_custkey * 65413) % 35900) / cast(100 as double)) - 179.495) AS lon,
+           cast(c_custkey % 7 as int) AS accuracy,
+           c_custkey AS line_no
+    FROM {customer} JOIN {nation} ON c_nationkey = n_nationkey
+    """
+
+
+def postal_queries_sql(orders: str = "orders", customer: str = "customer", nation: str = "nation") -> str:
+    """Postal queries; code space 0..49 vs dimension 0..39 -> ~20% miss."""
+    return f"""
+    SELECT o_orderkey AS q_id,
+           lpad(cast(o_orderkey % 50 as string), 3, '0') AS q_code,
+           lower(n_name) AS q_country
+    FROM {orders}
+    JOIN {customer} ON o_custkey = c_custkey
+    JOIN {nation} ON c_nationkey = n_nationkey
+    """
+
+
 def cities_from_customer_sql(customer: str = "customer", nation: str = "nation") -> str:
     """Dimension side: one 'city' per customer; country from nation."""
     return f"""
