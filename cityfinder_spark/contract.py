@@ -20,7 +20,9 @@ from cityfinder_spark import sqlcompat as sc
 from cityfinder_spark.geo.cells import cell_col, make_cell_udf
 from cityfinder_spark.operators.name_lookup import city_by_name
 from cityfinder_spark.operators.nearest import nearest_city_join, nearest_city_topk
+from cityfinder_spark.operators.point_in_polygon import tag_points_with_polygons
 from cityfinder_spark.operators.postal_lookup import city_by_postal, dedup_postal
+from cityfinder_spark.operators.raster import map_raster_tiles
 
 CELL_LEVEL = 6  # fixed level for the cell_assign/hot_cells contract queries
 HOT_THRESHOLD = 4
@@ -113,6 +115,37 @@ def q_postal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, ("customer", "nation"))
     return dedup_postal(spark.sql(sc.postal_dim_sql())).select(
         "country_code", "postal_code", "place_name", "lat", "lon", "accuracy", "line_no"
+    )
+
+
+def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile -> vector-cell mapping (north rule; SURVEY §7.1.8)."""
+    load_views(spark, sf_dir, ("orders",))
+    imgs = spark.sql(sc.images_from_orders_sql())
+    return map_raster_tiles(imgs, level=CELL_LEVEL, tile_px=16, deg_per_px=0.001).select(
+        "pt_id", "tx", "ty", "tile_lat", "tile_lon", "cell_id"
+    )
+
+
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admin-boundary tiling: even-odd ray cast vs hexagonal polygons
+    (north rule; SURVEY §2.6 kernel 5)."""
+    load_views(spark, sf_dir, ("orders", "nation"))
+    verts = spark.sql(sc.polygon_vertices_sql())
+    polys = (
+        verts.groupBy("polygon_id", "country")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("v", "vlat"))), lambda x: x["vlat"]
+            ).alias("ring_lats"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("v", "vlon"))), lambda x: x["vlon"]
+            ).alias("ring_lons"),
+        )
+    )
+    pts = _points(spark, sf_dir).select("pt_id", "lat", "lon")
+    return tag_points_with_polygons(pts, polys).select(
+        "pt_id", "polygon_id", "poly_country"
     )
 
 
@@ -246,6 +279,49 @@ def _o_postal_dedup() -> str:
     """
 
 
+def _o_raster_tiles() -> str:
+    # mirrors the Column evaluation order of map_raster_tiles exactly
+    return f"""
+    WITH imgs AS ({sc.images_from_orders_sql()}),
+         tiles AS (
+           SELECT pt_id, lat, lon, w, h,
+                  unnest(generate_series(0, cast(floor((w + 15) / cast(16 as double)) as bigint) - 1)) AS tx
+           FROM imgs),
+         tiles2 AS (
+           SELECT pt_id, lat, lon, w, h, tx,
+                  unnest(generate_series(0, cast(floor((h + 15) / cast(16 as double)) as bigint) - 1)) AS ty
+           FROM tiles),
+         centers AS (
+           SELECT pt_id, tx, ty,
+                  (lat + (ty * 16 + 8.0 - h / cast(2 as double)) * 0.001) AS tile_lat,
+                  (lon + (tx * 16 + 8.0 - w / cast(2 as double)) * 0.001) AS tile_lon
+           FROM tiles2)
+    SELECT pt_id, tx, ty, tile_lat, tile_lon,
+           {sc.cell_sql("tile_lat", "tile_lon", CELL_LEVEL)} AS cell_id
+    FROM centers
+    """
+
+
+def _o_point_in_polygon() -> str:
+    return f"""
+    WITH verts AS ({sc.polygon_vertices_sql()}),
+         edges AS (
+           SELECT v1.polygon_id, v1.country,
+                  v1.vlat AS y1, v1.vlon AS x1, v2.vlat AS y2, v2.vlon AS x2
+           FROM verts v1 JOIN verts v2
+             ON v1.polygon_id = v2.polygon_id AND v2.v = (v1.v + 1) % 6),
+         pts AS ({sc.points_from_orders_sql()}),
+         crossings AS (
+           SELECT p.pt_id, e.polygon_id, e.country, count(*) AS ncross
+           FROM pts p JOIN edges e
+             ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+            AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+           GROUP BY 1, 2, 3)
+    SELECT pt_id, polygon_id, country AS poly_country
+    FROM crossings WHERE ncross % 2 = 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "nearest_city": q_nearest_city,
@@ -256,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_lookup_exact": q_name_lookup_exact,
         "postal_lookup": q_postal_lookup,
         "postal_dedup": q_postal_dedup,
+        "raster_tiles": q_raster_tiles,
+        "point_in_polygon": q_point_in_polygon,
     }
 
 
@@ -269,6 +347,8 @@ def oracle_sql() -> dict[str, str]:
         "name_lookup_exact": _o_name_lookup(fuzzy=False),
         "postal_lookup": _o_postal_lookup(),
         "postal_dedup": _o_postal_dedup(),
+        "raster_tiles": _o_raster_tiles(),
+        "point_in_polygon": _o_point_in_polygon(),
     }
 
 

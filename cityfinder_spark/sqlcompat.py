@@ -133,6 +133,47 @@ def postal_queries_sql(orders: str = "orders", customer: str = "customer", natio
     """
 
 
+def images_from_orders_sql(orders: str = "orders") -> str:
+    """Image-shaped fact rows (geotag + raster dims) for tiling ops."""
+    return f"""
+    SELECT o_orderkey AS pt_id,
+           ((((o_orderkey * 48271) % 17900) / cast(100 as double)) - 89.495) AS lat,
+           ((((o_orderkey * 69621) % 36000) / cast(100 as double)) - 179.995) AS lon,
+           cast(16 + (o_orderkey % 49) as int) AS w,
+           cast(16 + ((o_orderkey * 3) % 49) as int) AS h
+    FROM {orders}
+    """
+
+
+# hexagon vertex offsets (unit radius): cos/sin of k*60deg as exact
+# literals so no libm enters the vertex coordinates on either engine.
+HEX_COEFS_VALUES = (
+    "(VALUES (0, cast(1.0 as double), cast(0.0 as double)),"
+    " (1, cast(0.5 as double), cast(0.866 as double)),"
+    " (2, cast(-0.5 as double), cast(0.866 as double)),"
+    " (3, cast(-1.0 as double), cast(0.0 as double)),"
+    " (4, cast(-0.5 as double), cast(-0.866 as double)),"
+    " (5, cast(0.5 as double), cast(-0.866 as double))) AS c(v, latc, lonc)"
+)
+
+
+def polygon_vertices_sql(nation: str = "nation") -> str:
+    """Deterministic hexagonal 'admin polygons', one per nation —
+    identical text in Spark and DuckDB (FIXTURES.md §6)."""
+    return f"""
+    SELECT p.polygon_id, p.country, c.v,
+           (p.clat + p.r * c.latc) AS vlat,
+           (p.clon + p.r * c.lonc) AS vlon
+    FROM (
+      SELECT n_nationkey AS polygon_id, n_name AS country,
+             (((n_nationkey * 37) % 120) - 60 + 0.5) AS clat,
+             (((n_nationkey * 73) % 340) - 170 + 0.5) AS clon,
+             (5.0 + (n_nationkey % 5)) AS r
+      FROM {nation}) p
+    CROSS JOIN {HEX_COEFS_VALUES}
+    """
+
+
 def cities_from_customer_sql(customer: str = "customer", nation: str = "nation") -> str:
     """Dimension side: one 'city' per customer; country from nation."""
     return f"""

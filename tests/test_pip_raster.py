@@ -1,0 +1,71 @@
+"""Point-in-polygon + raster tiling unit semantics (FIXTURES.md §6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from cityfinder_spark.geo.cells import cell_of_np
+from cityfinder_spark.operators.point_in_polygon import (
+    point_in_polygon_np,
+    tag_points_with_polygons,
+)
+from cityfinder_spark.operators.raster import map_raster_tiles
+
+
+def test_ray_cast_square():
+    # unit square (0,0)-(1,1)
+    rl = np.array([0.0, 0.0, 1.0, 1.0])
+    rn = np.array([0.0, 1.0, 1.0, 0.0])
+    plat = np.array([0.5, 0.5, 1.5, -0.1, 0.999])
+    plon = np.array([0.5, 1.5, 0.5, 0.5, 0.001])
+    got = point_in_polygon_np(plat, plon, rl, rn)
+    assert got.tolist() == [True, False, False, False, True]
+
+
+def test_ray_cast_concave():
+    # L-shape: concavity excluded
+    rl = np.array([0.0, 0.0, 2.0, 2.0, 1.0, 1.0])
+    rn = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+    plat = np.array([0.5, 1.5, 1.5])
+    plon = np.array([0.5, 1.5, 0.5])
+    got = point_in_polygon_np(plat, plon, rl, rn)
+    assert got.tolist() == [True, True, False]
+
+
+def test_tag_points_with_polygons(spark):
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "AA", [0.0, 0.0, 10.0, 10.0], [0.0, 10.0, 10.0, 0.0]),
+                (1, "BB", [5.0, 5.0, 15.0, 15.0], [5.0, 15.0, 15.0, 5.0]),
+            ],
+            columns=["polygon_id", "country", "ring_lats", "ring_lons"],
+        )
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, 2.0, 2.0), (1, 7.0, 7.0), (2, 12.0, 12.0), (3, 50.0, 50.0)],
+            columns=["pt_id", "lat", "lon"],
+        )
+    )
+    out = tag_points_with_polygons(pts, polys).select("pt_id", "polygon_id").collect()
+    got = sorted((r["pt_id"], r["polygon_id"]) for r in out)
+    assert got == [(0, 0), (1, 0), (1, 1), (2, 1)]  # overlap region hits both
+
+
+def test_map_raster_tiles_grain_and_cells(spark):
+    imgs = spark.createDataFrame(
+        pd.DataFrame([(0, 10.0, 20.0, 40, 17)], columns=["pt_id", "lat", "lon", "w", "h"])
+    )
+    rows = map_raster_tiles(imgs, level=8, tile_px=16, deg_per_px=0.001).collect()
+    # nx = ceil(40/16)=3, ny = ceil(17/16)=2 -> 6 tiles
+    assert len(rows) == 6
+    for r in rows:
+        want_lat = 10.0 + (r["ty"] * 16 + 8.0 - 17 / 2.0) * 0.001
+        want_lon = 20.0 + (r["tx"] * 16 + 8.0 - 40 / 2.0) * 0.001
+        assert abs(r["tile_lat"] - want_lat) < 1e-12
+        assert abs(r["tile_lon"] - want_lon) < 1e-12
+        assert r["cell_id"] == cell_of_np(
+            np.array([want_lat]), np.array([want_lon]), 8
+        )[0]
