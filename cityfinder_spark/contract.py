@@ -20,9 +20,30 @@ from cityfinder_spark import sqlcompat as sc
 from cityfinder_spark.geo.cells import cell_col, make_cell_udf
 from cityfinder_spark.operators.name_lookup import city_by_name
 from cityfinder_spark.operators.nearest import nearest_city_join, nearest_city_topk
+from cityfinder_spark.operators.dedup import (
+    MINHASH_FUNCS,
+    MINHASH_P,
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from cityfinder_spark.operators.point_in_polygon import tag_points_with_polygons
 from cityfinder_spark.operators.postal_lookup import city_by_postal, dedup_postal
 from cityfinder_spark.operators.raster import map_raster_tiles
+from cityfinder_spark.operators.similarity import (
+    cosine_dedup_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+from cityfinder_spark.operators.textops import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
 
 CELL_LEVEL = 6  # fixed level for the cell_assign/hot_cells contract queries
 HOT_THRESHOLD = 4
@@ -147,6 +168,73 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_points_with_polygons(pts, polys).select(
         "pt_id", "polygon_id", "poly_country"
     )
+
+
+# ---------------- training-data pipeline queries ----------------
+
+JACCARD_T = 0.2
+COS_DEDUP_T = 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, ("documents",))
+    return spark.table("documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, ("embeddings",))
+    return spark.table("embeddings")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash-groupBy dedup on the 80-char normalization prefix."""
+    return dedup_exact(_docs(spark, sf_dir), key_expr="substr(text, 1, 80)")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_embs(spark, sf_dir), k=5)
+
+
+def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_dedup_pairs(_embs(spark, sf_dir), threshold=COS_DEDUP_T)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (rows-only check; recall vs brute force in tests)."""
+    return lsh_bucket_topk(_embs(spark, sf_dir), k=5)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (rows-only check; recall vs brute force in tests)."""
+    return ivf_topk(_embs(spark, sf_dir), k=5)
 
 
 # ---------------- DuckDB oracles ----------------
@@ -322,6 +410,191 @@ def _o_point_in_polygon() -> str:
     """
 
 
+_DUCK_MD5_INT = "cast(concat('0x', substr(md5({x}), 1, 12)) as bigint)"
+
+_SHINGLES_CTE = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM idx),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    jac AS (SELECT doc_a, doc_b,
+                   (floor((inter / (sa.sz + sb.sz - inter)) * 1000000.0 + 0.5)
+                    / 1000000.0) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b)
+"""
+
+
+def _o_dedup_exact() -> str:
+    return """
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY substr(text, 1, 80)) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY substr(text, 1, 80)) AS is_dup
+    FROM documents
+    """
+
+
+def _o_token_stats() -> str:
+    return """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars,
+           cast(floor((length(text) + 3) / 4.0) as bigint) AS bpe_est
+    FROM documents
+    """
+
+
+def _o_text_quality() -> str:
+    stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, length(text) AS lc
+               FROM documents),
+         s AS (SELECT doc_id,
+                      len(w) AS n,
+                      len(list_filter(w, x -> x IN ({stops}))) AS hits,
+                      len(list_distinct(w)) AS uniq,
+                      lc
+               FROM t)
+    SELECT doc_id,
+           {sc.round6_sql("hits / n")} AS stopword_ratio,
+           {sc.round6_sql("uniq / n")} AS uniq_ratio,
+           {sc.round6_sql("(lc - (n - 1)) / n")} AS avg_word_len,
+           {sc.round6_sql(
+               "0.4 * (hits / n) + 0.3 * (uniq / n)"
+               " + 0.3 * least(((lc - (n - 1)) / n) / 10.0, 1.0)"
+           )} AS quality
+    FROM s
+    """
+
+
+def _o_lang_id() -> str:
+    score_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(w, x -> x IN ({stops}))) AS score_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)
+    # earliest-max tie-break, same as the Spark fold (strict > replaces)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs[i + 1:]
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, {", ".join(score_cols)} FROM t)
+    SELECT doc_id, {", ".join("score_" + l for l in langs)},
+           {case_sql} AS lang_pred
+    FROM s
+    """
+
+
+def _o_fingerprint() -> str:
+    h = _DUCK_MD5_INT.format(x="substr(text, i, 8)")
+    return f"""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 7, 1), 16)) AS i
+      FROM documents)
+    SELECT doc_id, min({h}) AS fingerprint
+    FROM idx GROUP BY doc_id
+    """
+
+
+def _o_ngram_jaccard() -> str:
+    return f"""
+    WITH {_SHINGLES_CTE}
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
+    """
+
+
+def _o_minhash_lsh() -> str:
+    funcs_values = ", ".join(f"({k}, {a}, {b})" for k, a, b in MINHASH_FUNCS)
+    x = _DUCK_MD5_INT.format(x="shingle")
+    return f"""
+    WITH {_SHINGLES_CTE},
+    h AS (SELECT doc_id, {x} AS x FROM sh),
+    funcs AS (SELECT * FROM (VALUES {funcs_values}) f(k, a, b)),
+    sig AS (SELECT doc_id, k, min((a * x + b) % {MINHASH_P}) AS mh
+            FROM h CROSS JOIN funcs GROUP BY 1, 2),
+    bands AS (SELECT doc_id, cast(floor(k / 4.0) as int) AS band,
+                     string_agg(cast(mh as string), ',' ORDER BY k) AS bsig
+              FROM sig GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b USING (band, bsig)
+             WHERE a.doc_id < b.doc_id)
+    SELECT j.doc_a, j.doc_b, j.jaccard
+    FROM jac j JOIN cand USING (doc_a, doc_b)
+    WHERE j.jaccard >= {JACCARD_T}
+    """
+
+
+def _o_simhash() -> str:
+    bits_values = ", ".join(f"({b}, {1 << b}, {1 << (b + 1)})" for b in range(16))
+    x = _DUCK_MD5_INT.format(x="tok")
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+         h AS (SELECT doc_id, {x} AS x FROM toks),
+         bits AS (SELECT * FROM (VALUES {bits_values}) bt(b, lo, hi)),
+         bal AS (SELECT doc_id, b, lo,
+                        sum(CASE WHEN (x % hi) >= lo THEN 1 ELSE -1 END) AS bal
+                 FROM h CROSS JOIN bits GROUP BY 1, 2, 3)
+    SELECT doc_id,
+           sum(CASE WHEN bal > 0 THEN lo ELSE 0 END) AS simhash
+    FROM bal GROUP BY 1
+    """
+
+
+_DUCK_EMB_CTE = """
+    e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+          FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e)
+"""
+
+_DUCK_DOT = (
+    "list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))"
+)
+
+
+def _o_cosine_topk() -> str:
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {sc.round6_sql(f"{_DUCK_DOT} / (a.nrm * b.nrm)")} AS cos_sim
+      FROM n a CROSS JOIN n b WHERE a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _o_cosine_dedup() -> str:
+    return f"""
+    WITH {_DUCK_EMB_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sc.round6_sql(f"{_DUCK_DOT} / (a.nrm * b.nrm)")} AS cos_sim
+    FROM n a CROSS JOIN n b
+    WHERE a.vec_id < b.vec_id
+      AND {sc.round6_sql(f"{_DUCK_DOT} / (a.nrm * b.nrm)")} >= {COS_DEDUP_T}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "nearest_city": q_nearest_city,
@@ -334,6 +607,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postal_dedup": q_postal_dedup,
         "raster_tiles": q_raster_tiles,
         "point_in_polygon": q_point_in_polygon,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "cosine_dedup": q_cosine_dedup,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -349,6 +634,17 @@ def oracle_sql() -> dict[str, str]:
         "postal_dedup": _o_postal_dedup(),
         "raster_tiles": _o_raster_tiles(),
         "point_in_polygon": _o_point_in_polygon(),
+        "dedup_exact": _o_dedup_exact(),
+        "token_stats": _o_token_stats(),
+        "text_quality": _o_text_quality(),
+        "lang_id": _o_lang_id(),
+        "doc_fingerprint": _o_fingerprint(),
+        "ngram_jaccard": _o_ngram_jaccard(),
+        "minhash_lsh": _o_minhash_lsh(),
+        "simhash": _o_simhash(),
+        "cosine_topk": _o_cosine_topk(),
+        "cosine_dedup": _o_cosine_dedup(),
+        # ann_lsh / ann_ivf: approximate -> rows-only (recall in tests)
     }
 
 

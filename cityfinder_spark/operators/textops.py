@@ -1,0 +1,105 @@
+"""Text-analysis operators for the training-data pipeline (driver
+mandate: language-ID, quality scoring, token counting, document
+fingerprinting over the `documents` table).
+
+All kernels are pure Column expressions (JVM, codegen) — tokenization
+is whitespace split, hashing is md5-hex -> int48 (portable to the
+DuckDB oracle via sqlcompat.md5_int_*)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cityfinder_spark.colutils import round6_col
+
+# per-language stopword lists for the n-gram/stopword-hit language-ID
+# heuristic; tie-break = language code ascending.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "los", "las", "y", "que"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def _words(text_col: str = "text") -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def _hits(words: F.Column, stops: tuple[str, ...]) -> F.Column:
+    arr = F.array(*[F.lit(s) for s in stops])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (~4 chars per
+    token, the usual byte-pair heuristic)."""
+    w = _words(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(w).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.floor((F.length(F.col(text_col)) + 3) / F.lit(4.0)).cast("long").alias("bpe_est"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / stopword / uniqueness quality heuristics; composite
+    score = 0.4*stopword_ratio + 0.3*uniq_ratio + 0.3*min(avg_len/10,1)."""
+    w = _words(text_col)
+    n = F.size(w)
+    stop_ratio = _hits(w, EN_STOPWORDS) / n
+    uniq_ratio = F.size(F.array_distinct(w)) / n
+    # chars minus separating spaces, over tokens
+    avg_len = (F.length(F.col(text_col)) - (n - 1)) / n
+    quality = round6_col(
+        0.4 * stop_ratio + 0.3 * uniq_ratio + 0.3 * F.least(avg_len / 10.0, F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        round6_col(stop_ratio).alias("stopword_ratio"),
+        round6_col(uniq_ratio).alias("uniq_ratio"),
+        round6_col(avg_len).alias("avg_word_len"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID; argmax score, tie-break lang asc."""
+    w = _words(text_col)
+    scores = {lang: _hits(w, stops) for lang, stops in sorted(LANG_STOPWORDS.items())}
+    best = None
+    best_lang = F.lit(None).cast("string")
+    # fold in ascending lang order; strict > keeps earlier lang on ties
+    for lang, score in scores.items():
+        if best is None:
+            best, best_lang = score, F.lit(lang)
+        else:
+            best_lang = F.when(score > best, F.lit(lang)).otherwise(best_lang)
+            best = F.when(score > best, score).otherwise(best)
+    sel = [F.col(id_col)] + [
+        scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_STOPWORDS)
+    ]
+    return docs.select(*sel, best_lang.alias("lang_pred"))
+
+
+def fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    stride: int = 16,
+) -> DataFrame:
+    """Rolling-window document fingerprint: min md5-int48 over
+    `window`-char substrings sampled every `stride` chars (winnowing-
+    style sketch)."""
+    expr = (
+        f"array_min(transform("
+        f"sequence(1, greatest(length({text_col}) - {window - 1}, 1), {stride}), "
+        f"i -> cast(conv(substr(md5(substr({text_col}, i, {window})), 1, 12), 16, 10) as bigint)"
+        f"))"
+    )
+    return docs.select(F.col(id_col), F.expr(expr).alias("fingerprint"))

@@ -19,6 +19,17 @@ ROUND_DIGITS = 4  # 0.1 m granularity on km distances
 LEVEL_STRIDE = 18014398509481984  # 2**54 — level tag stride in cell ids
 
 
+def round6_sql(expr: str) -> str:
+    """Portable 6-digit half-up rounding from pure IEEE ops.
+
+    Engine round() implementations disagree at exact .xxxxxx5
+    boundaries (Spark: BigDecimal HALF_UP on the decimal expansion;
+    DuckDB: scaled C rounding) — and ratios of small integers land on
+    those boundaries routinely. floor(x*1e6 + 0.5)/1e6 is the same
+    IEEE sequence in both engines, hence bit-identical."""
+    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
 def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """Great-circle km, atan2 form — matches the reference's formula
     (lib/city/city.go:69-81); identical text runs in Spark SQL + DuckDB."""

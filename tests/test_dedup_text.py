@@ -1,0 +1,137 @@
+"""Dedup + text + similarity operator semantics on hand fixtures,
+and ANN recall against the brute-force baseline."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cityfinder_spark.operators.dedup import (
+    dedup_exact,
+    hamming_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from cityfinder_spark.operators.similarity import cosine_topk, ivf_topk, lsh_bucket_topk
+from cityfinder_spark.operators.textops import lang_id, quality_score, token_stats
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame([(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"])
+    )
+
+
+def test_dedup_exact_groups(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dedup_exact(
+            _docs(spark, ["a b c", "a b c", "x y z", "a b c"])
+        ).collect()
+    }
+    assert out[0]["canonical_id"] == 0 and not out[0]["is_dup"]
+    assert out[1]["canonical_id"] == 0 and out[1]["is_dup"]
+    assert out[2]["canonical_id"] == 2 and not out[2]["is_dup"]
+    assert out[3]["canonical_id"] == 0 and out[3]["is_dup"]
+
+
+def test_word_shingles(spark):
+    rows = word_shingles(_docs(spark, ["a b c d"]), n=3).collect()
+    assert sorted(r["shingle"] for r in rows) == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_known_value(spark):
+    # doc0: shingles {abc, bcd, cde}; doc1: {abc, bcd, cdx}
+    # inter=2, union=4 -> jaccard 0.5
+    out = ngram_jaccard_pairs(
+        _docs(spark, ["a b c d e", "a b c d x"]), n=3, threshold=0.4
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["doc_a"] == 0 and out[0]["doc_b"] == 1
+    assert out[0]["jaccard"] == 0.5
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    # identical shingle sets -> identical signatures -> candidate with
+    # probability 1 (band matches are probabilistic for jaccard < 1,
+    # so a mid-similarity pair would make this test flaky by design)
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "completely different words appear inside this other document here now",
+    ]
+    pairs = minhash_lsh_pairs(_docs(spark, texts), n=3, threshold=0.3).collect()
+    assert [(p["doc_a"], p["doc_b"], p["jaccard"]) for p in pairs] == [(0, 1, 1.0)]
+
+
+def test_simhash_near_dups_close(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",  # 1 token swap
+        "one two three four five six seven eight nine ten",
+    ]
+    sig = simhash(_docs(spark, texts))
+    pairs = hamming_pairs(sig, max_dist=4).collect()
+    got = {(p["doc_a"], p["doc_b"]): p["hamming"] for p in pairs}
+    assert (0, 1) in got  # near-dups collide within 4 bits
+    assert (0, 2) not in got or got[(0, 2)] > got[(0, 1)]
+
+
+def test_token_stats_and_quality(spark):
+    out = token_stats(_docs(spark, ["the cat sat"])).collect()[0]
+    assert out["n_tokens"] == 3 and out["n_chars"] == 11 and out["bpe_est"] == 3
+    q = quality_score(_docs(spark, ["the the cat"])).collect()[0]
+    assert q["stopword_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+    assert q["uniq_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_lang_id_heuristic(spark):
+    out = {
+        r["doc_id"]: r["lang_pred"]
+        for r in lang_id(
+            _docs(
+                spark,
+                [
+                    "the cat and the dog is a pet",
+                    "le chat et la maison est grande",
+                    "der hund und die katze ist nicht da",
+                    "qqq www eee",  # no hits anywhere -> earliest lang (de)
+                ],
+            )
+        ).collect()
+    }
+    assert out[0] == "en" and out[1] == "fr" and out[2] == "de" and out[3] == "de"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_ann_lsh_recall(spark, emb):
+    truth = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, k=5).collect()
+    }
+    approx = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in lsh_bucket_topk(emb, k=5, n_planes=4, n_tables=8).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall > 0.4, f"LSH recall too low: {recall}"
+
+
+def test_ann_ivf_recall(spark, emb):
+    truth = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, k=5).collect()
+    }
+    approx = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, k=5, n_probe=3).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall > 0.5, f"IVF recall too low: {recall}"
