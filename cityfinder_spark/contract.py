@@ -237,6 +237,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_embs(spark, sf_dir), k=5)
 
 
+def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal flagship (rows-only: binary payloads are
+    not SQL-expressible): deterministic image+caption table -> nearest-
+    city broadcast join with bytes riding along (no shuffle) -> per-row
+    payload invariant verdicts (PSNR>=40 lossy / byte-exact captions /
+    phash). pytest asserts all-ok; here the verdict columns are data.
+    """
+    from cityfinder_spark.datagen.images import images_table
+    from cityfinder_spark.operators.images_ops import check_payload_invariants
+
+    n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 10)
+    imgs = images_table(spark, n).withColumnRenamed("image_id", "pt_id")
+    cities = _cities(spark, sf_dir)
+    joined = nearest_city_join(imgs, cities).withColumnRenamed("pt_id", "image_id")
+    verdicts = check_payload_invariants(joined.drop("name").withColumnRenamed("city_id", "_cid"))
+    return verdicts
+
+
 # ---------------- DuckDB oracles ----------------
 
 def _o_nearest_city() -> str:
@@ -619,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dedup": q_cosine_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "image_pipeline": q_image_pipeline,
     }
 
 

@@ -1,0 +1,67 @@
+"""Deterministic distributed generator for the image+caption fact
+table (the Iceberg-table stand-in mandated by the input hint:
+image_id, bytes, w, h, fmt, caption, phash + geotag lat/lon).
+
+Generation is a pure function of the row id, produced with
+mapInPandas over spark.range(n) — embarrassingly parallel, no driver
+materialization, any scale. ~30% of rows are clustered within ~0.1°
+of a few hot cities (FIXTURES.md §2) to exercise skew handling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from cityfinder_spark.codecs.fakeimage import encode, gen_pixels, phash64
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, lat double, lon double"
+)
+
+# hot cities for the skew clusters (subset of the 12 benchmark coords)
+HOT_SPOTS = [(40.7128, -74.0060), (51.5074, -0.1278), (35.6895, 139.6917)]
+SKEW_FRACTION = 0.3
+
+
+def _row(i: int) -> dict:
+    rng = np.random.default_rng(42 + i)  # per-row deterministic stream
+    w = int(8 + (i * 13) % 57)
+    h = int(8 + (i * 7) % 57)
+    fmt = "png" if i % 2 == 0 else "jpeg"
+    pix = gen_pixels(i, w, h)
+    if (i * 2654435761) % 100 < SKEW_FRACTION * 100:
+        base = HOT_SPOTS[i % len(HOT_SPOTS)]
+        lat = base[0] + float(rng.uniform(-0.1, 0.1))
+        lon = base[1] + float(rng.uniform(-0.1, 0.1))
+    else:
+        lat = float(rng.uniform(-89.9, 89.9))
+        lon = float(rng.uniform(-180.0, 180.0))
+    return {
+        "image_id": f"img{i:012d}",
+        "bytes": encode(pix, fmt),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": f"caption for image {i}: a {w}x{h} {fmt} scene",
+        "phash": phash64(pix),
+        "lat": lat,
+        "lon": lon,
+    }
+
+
+def expected_caption(i: int, w: int, h: int, fmt: str) -> str:
+    return f"caption for image {i}: a {w}x{h} {fmt} scene"
+
+
+def images_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Generate n deterministic image rows, distributed."""
+    base = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([_row(int(i)) for i in pdf["id"]])
+
+    return base.mapInPandas(gen, schema=IMAGES_SCHEMA)

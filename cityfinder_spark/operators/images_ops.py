@@ -1,0 +1,140 @@
+"""Multimodal (image/video) column operators.
+
+Images travel as opaque `binary` columns with typed metadata; every
+per-row kernel is an Arrow-batched mapInPandas/pandas-UDF (never
+row-at-a-time Python, per the input hint). The codec is the
+deterministic fake from codecs.fakeimage — swap it for Pillow and the
+plumbing (schemas, batch shapes, signatures) is unchanged.
+
+Key invariant operator: `check_payload_invariants` verifies, per row,
+the BASELINE.json mandate — decoded pixels byte-exact for lossless /
+PSNR >= 40 dB for lossy, and byte-exact captions — by regenerating
+the reference pixels from the image id (pure function, so the check
+is embarrassingly parallel at any scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from cityfinder_spark.codecs.fakeimage import (
+    decode,
+    decode_video,
+    encode,
+    gen_pixels,
+    phash64,
+    psnr,
+)
+from cityfinder_spark.datagen.images import expected_caption
+
+PSNR_FLOOR_DB = 40.0
+
+DECODE_STATS_SCHEMA = (
+    "image_id string, fmt string, w int, h int, mean_pixel double, phash long"
+)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode every payload, emit shape/stat/phash per image."""
+    cols = images.select("image_id", "bytes")
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for img_id, buf in zip(pdf["image_id"], pdf["bytes"]):
+                fmt, pix = decode(bytes(buf))
+                out.append(
+                    {
+                        "image_id": img_id,
+                        "fmt": fmt,
+                        "w": pix.shape[1],
+                        "h": pix.shape[0],
+                        "mean_pixel": float(pix.astype(np.float64).mean()),
+                        "phash": phash64(pix),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(op, schema=DECODE_STATS_SCHEMA)
+
+
+def resize_half(images: DataFrame) -> DataFrame:
+    """2x box-downsample each image; re-encodes with the same fmt.
+    Output: image_id, bytes, w, h (new dims)."""
+    cols = images.select("image_id", "bytes")
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for img_id, buf in zip(pdf["image_id"], pdf["bytes"]):
+                fmt, pix = decode(bytes(buf))
+                h2, w2 = max(pix.shape[0] // 2, 1), max(pix.shape[1] // 2, 1)
+                ds = pix[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2, -1).mean(
+                    axis=(1, 3)
+                ).astype(np.uint8)
+                out.append(
+                    {"image_id": img_id, "bytes": encode(ds, fmt), "w": w2, "h": h2}
+                )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(op, schema="image_id string, bytes binary, w int, h int")
+
+
+def frame_sample(videos: DataFrame, every: int = 2) -> DataFrame:
+    """Sample every k-th frame of FVID payloads -> one row per kept
+    frame (video_id, frame_idx, bytes as lossless image)."""
+    cols = videos.select("video_id", "bytes")
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for vid, buf in zip(pdf["video_id"], pdf["bytes"]):
+                frames = decode_video(bytes(buf))
+                for idx in range(0, frames.shape[0], every):
+                    out.append(
+                        {
+                            "video_id": vid,
+                            "frame_idx": idx,
+                            "bytes": encode(frames[idx], "png"),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(op, schema="video_id string, frame_idx int, bytes binary")
+
+
+def check_payload_invariants(images: DataFrame) -> DataFrame:
+    """Per-row invariant verdicts vs the regenerated reference:
+    (image_id, psnr_db, psnr_ok, caption_ok, phash_ok)."""
+    cols = images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                i = int(str(r.image_id).removeprefix("img"))
+                fmt, pix = decode(bytes(r.bytes))
+                ref = gen_pixels(i, int(r.w), int(r.h))
+                p = psnr(ref, pix)
+                psnr_ok = (pix == ref).all() if fmt == "png" else p >= PSNR_FLOOR_DB
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "psnr_db": min(p, 999.0),
+                        "psnr_ok": bool(psnr_ok),
+                        "caption_ok": r.caption
+                        == expected_caption(i, int(r.w), int(r.h), fmt),
+                        "phash_ok": int(r.phash) == phash64(ref),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(
+        op,
+        schema=(
+            "image_id string, psnr_db double, psnr_ok boolean, "
+            "caption_ok boolean, phash_ok boolean"
+        ),
+    )
