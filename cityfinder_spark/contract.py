@@ -139,6 +139,30 @@ def q_postal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nearest_city_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive cell-split variant — must equal the same brute-force
+    oracle as nearest_city (skew path changes the plan, not results)."""
+    from cityfinder_spark.operators.skew import nearest_city_join_adaptive
+
+    pts = _points(spark, sf_dir)
+    cities = _cities(spark, sf_dir)
+    return nearest_city_join_adaptive(
+        pts, cities, base_level=4, max_per_cell=40
+    ).select("pt_id", "caption", "city_id", "name", "country", "dist_km")
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew pattern) over orders."""
+    from cityfinder_spark.operators.skew import salted_agg
+
+    load_views(spark, sf_dir, ("orders",))
+    return salted_agg(
+        spark.table("orders"), "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).select(
+        "o_orderpriority", "n_rows", F.round("sum_value", 2).alias("sum_total")
+    )
+
+
 def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-tile -> vector-cell mapping (north rule; SURVEY §7.1.8)."""
     load_views(spark, sf_dir, ("orders",))
@@ -385,6 +409,14 @@ def _o_postal_dedup() -> str:
     """
 
 
+def _o_salted_agg() -> str:
+    return """
+    SELECT o_orderpriority, count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders GROUP BY 1
+    """
+
+
 def _o_raster_tiles() -> str:
     # mirrors the Column evaluation order of map_raster_tiles exactly
     return f"""
@@ -619,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_city_topk": q_nearest_city_topk,
         "cell_assign": q_cell_assign,
         "hot_cells": q_hot_cells,
+        "nearest_city_adaptive": q_nearest_city_adaptive,
+        "salted_agg": q_salted_agg,
         "name_lookup": q_name_lookup,
         "name_lookup_exact": q_name_lookup_exact,
         "postal_lookup": q_postal_lookup,
@@ -647,6 +681,8 @@ def oracle_sql() -> dict[str, str]:
         "nearest_city_topk": _o_nearest_city_topk(),
         "cell_assign": _o_cell_assign(),
         "hot_cells": _o_hot_cells(),
+        "nearest_city_adaptive": _o_nearest_city(),
+        "salted_agg": _o_salted_agg(),
         "name_lookup": _o_name_lookup(fuzzy=True),
         "name_lookup_exact": _o_name_lookup(fuzzy=False),
         "postal_lookup": _o_postal_lookup(),

@@ -1,0 +1,135 @@
+"""Skew ops (salting, adaptive cell split) + checkpoint/lineage resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cityfinder_spark.operators.nearest import brute_force_nearest
+from cityfinder_spark.operators.skew import (
+    build_adaptive_cover,
+    detect_hot_cells,
+    nearest_city_join_adaptive,
+    salted_agg,
+)
+from cityfinder_spark.plans.checkpoint import (
+    partition_metrics,
+    read_result,
+    run_resumable,
+)
+
+
+def _clustered_cities(spark, n_hot=400, n_sparse=100):
+    """Cities hyper-concentrated around one spot (dense urban cell)."""
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, f"hot{i}", 40.7 + float(rng.uniform(-0.5, 0.5)),
+         -74.0 + float(rng.uniform(-0.5, 0.5)), "US")
+        for i in range(n_hot)
+    ] + [
+        (n_hot + i, f"sp{i}", float(rng.uniform(-80, 80)),
+         float(rng.uniform(-180, 180)), "ZZ")
+        for i in range(n_sparse)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["city_id", "name", "lat", "lon", "country"])
+    )
+
+
+def test_detect_hot_cells(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, 40.7, -74.0) for i in range(50)] + [(100 + i, float(i), 10.0) for i in range(5)],
+            columns=["pt_id", "lat", "lon"],
+        )
+    )
+    hot = detect_hot_cells(pts, level=6, threshold=40).collect()
+    assert len(hot) == 1 and hot[0]["n_points"] == 50
+
+
+def test_salted_agg_equals_plain(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": range(1000), "k": ["hot"] * 900 + ["cold"] * 100, "v": [1.0] * 1000}
+        )
+    )
+    got = {r["k"]: (r["n_rows"], r["sum_value"]) for r in salted_agg(df, "k", "v", "id").collect()}
+    assert got == {"hot": (900, 900.0), "cold": (100, 100.0)}
+
+
+def test_adaptive_cover_splits_hot_cells(spark):
+    cities = _clustered_cities(spark)
+    cover_ok, cover_fine, fine_level, fine_ring = build_adaptive_cover(
+        cities, base_level=4, ring=1, max_per_cell=64
+    )
+    assert fine_level == 6 and fine_ring == 4
+    # base cover must no longer contain any overfull cell
+    assert cover_ok.where(F.size("cands") > 64 * 9).count() == 0
+    assert cover_fine.count() > 0
+
+
+def test_adaptive_join_equals_bruteforce(spark):
+    cities = _clustered_cities(spark)
+    rng = np.random.default_rng(17)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            # half the queries inside the hot blob, half global
+            [(i, 40.7 + float(rng.uniform(-0.6, 0.6)), -74.0 + float(rng.uniform(-0.6, 0.6)))
+             for i in range(150)]
+            + [(1000 + i, float(rng.uniform(-89, 89)), float(rng.uniform(-180, 180)))
+               for i in range(150)],
+            columns=["pt_id", "lat", "lon"],
+        )
+    )
+    got = (
+        nearest_city_join_adaptive(pts, cities, base_level=4, max_per_cell=64)
+        .select("pt_id", "city_id", "dist_km").orderBy("pt_id").collect()
+    )
+    want = (
+        brute_force_nearest(pts, cities)
+        .select("pt_id", F.col("__best.city_id").alias("city_id"),
+                F.col("__best.dist_km").alias("dist_km"))
+        .orderBy("pt_id").collect()
+    )
+    assert len(got) == 300
+    for g, w in zip(got, want):
+        assert (g["pt_id"], g["city_id"], g["dist_km"]) == (
+            w["pt_id"], w["city_id"], w["dist_km"])
+
+
+def test_partition_metrics(spark):
+    df = spark.range(0, 1000, 1, 4)
+    m = partition_metrics(df).collect()
+    assert sum(r["rows"] for r in m) == 1000
+    assert len(m) == 4
+
+
+def test_resumable_rerun_skips_completed(spark, tmp_path):
+    out = str(tmp_path / "ckpt")
+    src = spark.range(0, 2000, 1, 4).withColumnRenamed("id", "pt_id")
+
+    def process(df):
+        return df.withColumn("double", F.col("pt_id") * 2)
+
+    # first run crashes after 3 of 8 buckets
+    first = run_resumable(
+        spark, src, process, out, stage="s1", id_col="pt_id", n_buckets=8, fail_after=3
+    )
+    assert len(first) == 3
+    # rerun resumes: only the remaining 5 buckets are processed
+    second = run_resumable(
+        spark, src, process, out, stage="s1", id_col="pt_id", n_buckets=8
+    )
+    assert len(second) == 5
+    assert set(first) | set(second) == set(range(8))
+    assert set(first).isdisjoint(second)
+    total = read_result(spark, out)
+    assert total.count() == 2000
+    assert total.agg(F.sum("double")).collect()[0][0] == 2 * sum(range(2000))
+    # manifest lineage: rows per bucket sum to the input size
+    man = spark.read.parquet(f"{out}/manifest")
+    assert man.agg(F.sum("rows")).collect()[0][0] == 2000
+    # third run: nothing left to do
+    assert run_resumable(spark, src, process, out, stage="s1", id_col="pt_id", n_buckets=8) == []
