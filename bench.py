@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness for the cityfinder_spark engine.
+
+Runs the headline contract queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``
+(default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"nearest_city": sec, ...}, "sf": 0.1,
+     "rows_per_sec": {...}, "cpus": 32}
+
+Each query is materialized with a `noop` sink (full computation on the
+executors, nothing collected to the driver). The headline metric is
+the BASELINE.json one: nearest-city kNN join throughput (rows/sec).
+
+Usage:
+    python bench.py                 # full headline set
+    python bench.py nearest_city    # a named subset
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline set: one per operator family (SURVEY.md §2), in rough order
+# of importance. nearest_city is the BASELINE.json flagship.
+HEADLINE = [
+    "nearest_city",
+    "nearest_city_topk",
+    "nearest_city_adaptive",
+    "cell_assign",
+    "hot_cells",
+    "name_lookup",
+    "postal_lookup",
+    "raster_tiles",
+    "point_in_polygon",
+    "salted_agg",
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash",
+    "token_stats",
+    "lang_id",
+    "cosine_topk",
+    "ann_lsh",
+    "image_pipeline",
+]
+
+# fact table each query scans (for rows/sec); keys absent -> no rate.
+_FACT_TABLE = {
+    "nearest_city": "orders",
+    "nearest_city_topk": "orders",
+    "nearest_city_adaptive": "orders",
+    "cell_assign": "orders",
+    "hot_cells": "orders",
+    "name_lookup": "orders",
+    "postal_lookup": "orders",
+    "raster_tiles": "orders",
+    "point_in_polygon": "orders",
+    "salted_agg": "orders",
+    "dedup_exact": "documents",
+    "minhash_lsh": "documents",
+    "simhash": "documents",
+    "token_stats": "documents",
+    "lang_id": "documents",
+    "cosine_topk": "embeddings",
+    "ann_lsh": "embeddings",
+}
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def run(names: list[str]) -> dict:
+    from cityfinder_spark.session import get_spark
+    from cityfinder_spark import contract
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    qs = contract.queries()
+    fact_rows = {
+        t: spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        for t in sorted({v for v in _FACT_TABLE.values()})
+    }
+
+    # JVM/codegen warmup on the flagship so timings measure the engine,
+    # not first-query classloading.
+    qs["nearest_city"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    rates: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        tab = _FACT_TABLE.get(name)
+        if tab:
+            rates[name] = round(fact_rows[tab] / dt, 1)
+        print(f"  {name}: {dt:.3f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    return {
+        "metric": "nearest-city kNN join + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(SF_DIR),
+        "rows_per_sec": rates,
+        "nearest_city_rows_per_sec": rates.get("nearest_city"),
+        "cpus": CPUS,
+    }
+
+
+def main() -> None:
+    names = sys.argv[1:] or HEADLINE
+    result = run(names)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

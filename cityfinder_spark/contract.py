@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cityfinder_spark import sqlcompat as sc
+from cityfinder_spark.colutils import spread
 from cityfinder_spark.geo.cells import cell_col, make_cell_udf
 from cityfinder_spark.operators.name_lookup import city_by_name
 from cityfinder_spark.operators.nearest import nearest_city_join, nearest_city_topk
@@ -56,7 +57,7 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> Non
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, ("orders",))
-    return spark.sql(sc.points_from_orders_sql())
+    return spread(spark.sql(sc.points_from_orders_sql()))
 
 
 def _cities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,12 +203,12 @@ COS_DEDUP_T = 0.5
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, ("documents",))
-    return spark.table("documents")
+    return spread(spark.table("documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, ("embeddings",))
-    return spark.table("embeddings")
+    return spread(spark.table("embeddings"))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

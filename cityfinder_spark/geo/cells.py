@@ -113,28 +113,29 @@ def certainty_radius_col(lat: str | Column, k: int, level: int) -> Column:
     the ring-expansion completeness proof). If the best in-ring
     candidate is closer than this, it is the global nearest.
 
-      lat axis: a non-candidate differs by > k bands  -> >= k*h deg.
-      lon axis: differs by > k columns with both lats within the
-        ring's bands -> great-circle >= (2/pi)*k*w_rad*R*cos(phi_max)
-        (chord bound 2sin(x/2) >= 2x/pi for x<=pi).
+      lat axis: a non-candidate differs by > k bands -> its meridian
+        arc from the point is >= k*h degrees (exact).
+      lon axis: a non-candidate differs by > k columns, i.e. lies in
+        the region |dlon| >= k*w. That region's complement is the open
+        lune around the point's meridian, so any non-candidate is
+        separated from the point by the lune's boundary half-meridians
+        at +-k*w — and the distance from P=(phi,0) to the meridian
+        great circle at dlon is the cross-track arc
+        R*asin(sin(dlon)*cos(phi)). Using the point's OWN latitude
+        (not the ring's extreme band) makes this bound ~5-8x tighter
+        at mid-latitudes, collapsing the fallback-escalation fraction.
 
-    Near the poles cos(phi_max) -> 0 and the bound -> 0: those rows
-    simply escalate to the exact fallback (correct, tiny fraction).
+    Near the poles cos(phi) -> 0 and the bound -> 0: those rows simply
+    escalate to the exact fallback (correct, tiny fraction).
     """
+    from cityfinder_spark.sqlcompat import EARTH_RADIUS_KM
+
     h = cell_size_deg(level)
     latc = lat if not isinstance(lat, str) else F.col(lat)
-    # band index of the point, extended k bands outward
-    nlat, _ = grid_dims(level)
-    i = F.least(
-        F.greatest(F.floor((latc + 90.0) / 180.0 * nlat).cast("long"), F.lit(0)),
-        F.lit(nlat - 1),
-    )
-    lo = F.greatest(F.lit(-90.0), (i - k) * h - 90.0)
-    hi = F.least(F.lit(90.0), (i + 1 + k) * h - 90.0)
-    phi_max = F.greatest(F.abs(lo), F.abs(hi))
     lat_bound = F.lit(k * h * KM_PER_DEG)
-    lon_bound = (
-        F.lit(2.0 / np.pi * k * h * KM_PER_DEG) * F.cos(F.radians(phi_max))
+    dlon = np.radians(min(k * h, 90.0))
+    lon_bound = F.lit(EARTH_RADIUS_KM) * F.asin(
+        F.lit(np.sin(dlon)) * F.greatest(F.lit(0.0), F.cos(F.radians(latc)))
     )
     return F.least(lat_bound, F.greatest(lon_bound, F.lit(0.0)))
 

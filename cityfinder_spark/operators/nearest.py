@@ -38,7 +38,7 @@ from cityfinder_spark.geo.cells import (
     certainty_radius_col,
     ring_cells_col,
 )
-from cityfinder_spark.geo.distance import haversine_col
+from cityfinder_spark.geo.distance import haversine_rounded_col
 from cityfinder_spark.sqlcompat import ROUND_DIGITS
 
 # rounding slack (km) when comparing the rounded best distance against
@@ -48,13 +48,20 @@ _SLACK = 10.0 ** (-ROUND_DIGITS)
 _BEST_TYPE = "struct<dist_km:double,city_id:bigint,name:string,country:string>"
 
 
-def choose_level(n_cities: int) -> int:
-    """Pick the grid level so occupied cells hold a handful of cities
-    (total cells ~ n/2). The reference's S2 config is dead code
-    (SURVEY §4 'Dead S2 config'); we size from density instead."""
+def choose_level(n_cities: int, ring: int = 1, target_cands: int = 72) -> int:
+    """Pick the grid level so a cell's ring-expanded candidate list
+    averages ~`target_cands` cities: cands/cell ~ n*(2k+1)^2 / (2*4^L).
+
+    Coarser-than-minimal cells are deliberate: the per-candidate argmin
+    is codegen'd JVM work (~100 cands ~ microseconds/row), while an
+    under-filled neighborhood forfeits the certainty proof and
+    escalates the row to the exact cross-join fallback — far costlier.
+    The reference's S2 config is dead code (SURVEY §4 'Dead S2
+    config'); we size from density instead."""
     if n_cities <= 0:
         return 2
-    level = int((math.log2(max(n_cities, 2)) - 1) // 2)
+    ratio = max(n_cities, 2) * (2 * ring + 1) ** 2 / (2.0 * target_cands)
+    level = int(math.log2(max(ratio, 2.0)) / 2)
     return max(2, min(12, level))
 
 
@@ -94,7 +101,7 @@ def _best_over_cands(lat_col: str, lon_col: str, digits: int) -> F.Column:
     per-cell candidate array, as a codegen'd aggregate expression."""
 
     def merge(acc, c):
-        d = F.round(haversine_col(F.col(lat_col), F.col(lon_col), c["c_lat"], c["c_lon"]), digits)
+        d = haversine_rounded_col(F.col(lat_col), F.col(lon_col), c["c_lat"], c["c_lon"], digits)
         cand = F.struct(
             d.alias("dist_km"),
             c["city_id"].alias("city_id"),
@@ -124,26 +131,40 @@ def brute_force_nearest(
     lat_col: str = "lat",
     lon_col: str = "lon",
     digits: int = ROUND_DIGITS,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact global argmin: cross join vs broadcast cities + min(struct).
     Map-side partial aggregation reduces the shuffle to one row per
-    point. Used as (a) the escalation path, (b) the test oracle."""
+    point. Used as (a) the escalation path, (b) the test oracle.
+
+    carry_cols ride through the aggregation via F.first (every row of a
+    group shares them — they come from the same fact row), so the
+    escalation path needs NO join back against its input (which would
+    re-execute the candidate-join subtree a third time)."""
     cdf = _prep_cities(cities)
-    d = F.round(
-        haversine_col(F.col(lat_col), F.col(lon_col), F.col("c_lat"), F.col("c_lon")),
-        digits,
+    d = haversine_rounded_col(
+        F.col(lat_col), F.col(lon_col), F.col("c_lat"), F.col("c_lon"), digits
     )
-    cand = F.struct(
-        d.alias("dist_km"),
-        F.col("city_id").alias("city_id"),
-        F.col("c_name").alias("name"),
-        F.col("c_country").alias("country"),
+    cand = F.when(
+        F.col("city_id").isNotNull(),
+        F.struct(
+            d.alias("dist_km"),
+            F.col("city_id").alias("city_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_country").alias("country"),
+        ),
     )
+    carry = [c for c in carry_cols if c != id_col]
     return (
-        points.select(id_col, lat_col, lon_col)
-        .crossJoin(F.broadcast(cdf))
+        # left join on TRUE (not crossJoin): an empty cities table must
+        # yield NULL city columns, not drop the points (s2.go:61-63).
+        points.select(id_col, lat_col, lon_col, *[c for c in carry if c not in (lat_col, lon_col)])
+        .join(F.broadcast(cdf), F.lit(True), "left")
         .groupBy(id_col)
-        .agg(F.min(cand).alias("__best"))
+        .agg(
+            F.min(cand).alias("__best"),
+            *[F.first(c).alias(c) for c in carry],
+        )
     )
 
 
@@ -201,8 +222,10 @@ def nearest_city_join(
 
     fast = unpack(joined.where(ok))
     rem = joined.where(~ok).drop("__best", "__cands", "__cell", "__certainty")
-    bf = brute_force_nearest(rem, cities, id_col, lat_col, lon_col, digits)
-    slow = unpack(rem.join(F.broadcast(bf), id_col, "left"))
+    carry = tuple(c for c in pts_cols if c != id_col)
+    slow = unpack(
+        brute_force_nearest(rem, cities, id_col, lat_col, lon_col, digits, carry)
+    )
     return fast.unionByName(slow)
 
 
@@ -242,7 +265,7 @@ def nearest_city_topk(
 
     cand = pts.join(F.broadcast(cover), pts["__cell"] == cover["cell_id"], "inner").withColumn(
         "dist_km",
-        F.round(haversine_col(F.col(lat_col), F.col(lon_col), F.col("c_lat"), F.col("c_lon")), digits),
+        haversine_rounded_col(F.col(lat_col), F.col(lon_col), F.col("c_lat"), F.col("c_lon"), digits),
     )
     w = Window.partitionBy(id_col).orderBy("dist_km", "city_id")
     ranked = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -261,7 +284,7 @@ def nearest_city_topk(
     rem = pts.join(proven, id_col, "left_anti").select(id_col, lat_col, lon_col)
     bf = rem.crossJoin(F.broadcast(cdf)).withColumn(
         "dist_km",
-        F.round(haversine_col(F.col(lat_col), F.col(lon_col), F.col("c_lat"), F.col("c_lon")), digits),
+        haversine_rounded_col(F.col(lat_col), F.col(lon_col), F.col("c_lat"), F.col("c_lon"), digits),
     )
     slow = (
         bf.withColumn("rank", F.row_number().over(w))

@@ -163,6 +163,8 @@ def nearest_city_join_adaptive(
 
     fast = unpack(joined.where(ok))
     rem = joined.where(~ok).select(*pts_cols)
-    bf = _nearest.brute_force_nearest(rem, cities, id_col, lat_col, lon_col, digits)
-    slow = unpack(rem.join(F.broadcast(bf), id_col, "left"))
+    carry = tuple(c for c in pts_cols if c != id_col)
+    slow = unpack(
+        _nearest.brute_force_nearest(rem, cities, id_col, lat_col, lon_col, digits, carry)
+    )
     return fast.unionByName(slow)

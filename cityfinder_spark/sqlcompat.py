@@ -45,7 +45,14 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
 
 
 def haversine_rounded_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
-    return f"round({haversine_sql(lat1, lon1, lat2, lon2)}, {ROUND_DIGITS})"
+    """Floor-form rounding (same IEEE sequence as round6_sql, at
+    ROUND_DIGITS places) — matches geo.distance.haversine_rounded_col
+    bit-for-bit and avoids engine round() boundary disagreements."""
+    scale = 10 ** ROUND_DIGITS
+    return (
+        f"(floor({haversine_sql(lat1, lon1, lat2, lon2)} * {scale}.0 + 0.5)"
+        f" / {scale}.0)"
+    )
 
 
 def cell_sql(lat: str, lon: str, level: int) -> str:

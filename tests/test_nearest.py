@@ -157,13 +157,13 @@ def test_topk_matches_bruteforce_window(spark):
     got = nearest_city_topk(pts, cities, k=3, level=5).orderBy("pt_id", "rank").collect()
     # oracle: full cross join + window
     from pyspark.sql import Window
-    from cityfinder_spark.geo.distance import haversine_col
+    from cityfinder_spark.geo.distance import haversine_rounded_col
 
     cdf = cities.select("city_id", F.col("lat").alias("c_lat"), F.col("lon").alias("c_lon"))
     w = Window.partitionBy("pt_id").orderBy("dist_km", "city_id")
     want = (
         pts.crossJoin(cdf)
-        .withColumn("dist_km", F.round(haversine_col("lat", "lon", "c_lat", "c_lon"), 4))
+        .withColumn("dist_km", haversine_rounded_col("lat", "lon", "c_lat", "c_lon", 4))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
         .orderBy("pt_id", "rank")
