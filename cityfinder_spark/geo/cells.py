@@ -69,6 +69,20 @@ def ring_neighbors_np(cell_id: int, k: int) -> np.ndarray:
     return level * LEVEL_STRIDE + ii[keep] * nlon + jj[keep]
 
 
+def certainty_radius_np(lat: np.ndarray, k: int, level: int) -> np.ndarray:
+    """NumPy twin of certainty_radius_col (same formula, same IEEE ops
+    modulo libm ulps — both sides round results before comparisons)."""
+    from cityfinder_spark.sqlcompat import EARTH_RADIUS_KM
+
+    h = cell_size_deg(level)
+    lat_bound = k * h * KM_PER_DEG
+    dlon = np.radians(min(k * h, 90.0))
+    lon_bound = EARTH_RADIUS_KM * np.arcsin(
+        np.sin(dlon) * np.maximum(0.0, np.cos(np.radians(lat)))
+    )
+    return np.minimum(lat_bound, np.maximum(lon_bound, 0.0))
+
+
 # ---------- Spark Column expressions (hot path) ----------
 
 def cell_col(lat: str | Column, lon: str | Column, level: int) -> Column:

@@ -179,3 +179,40 @@ def test_choose_level():
     assert choose_level(0) == 2
     assert 3 <= choose_level(1500) <= 6
     assert choose_level(13_000_000) >= 9
+
+
+def test_strategies_agree_knn_and_topk(spark):
+    """arrow (mapInPandas, scale path) and jvm (pure-Catalyst plan)
+    strategies must produce identical rows, including tie-breaks."""
+    rng = np.random.default_rng(23)
+    cities = _cities_df(
+        spark,
+        [
+            (i, f"c{i}", float(la), float(lo), "ZZ")
+            for i, (la, lo) in enumerate(
+                zip(rng.uniform(-90, 90, 400), rng.uniform(-180, 180, 400))
+            )
+        ],
+    )
+    pts = _points_df(
+        spark,
+        list(zip(rng.uniform(-90, 90, 300).tolist(), rng.uniform(-180, 180, 300).tolist())),
+    )
+    a = (
+        nearest_city_join(pts, cities, strategy="arrow", n_cities=400)
+        .orderBy("pt_id").collect()
+    )
+    j = (
+        nearest_city_join(pts, cities, strategy="jvm", n_cities=400)
+        .orderBy("pt_id").collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in j]
+    at = (
+        nearest_city_topk(pts, cities, k=4, strategy="arrow", n_cities=400)
+        .orderBy("pt_id", "rank").collect()
+    )
+    jt = (
+        nearest_city_topk(pts, cities, k=4, strategy="jvm", n_cities=400)
+        .orderBy("pt_id", "rank").collect()
+    )
+    assert [tuple(r) for r in at] == [tuple(r) for r in jt]
