@@ -109,10 +109,14 @@ def q_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_name_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact + fuzzy city-by-name lookup (SURVEY §2.3 J2/J3/J6)."""
+    """Exact + fuzzy city-by-name lookup (SURVEY §2.3 J2/J3/J6).
+
+    spread() on the query side matters: AQE coalesces the small
+    query-build join to ~1 partition, and the per-country dictionary
+    fan-out (~300x) would then run single-threaded."""
     load_views(spark, sf_dir, ("orders", "customer", "nation"))
     dim = spark.sql(sc.names_dim_sql())
-    q = spark.sql(sc.name_queries_sql())
+    q = spread(spark.sql(sc.name_queries_sql()))
     return city_by_name(q, dim)
 
 
@@ -120,7 +124,7 @@ def q_name_lookup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-only variant (fuzzy disabled -> NULL on miss)."""
     load_views(spark, sf_dir, ("orders", "customer", "nation"))
     dim = spark.sql(sc.names_dim_sql())
-    q = spark.sql(sc.name_queries_sql())
+    q = spread(spark.sql(sc.name_queries_sql()))
     return city_by_name(q, dim, fuzzy=False)
 
 
@@ -128,7 +132,7 @@ def q_postal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Postal-code lookup with last-write-wins build dedup (J4/J5)."""
     load_views(spark, sf_dir, ("orders", "customer", "nation"))
     dim = spark.sql(sc.postal_dim_sql())
-    q = spark.sql(sc.postal_queries_sql())
+    q = spread(spark.sql(sc.postal_queries_sql()))
     return city_by_postal(q, dim)
 
 
@@ -167,7 +171,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-tile -> vector-cell mapping (north rule; SURVEY §7.1.8)."""
     load_views(spark, sf_dir, ("orders",))
-    imgs = spark.sql(sc.images_from_orders_sql())
+    imgs = spread(spark.sql(sc.images_from_orders_sql()))
     return map_raster_tiles(imgs, level=CELL_LEVEL, tile_px=16, deg_per_px=0.001).select(
         "pt_id", "tx", "ty", "tile_lat", "tile_lon", "cell_id"
     )

@@ -22,13 +22,14 @@ lookup is a broadcast equi-join on (country, name); fuzzy is a
 broadcast join on country pruned by the length-difference bound
 (|len(a)-len(b)| <= k is implied by lev(a,b) <= k — replaces the
 BK-tree triangle-inequality prune, SURVEY §4) + exact levenshtein.
-No fact-side shuffle anywhere except the first-match window, which
-partitions by the (unique) query id and is map-side combinable.
+The first-match resolution is a min(struct) aggregation keyed by the
+unique query id — map-side combinable, so the only shuffled data is
+one best-candidate row per matched query.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def build_name_index(cities: DataFrame) -> DataFrame:
@@ -66,6 +67,7 @@ def city_by_name(
     id_col: str = "q_id",
     name_col: str = "q_name",
     country_col: str = "q_country",
+    fuzzy_strategy: str = "scan",
 ) -> DataFrame:
     """queries + (city_id, name, c_lat, c_lon, match_type, edit_dist).
 
@@ -73,80 +75,177 @@ def city_by_name(
     to the lowest city_id (reference first-match). Fuzzy hits resolve
     by (edit distance, indexed name asc, city_id).
     """
-    index = F.broadcast(build_name_index(cities))
+    index = build_name_index(cities)
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(name_col).alias("q_name"),
         F.upper(F.col(country_col)).alias("q_country"),
     )
 
-    w_exact = Window.partitionBy("q_id").orderBy("city_id")
-    exact = (
-        q.join(
-            index,
-            (q["q_country"] == index["c_country"])
-            & (q["q_name"] == index["indexed_name"]),
-            "inner",
-        )
-        .withColumn("__rn", F.row_number().over(w_exact))
-        .where(F.col("__rn") == 1)
-        .select(
-            "q_id", "q_name", "q_country",
-            "city_id",
-            F.col("primary_name").alias("name"),
-            "c_lat", "c_lon",
-            F.lit("exact").alias("match_type"),
-            F.lit(0).alias("edit_dist"),
+    # First-match representative per (country, indexed name): the city
+    # with the lowest city_id and its payload. Both exact (J2) and
+    # fuzzy (J3) resolution end at "lowest city_id for the chosen
+    # name", so candidate matching can run on the DISTINCT name
+    # dictionary (exactly the structure of the reference: the BK-tree
+    # holds distinct names, resolution goes through the inverted
+    # index — name.go:64-72).
+    reps = F.broadcast(
+        index.groupBy("c_country", "indexed_name").agg(
+            F.min(
+                F.struct(
+                    F.col("city_id").alias("city_id"),
+                    F.col("primary_name").alias("name"),
+                    F.col("c_lat").alias("c_lat"),
+                    F.col("c_lon").alias("c_lon"),
+                )
+            ).alias("rep")
         )
     )
-    if not fuzzy:
-        misses = q.join(exact.select("q_id"), "q_id", "left_anti")
-        return exact.unionByName(
-            misses.select(
-                "q_id", "q_name", "q_country",
-                F.lit(None).cast("long").alias("city_id"),
-                F.lit(None).cast("string").alias("name"),
-                F.lit(None).cast("double").alias("c_lat"),
-                F.lit(None).cast("double").alias("c_lon"),
-                F.lit(None).cast("string").alias("match_type"),
-                F.lit(None).cast("int").alias("edit_dist"),
+
+    # exact branch: broadcast equi-join on (country, name), rank 0
+    exact = q.join(
+        reps.withColumnRenamed("indexed_name", "__nm"),
+        (q["q_country"] == F.col("c_country")) & (q["q_name"] == F.col("__nm")),
+        "inner",
+    ).select(
+        "q_id",
+        F.col("__nm").alias("__match_name"),
+        F.lit(0).alias("__rank"),
+        F.lit(0).alias("__ed"),
+    )
+    cand = exact
+
+    if fuzzy and fuzzy_strategy == "scan":
+        # per-country scan of the DISTINCT dictionary: one broadcast
+        # hash join on country + inline codegen'd length-prune and
+        # Levenshtein — |Q| x |distinct names per country| pairs, all
+        # map-side, no extra shuffle. With city-name dictionaries the
+        # distinct-per-country fan-out is small (GeoNames: O(10^4));
+        # use fuzzy_strategy="symspell" when the dictionary is large
+        # and diverse.
+        lev = F.levenshtein(q["q_name"], F.col("indexed_name"))
+        fuzzy_cand = (
+            q.join(reps, q["q_country"] == reps["c_country"], "inner")
+            .where(
+                (
+                    F.abs(F.length(q["q_name"]) - F.length(F.col("indexed_name")))
+                    <= max_dist
+                )
+                & (lev <= max_dist)
+            )
+            .select(
+                "q_id",
+                F.col("indexed_name").alias("__match_name"),
+                F.lit(1).alias("__rank"),
+                lev.cast("int").alias("__ed"),
             )
         )
+        cand = cand.unionByName(fuzzy_cand)
+    elif fuzzy:
+        # SymSpell-style deletion-neighborhood join: if lev(a,b) <= d
+        # then some string reachable by <= d deletions from each is
+        # shared (every edit op removes <= 1 char from each side's
+        # alignment). Explode BOTH sides into their <= max_dist
+        # deletion variants, equi-join on (country, variant), verify
+        # the exact Levenshtein only on collisions — candidate pairs
+        # drop from |Q| x |dict/country| to a handful per query when
+        # the dictionary is diverse. This replaces the BK-tree
+        # triangle-inequality prune (SURVEY §4) with a shuffle-free,
+        # broadcast-joinable equivalent.
+        # (Variant count is ~1 + L + L^2/2 per string of length L —
+        # fine for city-name-length strings; for very long keys the
+        # scan strategy bounds it.)
+        def dels(col: F.Column) -> F.Column:
+            d1 = F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    F.substring(col, F.lit(1), i - 1),
+                    F.substring(col, i + 1, F.length(col)),
+                ),
+            )
+            if max_dist < 1:
+                return F.array(col)
+            if max_dist < 2:
+                return F.array_distinct(F.concat(F.array(col), d1))
+            d2 = F.flatten(
+                F.transform(
+                    d1,
+                    lambda s: F.transform(
+                        F.sequence(F.lit(1), F.length(s)),
+                        lambda i: F.concat(
+                            F.substring(s, F.lit(1), i - 1),
+                            F.substring(s, i + 1, F.length(s)),
+                        ),
+                    ),
+                )
+            )
+            return F.array_distinct(F.concat(F.array(col), d1, d2))
 
-    misses = q.join(exact.select("q_id"), "q_id", "left_anti")
-    lev = F.levenshtein(F.col("q_name"), F.col("indexed_name"))
-    w_fuzzy = Window.partitionBy("q_id").orderBy("edit_dist", "indexed_name", "city_id")
-    fuzzy_hits = (
-        misses.join(
-            index,
-            (misses["q_country"] == index["c_country"])
-            # length-difference bound: sound prune for lev <= max_dist
-            & (
-                F.abs(F.length(misses["q_name"]) - F.length(index["indexed_name"]))
-                <= max_dist
-            ),
-            "inner",
+        dict_vars = F.broadcast(
+            reps.select(
+                "c_country",
+                "indexed_name",
+                F.explode(dels(F.col("indexed_name"))).alias("__var"),
+            )
         )
-        .withColumn("edit_dist", lev)
-        .where(F.col("edit_dist") <= max_dist)
-        .withColumn("__rn", F.row_number().over(w_fuzzy))
-        .where(F.col("__rn") == 1)
-        .select(
+        q_vars = q.select(
             "q_id", "q_name", "q_country",
-            "city_id",
-            F.col("primary_name").alias("name"),
-            "c_lat", "c_lon",
-            F.lit("fuzzy").alias("match_type"),
-            F.col("edit_dist").cast("int").alias("edit_dist"),
+            F.explode(dels(F.col("q_name"))).alias("__var"),
+        )
+        lev = F.levenshtein(F.col("q_name"), F.col("indexed_name"))
+        fuzzy_cand = (
+            q_vars.join(
+                dict_vars,
+                (q_vars["q_country"] == dict_vars["c_country"])
+                & (q_vars["__var"] == dict_vars["__var"]),
+                "inner",
+            )
+            # collisions repeat per shared variant; dedup BEFORE the
+            # Levenshtein so each (query, name) pair is verified once
+            .select("q_id", "q_name", "indexed_name")
+            .dropDuplicates(["q_id", "indexed_name"])
+            .withColumn("__ed", lev.cast("int"))
+            .where(F.col("__ed") <= max_dist)
+            .select(
+                "q_id",
+                F.col("indexed_name").alias("__match_name"),
+                F.lit(1).alias("__rank"),
+                "__ed",
+            )
+        )
+        cand = cand.unionByName(fuzzy_cand)
+
+    # one map-side-combinable min(struct) per query; field order IS the
+    # tie-break: exact (rank 0) beats fuzzy, then edit distance, then
+    # name asc (J3's documented deterministic ordering)
+    best = cand.groupBy("q_id").agg(
+        F.min(
+            F.struct(
+                F.col("__rank").alias("rank"),
+                F.col("__ed").alias("edit_dist"),
+                F.col("__match_name").alias("indexed_name"),
+            )
+        ).alias("__best")
+    )
+    b = F.col("__best")
+    resolved = (
+        q.join(best, "q_id", "left")
+        .join(
+            reps,
+            (F.col("q_country") == reps["c_country"])
+            & (b["indexed_name"] == reps["indexed_name"]),
+            "left",
         )
     )
-    true_misses = misses.join(fuzzy_hits.select("q_id"), "q_id", "left_anti").select(
+    r = F.col("rep")
+    return resolved.select(
         "q_id", "q_name", "q_country",
-        F.lit(None).cast("long").alias("city_id"),
-        F.lit(None).cast("string").alias("name"),
-        F.lit(None).cast("double").alias("c_lat"),
-        F.lit(None).cast("double").alias("c_lon"),
-        F.lit(None).cast("string").alias("match_type"),
-        F.lit(None).cast("int").alias("edit_dist"),
+        r["city_id"].alias("city_id"),
+        r["name"].alias("name"),
+        r["c_lat"].alias("c_lat"),
+        r["c_lon"].alias("c_lon"),
+        F.when(b["rank"] == 0, "exact")
+        .when(b["rank"] == 1, "fuzzy")
+        .alias("match_type"),
+        b["edit_dist"].alias("edit_dist"),
     )
-    return exact.unionByName(fuzzy_hits).unionByName(true_misses)

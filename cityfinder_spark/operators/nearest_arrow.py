@@ -56,10 +56,61 @@ def _round_np(d: np.ndarray, digits: int) -> np.ndarray:
     return np.floor(d * scale + 0.5) / scale
 
 
+def _csr_cover(
+    lat: np.ndarray, lon: np.ndarray, level: int, ring: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ring-expanded cell cover as CSR: (unique cells, offsets, flat
+    candidate positions). Candidate lists ascend in position (== in
+    city_id once cities are sorted) -> np first-min == reference
+    tie-break."""
+    n = len(lat)
+    nlat, nlon = grid_dims(level)
+    base = cell_of_np(lat, lon, level)
+    rem = base - level * LEVEL_STRIDE
+    ci, cj = rem // nlon, rem % nlon
+    cells_parts, idx_parts = [], []
+    pos = np.arange(n, dtype=np.int64)
+    for di in range(-ring, ring + 1):
+        ii = ci + di
+        keep = (ii >= 0) & (ii < nlat)
+        for dj in range(-ring, ring + 1):
+            jj = (cj + dj) % nlon
+            cells_parts.append(level * LEVEL_STRIDE + ii[keep] * nlon + jj[keep])
+            idx_parts.append(pos[keep])
+    cells = np.concatenate(cells_parts)
+    idx = np.concatenate(idx_parts)
+    order = np.lexsort((idx, cells))
+    cells, idx = cells[order], idx[order]
+    ucells, starts = np.unique(cells, return_index=True)
+    return ucells, np.append(starts, len(cells)).astype(np.int64), idx
+
+
+def _csr_slices(
+    ucells: np.ndarray, offsets: np.ndarray, cells: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, counts) per query cell against a CSR cover."""
+    if not len(ucells):
+        z = np.zeros(len(cells), np.int64)
+        return z, z
+    pos = np.searchsorted(ucells, cells)
+    pos_c = np.minimum(pos, len(ucells) - 1)
+    found = (pos < len(ucells)) & (ucells[pos_c] == cells)
+    starts = np.where(found, offsets[pos_c], 0)
+    counts = np.where(found, offsets[pos_c + 1] - starts, 0)
+    return starts.astype(np.int64), counts.astype(np.int64)
+
+
 class CityIndex:
     """Driver-built static index: city arrays (sorted by city_id) plus
     a CSR-style cell cover (unique cell ids -> slices of candidate city
-    positions). Pickles compactly; one copy per Python worker."""
+    positions). Pickles compactly; one copy per Python worker.
+
+    With max_per_cell set, cover cells whose candidate list exceeds it
+    ("dense urban cells", the north rule's skew source) are re-covered
+    at level+fine_delta with ring*2**fine_delta (same physical
+    guarantee radius, tighter neighborhoods -> bounded per-row compute
+    skew). The certainty radius depends only on ring*cell_size, which
+    the split preserves, so the proof logic is level-independent."""
 
     def __init__(
         self,
@@ -70,6 +121,8 @@ class CityIndex:
         country: np.ndarray,
         level: int,
         ring: int,
+        max_per_cell: int | None = None,
+        fine_delta: int = 2,
     ):
         order = np.argsort(city_id, kind="stable")
         self.city_id = city_id[order]
@@ -79,55 +132,77 @@ class CityIndex:
         self.country = country[order]
         self.level = level
         self.ring = ring
+        self.fine_level = level + fine_delta
+        self.hot_cells = np.empty(0, np.int64)
+        self.fine_cells = np.empty(0, np.int64)
+        self.fine_offsets = np.zeros(1, np.int64)
         n = len(self.city_id)
         if n == 0:
             self.cover_cells = np.empty(0, np.int64)
             self.cover_offsets = np.zeros(1, np.int64)
             self.cover_idx = np.empty(0, np.int64)
             return
-        nlat, nlon = grid_dims(level)
-        base = cell_of_np(self.lat, self.lon, level)
-        rem = base - level * LEVEL_STRIDE
-        ci, cj = rem // nlon, rem % nlon
-        cells_parts, idx_parts = [], []
-        pos = np.arange(n, dtype=np.int64)
-        for di in range(-ring, ring + 1):
-            ii = ci + di
-            keep = (ii >= 0) & (ii < nlat)
-            for dj in range(-ring, ring + 1):
-                jj = (cj + dj) % nlon
-                cells_parts.append(
-                    (level * LEVEL_STRIDE + ii[keep] * nlon + jj[keep])
-                )
-                idx_parts.append(pos[keep])
-        cells = np.concatenate(cells_parts)
-        idx = np.concatenate(idx_parts)
-        # sort by (cell, city position) so each cell's candidate list is
-        # ascending in city_id -> np first-min == reference tie-break
-        order2 = np.lexsort((idx, cells))
-        cells, idx = cells[order2], idx[order2]
-        self.cover_cells, starts = np.unique(cells, return_index=True)
-        self.cover_offsets = np.append(starts, len(cells)).astype(np.int64)
-        self.cover_idx = idx
-
-    def candidates_for(self, cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(starts, counts) slice per query cell into cover_idx."""
-        pos = np.searchsorted(self.cover_cells, cells)
-        pos_c = np.minimum(pos, len(self.cover_cells) - 1) if len(self.cover_cells) else pos
-        found = (
-            (pos < len(self.cover_cells)) & (self.cover_cells[pos_c] == cells)
-            if len(self.cover_cells)
-            else np.zeros(len(cells), bool)
+        self.cover_cells, self.cover_offsets, self.cover_idx = _csr_cover(
+            self.lat, self.lon, level, ring
         )
-        starts = np.where(found, self.cover_offsets[pos_c], 0)
-        counts = np.where(found, self.cover_offsets[pos_c + 1] - starts, 0)
-        return starts.astype(np.int64), counts.astype(np.int64)
+        if max_per_cell is None:
+            return
+        counts = np.diff(self.cover_offsets)
+        self.hot_cells = self.cover_cells[counts > max_per_cell]
+        if not len(self.hot_cells):
+            return
+        fine_ring = ring * (1 << fine_delta)
+        fcells, foffsets, fidx = _csr_cover(
+            self.lat, self.lon, self.fine_level, fine_ring
+        )
+        # keep only fine cells whose parent base cell is hot
+        _, nlon_f = grid_dims(self.fine_level)
+        _, nlon_b = grid_dims(level)
+        rem = fcells - self.fine_level * LEVEL_STRIDE
+        fi, fj = rem // nlon_f, rem % nlon_f
+        parent = (
+            level * LEVEL_STRIDE
+            + (fi >> fine_delta) * nlon_b
+            + (fj >> fine_delta)
+        )
+        keep = np.isin(parent, self.hot_cells)
+        fcounts = np.diff(foffsets)[keep]
+        kept_starts = foffsets[:-1][keep]
+        total = int(fcounts.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(fcounts) - fcounts, fcounts
+        )
+        self.fine_cells = fcells[keep]
+        self.fine_offsets = (
+            np.append(np.cumsum(fcounts) - fcounts, total).astype(np.int64)
+            + len(self.cover_idx)
+        )
+        fine_idx = fidx[np.repeat(kept_starts, fcounts) + within]
+        self.cover_idx = np.concatenate([self.cover_idx, fine_idx])
+
+    def lookup(self, lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(starts, counts) slices into cover_idx per point, routing
+        points in hot base cells to the fine cover."""
+        cells = cell_of_np(lat, lon, self.level)
+        starts, counts = _csr_slices(self.cover_cells, self.cover_offsets, cells)
+        if len(self.hot_cells):
+            pos = np.searchsorted(self.hot_cells, cells)
+            pos_c = np.minimum(pos, len(self.hot_cells) - 1)
+            hot = (pos < len(self.hot_cells)) & (self.hot_cells[pos_c] == cells)
+            if hot.any():
+                fcells = cell_of_np(lat[hot], lon[hot], self.fine_level)
+                fs, fc = _csr_slices(self.fine_cells, self.fine_offsets, fcells)
+                starts[hot] = fs
+                counts[hot] = fc
+        return starts, counts
 
 
 def build_city_index(
     cities: DataFrame,
     level: int,
     ring: int,
+    max_per_cell: int | None = None,
+    fine_delta: int = 2,
 ) -> CityIndex:
     cols = set(cities.columns)
     pdf = cities.select(
@@ -151,6 +226,8 @@ def build_city_index(
         country,
         level,
         ring,
+        max_per_cell=max_per_cell,
+        fine_delta=fine_delta,
     )
 
 
@@ -169,8 +246,7 @@ def _solve_batch(
     if ncities == 0 or npts == 0:
         return best_pos, best_d
 
-    cells = cell_of_np(lat, lon, index.level)
-    starts, counts = index.candidates_for(cells)
+    starts, counts = index.lookup(lat, lon)
     total = int(counts.sum())
     if total:
         seg_starts = np.cumsum(counts) - counts
@@ -234,8 +310,7 @@ def _topk_batch(
     if ncities == 0 or npts == 0:
         return empty
 
-    cells = cell_of_np(lat, lon, index.level)
-    starts, counts = index.candidates_for(cells)
+    starts, counts = index.lookup(lat, lon)
     total = int(counts.sum())
     proven = np.zeros(npts, bool)
     out_rows, out_pos, out_d, out_rank = [], [], [], []
@@ -363,9 +438,12 @@ def nearest_city_join_arrow(
     lon_col: str = "lon",
     digits: int = ROUND_DIGITS,
     n_cities: int | None = None,
+    max_per_cell: int | None = None,
+    fine_delta: int = 2,
 ) -> DataFrame:
     """points + (city_id, name, country, dist_km) of the global nearest
-    city — one mapInPandas pass, zero shuffle. See module docstring."""
+    city — one mapInPandas pass, zero shuffle. See module docstring.
+    max_per_cell enables adaptive cell splitting (see CityIndex)."""
     from cityfinder_spark.operators.nearest import choose_level
 
     if level is None:
@@ -373,7 +451,9 @@ def nearest_city_join_arrow(
         level = choose_level(n, ring)
 
     spark = points.sparkSession
-    index_bc = spark.sparkContext.broadcast(build_city_index(cities, level, ring))
+    index_bc = spark.sparkContext.broadcast(
+        build_city_index(cities, level, ring, max_per_cell, fine_delta)
+    )
 
     out_schema = T.StructType(
         list(points.schema.fields)

@@ -114,12 +114,26 @@ def nearest_city_join_adaptive(
     lat_col: str = "lat",
     lon_col: str = "lon",
     digits: int = ROUND_DIGITS,
+    strategy: str = "arrow",
 ) -> DataFrame:
     """nearest_city_join with adaptive cell splitting: fact rows in hot
-    cells join the fine cover (two chained broadcast joins, still zero
-    fact-side shuffle); certainty uses whichever level matched; the
-    exact brute-force escalation is unchanged, so results stay equal
-    to the global argmin."""
+    cells use a cover re-built at base_level+fine_delta with
+    ring*2**fine_delta (same guarantee radius, tighter neighborhoods);
+    results stay equal to the global argmin.
+
+    strategy="arrow" (default): the split lives inside the worker-
+    resident CityIndex (operators.nearest_arrow) — one vectorized
+    mapInPandas pass. strategy="jvm": two chained broadcast joins
+    (base + fine cover), still zero fact-side shuffle."""
+    if strategy == "arrow":
+        from cityfinder_spark.operators.nearest_arrow import nearest_city_join_arrow
+
+        return nearest_city_join_arrow(
+            points, cities,
+            level=base_level, ring=ring, id_col=id_col, lat_col=lat_col,
+            lon_col=lon_col, digits=digits,
+            max_per_cell=max_per_cell, fine_delta=fine_delta,
+        )
     cover_ok, cover_fine, fine_level, fine_ring = build_adaptive_cover(
         cities, base_level, ring, max_per_cell, fine_delta
     )

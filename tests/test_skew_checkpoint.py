@@ -133,3 +133,45 @@ def test_resumable_rerun_skips_completed(spark, tmp_path):
     assert man.agg(F.sum("rows")).collect()[0][0] == 2000
     # third run: nothing left to do
     assert run_resumable(spark, src, process, out, stage="s1", id_col="pt_id", n_buckets=8) == []
+
+
+def test_adaptive_strategies_agree(spark):
+    """arrow CityIndex splitting and the jvm two-cover join must give
+    identical rows (hot NYC blob forces the fine path)."""
+    cities = _clustered_cities(spark)
+    rng = np.random.default_rng(29)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, 40.7 + float(rng.uniform(-0.6, 0.6)), -74.0 + float(rng.uniform(-0.6, 0.6)))
+             for i in range(100)]
+            + [(1000 + i, float(rng.uniform(-89, 89)), float(rng.uniform(-180, 180)))
+               for i in range(100)],
+            columns=["pt_id", "lat", "lon"],
+        )
+    )
+    a = (
+        nearest_city_join_adaptive(pts, cities, base_level=4, max_per_cell=64, strategy="arrow")
+        .orderBy("pt_id").collect()
+    )
+    j = (
+        nearest_city_join_adaptive(pts, cities, base_level=4, max_per_cell=64, strategy="jvm")
+        .orderBy("pt_id").collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in j]
+
+
+def test_city_index_adaptive_split_routes_hot_cells(spark):
+    """Unit: the CityIndex fine cover exists exactly for hot cells and
+    lookup() routes hot-cell points to slices past the base cover."""
+    from cityfinder_spark.operators.nearest_arrow import build_city_index
+
+    cities = _clustered_cities(spark)
+    idx = build_city_index(cities, level=4, ring=1, max_per_cell=64)
+    assert len(idx.hot_cells) > 0 and len(idx.fine_cells) > 0
+    base_len = idx.cover_offsets[-1]
+    # a point in the NYC blob must read from the fine region
+    s, c = idx.lookup(np.array([40.7]), np.array([-74.0]))
+    assert c[0] > 0 and s[0] >= base_len
+    # a remote point stays on the base cover
+    s2, c2 = idx.lookup(np.array([-40.0]), np.array([100.0]))
+    assert s2[0] < base_len
