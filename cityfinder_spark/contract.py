@@ -284,6 +284,36 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdicts
 
 
+# ---------------- event-stream queries (batch twins) ----------------
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, ("events",))
+    return spread(spark.table("events"))
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window per event_type (streaming.windows; the same
+    code runs on readStream — tested with availableNow)."""
+    from cityfinder_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(_events(spark, sf_dir))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user via F.session_window;
+    oracle is the classic gaps-and-islands SQL."""
+    from cityfinder_spark.streaming.windows import sessionize
+
+    return sessionize(_events(spark, sf_dir))
+
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction + bucket aggregation."""
+    from cityfinder_spark.streaming.windows import props_extract
+
+    return props_extract(_events(spark, sf_dir))
+
+
 # ---------------- DuckDB oracles ----------------
 
 def _o_nearest_city() -> str:
@@ -650,6 +680,46 @@ def _o_cosine_dedup() -> str:
     """
 
 
+def _o_events_windowed() -> str:
+    return """
+    SELECT cast(epoch(date_trunc('hour', ts)) as bigint) AS window_start,
+           event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """
+
+
+def _o_events_sessionize() -> str:
+    # gaps-and-islands; >= matches session_window's exclusive end
+    # (windows [a,a+gap) and [b,b+gap) merge iff b < a+gap).
+    # floor(epoch(...)) matches Spark unix_timestamp's truncation.
+    return """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS flag
+      FROM events),
+    s AS (
+      SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id,
+           cast(floor(epoch(min(ts))) as bigint) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """
+
+
+def _o_events_props() -> str:
+    return """
+    SELECT cast(json_extract_string(props, '$.k') as int) % 10 AS k_bucket,
+           event_type, count(*) AS n_events
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "nearest_city": q_nearest_city,
@@ -677,6 +747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "image_pipeline": q_image_pipeline,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "events_props": q_events_props,
     }
 
 
@@ -704,6 +777,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _o_simhash(),
         "cosine_topk": _o_cosine_topk(),
         "cosine_dedup": _o_cosine_dedup(),
+        "events_windowed": _o_events_windowed(),
+        "events_sessionize": _o_events_sessionize(),
+        "events_props": _o_events_props(),
         # ann_lsh / ann_ivf: approximate -> rows-only (recall in tests)
     }
 

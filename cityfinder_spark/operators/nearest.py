@@ -61,7 +61,7 @@ def choose_level(n_cities: int, ring: int = 1, target_cands: int = 72) -> int:
     if n_cities <= 0:
         return 2
     ratio = max(n_cities, 2) * (2 * ring + 1) ** 2 / (2.0 * target_cands)
-    level = int(math.log2(max(ratio, 2.0)) / 2)
+    level = int(math.log2(max(ratio, 2.0)) / 2 + 0.5)  # round to nearest
     return max(2, min(12, level))
 
 

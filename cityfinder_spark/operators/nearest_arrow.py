@@ -38,7 +38,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from cityfinder_spark.geo.cells import (
     cell_of_np,
@@ -50,10 +50,77 @@ from cityfinder_spark.sqlcompat import LEVEL_STRIDE, ROUND_DIGITS
 
 _CHUNK = 1 << 22  # max elements per dense escalation chunk
 
+_malloc_tuned = False
+
+
+def _tune_malloc() -> None:
+    """Raise glibc's mmap/trim thresholds in THIS process (each Python
+    worker) so the multi-MB NumPy scratch arrays of the kNN kernels are
+    reused from the heap instead of mmap'd and returned per batch.
+    Without this, 32 concurrent workers spend most of their time in
+    kernel page-zeroing + cross-core TLB shootdowns (measured: ~28 of
+    32 cores in system time, and local[32] SLOWER than local[8])."""
+    global _malloc_tuned
+    if _malloc_tuned:
+        return
+    _malloc_tuned = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 512 * 1024 * 1024)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 512 * 1024 * 1024)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
 
 def _round_np(d: np.ndarray, digits: int) -> np.ndarray:
     scale = 10.0 ** digits
     return np.floor(d * scale + 0.5) / scale
+
+
+def _hav_pairs_rounded(
+    index: CityIndex,
+    rad_lat: np.ndarray,
+    rad_lon: np.ndarray,
+    cos_lat: np.ndarray,
+    pt_rep: np.ndarray,
+    flat: np.ndarray,
+    digits: int,
+) -> np.ndarray:
+    """Rounded haversine for (point[pt_rep], city[flat]) pairs using the
+    index's precomputed radians/cos and in-place ops — ~2x less memory
+    traffic than the generic kernel (the hot loop is bandwidth-bound at
+    high core counts). Differs from haversine_np only by ulps
+    (radians(a)-radians(b) vs radians(a-b)); both sides of every
+    comparison round to ROUND_DIGITS first."""
+    from cityfinder_spark.sqlcompat import EARTH_RADIUS_KM
+
+    s1 = index.rad_lat[flat]
+    s1 -= rad_lat[pt_rep]          # fancy-index result is a fresh array
+    s1 *= 0.5
+    np.sin(s1, out=s1)
+    s1 *= s1
+    s2 = index.rad_lon[flat]
+    s2 -= rad_lon[pt_rep]
+    s2 *= 0.5
+    np.sin(s2, out=s2)
+    s2 *= s2
+    s2 *= index.cos_lat[flat]
+    s2 *= cos_lat[pt_rep]
+    s1 += s2                       # a = sin^2(dphi/2) + cos*cos*sin^2(dlmb/2)
+    np.subtract(1.0, s1, out=s2)
+    np.maximum(s2, 0.0, out=s2)
+    np.sqrt(s2, out=s2)
+    np.sqrt(s1, out=s1)
+    np.arctan2(s1, s2, out=s1)
+    s1 *= 2.0 * EARTH_RADIUS_KM
+    scale = 10.0 ** digits
+    s1 *= scale
+    s1 += 0.5
+    np.floor(s1, out=s1)
+    s1 /= scale
+    return s1
 
 
 def _csr_cover(
@@ -137,6 +204,18 @@ class CityIndex:
         self.fine_cells = np.empty(0, np.int64)
         self.fine_offsets = np.zeros(1, np.int64)
         n = len(self.city_id)
+        # lat-sorted view for the escalation window prune: any city
+        # within rounded distance d of a point lies within d/KM_PER_DEG
+        # degrees of latitude (meridian arc is a great-circle lower
+        # bound), so the exact refinement scans a searchsorted slice
+        # instead of every city.
+        self.lat_order = np.argsort(self.lat, kind="stable").astype(np.int64)
+        self.lat_sorted = self.lat[self.lat_order]
+        # precomputed radians/cos: halves the per-candidate transcendental
+        # count and memory traffic of the hot haversine kernel
+        self.rad_lat = np.radians(self.lat)
+        self.rad_lon = np.radians(self.lon)
+        self.cos_lat = np.cos(self.rad_lat)
         if n == 0:
             self.cover_cells = np.empty(0, np.int64)
             self.cover_offsets = np.zeros(1, np.int64)
@@ -246,6 +325,9 @@ def _solve_batch(
     if ncities == 0 or npts == 0:
         return best_pos, best_d
 
+    p_rad_lat = np.radians(lat)
+    p_rad_lon = np.radians(lon)
+    p_cos = np.cos(p_rad_lat)
     starts, counts = index.lookup(lat, lon)
     total = int(counts.sum())
     if total:
@@ -253,10 +335,7 @@ def _solve_batch(
         within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
         flat = index.cover_idx[np.repeat(starts, counts) + within]
         pt_rep = np.repeat(np.arange(npts, dtype=np.int64), counts)
-        d = _round_np(
-            haversine_np(lat[pt_rep], lon[pt_rep], index.lat[flat], index.lon[flat]),
-            digits,
-        )
+        d = _hav_pairs_rounded(index, p_rad_lat, p_rad_lon, p_cos, pt_rep, flat, digits)
         has = counts > 0
         red_at = seg_starts[has]
         minv = np.minimum.reduceat(d, red_at)
@@ -274,11 +353,51 @@ def _solve_batch(
     cert = certainty_radius_np(lat, index.ring, index.level)
     slack = 10.0 ** (-digits)
     esc = (best_pos < 0) | ~(best_d + slack < cert)
-    if esc.any():
-        ei = np.flatnonzero(esc)
+
+    # (a) rows with an in-ring best: the true nearest has rounded
+    # distance <= best_d, hence |dlat| <= (best_d + round-step)/deg_km
+    # — refine over the lat-window slice only (exact: any city outside
+    # has a strictly larger rounded distance; equal-distance ties
+    # outside the window are impossible since the window includes the
+    # full <= best_d + step band).
+    wb = np.flatnonzero(esc & (best_pos >= 0))
+    if len(wb):
+        from cityfinder_spark.geo.cells import KM_PER_DEG
+
+        margin = (best_d[wb] + 2.0 * slack) / KM_PER_DEG
+        lo = np.searchsorted(index.lat_sorted, lat[wb] - margin, side="left")
+        hi = np.searchsorted(index.lat_sorted, lat[wb] + margin, side="right")
+        counts = (hi - lo).astype(np.int64)
+        have = counts > 0
+        wbi = wb[have]
+        counts = counts[have]
+        if len(wbi):
+            total = int(counts.sum())
+            seg_starts = np.cumsum(counts) - counts
+            within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
+            flat = index.lat_order[np.repeat(lo[have], counts) + within]
+            pt_rep = np.repeat(wbi, counts)
+            d = _hav_pairs_rounded(
+                index, p_rad_lat, p_rad_lon, p_cos, pt_rep, flat, digits
+            )
+            minv = np.minimum.reduceat(d, seg_starts)
+            is_min = d == np.repeat(minv, counts)
+            # tie-break: lowest city position (== lowest city_id)
+            cand_pos = np.where(is_min, flat, np.iinfo(np.int64).max)
+            win_pos = np.minimum.reduceat(cand_pos, seg_starts)
+            better = (minv < best_d[wbi]) | (
+                (minv == best_d[wbi]) & (win_pos < best_pos[wbi])
+            )
+            best_pos[wbi[better]] = win_pos[better]
+            best_d[wbi[better]] = minv[better]
+
+    # (b) rows with NO in-ring candidate (empty polar/sparse
+    # neighborhoods — rare): full dense scan.
+    blind = np.flatnonzero(esc & (best_pos < 0))
+    if len(blind):
         rows_per_chunk = max(1, _CHUNK // ncities)
-        for s in range(0, len(ei), rows_per_chunk):
-            sel = ei[s : s + rows_per_chunk]
+        for s in range(0, len(blind), rows_per_chunk):
+            sel = blind[s : s + rows_per_chunk]
             dm = _round_np(
                 haversine_np(
                     lat[sel][:, None], lon[sel][:, None],
@@ -411,6 +530,7 @@ def nearest_city_topk_arrow(
     )
 
     def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _tune_malloc()
         index = index_bc.value
         for pdf in batches:
             lat = pdf[lat_col].to_numpy(np.float64)
@@ -440,61 +560,82 @@ def nearest_city_join_arrow(
     n_cities: int | None = None,
     max_per_cell: int | None = None,
     fine_delta: int = 2,
+    city_index: CityIndex | None = None,
 ) -> DataFrame:
     """points + (city_id, name, country, dist_km) of the global nearest
     city — one mapInPandas pass, zero shuffle. See module docstring.
-    max_per_cell enables adaptive cell splitting (see CityIndex)."""
-    from cityfinder_spark.operators.nearest import choose_level
+    max_per_cell enables adaptive cell splitting (see CityIndex).
 
-    if level is None:
-        n = n_cities if n_cities is not None else cities.count()
-        level = choose_level(n, ring)
+    Pass a prebuilt city_index to amortize the driver-side index build
+    across queries — the Spark analog of the reference's build-once
+    gob-cached index (initializer.go:198-213)."""
+    if city_index is None:
+        from cityfinder_spark.operators.nearest import choose_level
+
+        if level is None:
+            n = n_cities if n_cities is not None else cities.count()
+            level = choose_level(n, ring)
+        city_index = build_city_index(cities, level, ring, max_per_cell, fine_delta)
 
     spark = points.sparkSession
-    index_bc = spark.sparkContext.broadcast(
-        build_city_index(cities, level, ring, max_per_cell, fine_delta)
-    )
+    index_bc = spark.sparkContext.broadcast(city_index)
 
-    out_schema = T.StructType(
-        list(points.schema.fields)
-        + [
+    # SCALAR pandas UDF, not mapInPandas: ArrowEvalPython ships ONLY
+    # the UDF's input columns (lat, lon) to the Python worker — image
+    # bytes / captions stay JVM-side and are zipped back with the
+    # result struct. With mapInPandas every payload byte crossed the
+    # Arrow pipe twice, turning the join memory-bandwidth-bound
+    # (measured: local[32] SLOWER than local[8] on 1M image rows).
+    # The UDF returns only (city_id, dist_km) — primitives; the string
+    # payload (name, country) is attached by a JVM broadcast hash join
+    # so no Python string objects are ever created in the hot path.
+    result_type = T.StructType(
+        [
             T.StructField("city_id", T.LongType()),
-            T.StructField("name", T.StringType()),
-            T.StructField("country", T.StringType()),
             T.StructField("dist_km", T.DoubleType()),
         ]
     )
 
-    def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    @F.pandas_udf(result_type)
+    def solve(lat_s: pd.Series, lon_s: pd.Series) -> pd.DataFrame:
+        _tune_malloc()
         index = index_bc.value
-        for pdf in batches:
-            lat = pdf[lat_col].to_numpy(np.float64)
-            lon = pdf[lon_col].to_numpy(np.float64)
-            pos, d = _solve_batch(index, lat, lon, digits)
-            hit = pos >= 0
-            out = pdf.copy()
-            if hit.all() and len(pos):
-                out["city_id"] = index.city_id[pos]
-                out["name"] = index.name[pos]
-                out["country"] = index.country[pos]
-                out["dist_km"] = d
-            elif len(index.city_id) == 0:
-                out["city_id"] = pd.Series(pd.NA, dtype="Int64", index=out.index)
-                out["name"] = pd.Series(None, dtype=object, index=out.index)
-                out["country"] = pd.Series(None, dtype=object, index=out.index)
-                out["dist_km"] = pd.Series(pd.NA, dtype="Float64", index=out.index)
-            else:
-                pc = np.maximum(pos, 0)
-                cid = pd.Series(
-                    np.where(hit, index.city_id[pc], 0), dtype="Int64", index=out.index
-                )
-                cid[~hit] = pd.NA
-                out["city_id"] = cid
-                out["name"] = np.where(hit, index.name[pc], None)
-                out["country"] = np.where(hit, index.country[pc], None)
-                dk = pd.Series(d, dtype="Float64", index=out.index)
-                dk[~hit] = pd.NA
-                out["dist_km"] = dk
-            yield out
+        lat = lat_s.to_numpy(np.float64)
+        lon = lon_s.to_numpy(np.float64)
+        pos, d = _solve_batch(index, lat, lon, digits)
+        hit = pos >= 0
+        if hit.all() and len(pos):
+            return pd.DataFrame({"city_id": index.city_id[pos], "dist_km": d})
+        pc = np.maximum(pos, 0)
+        cid = pd.Series(
+            np.where(hit, index.city_id[pc] if len(index.city_id) else 0, 0),
+            dtype="Int64",
+        )
+        cid[~hit] = pd.NA
+        dk = pd.Series(d, dtype="Float64")
+        dk[~hit] = pd.NA
+        return pd.DataFrame({"city_id": cid, "dist_km": dk})
 
-    return points.mapInPandas(solve, out_schema)
+    cols = set(cities.columns)
+    payload = F.broadcast(
+        cities.select(
+            F.col("city_id").cast("long").alias("city_id"),
+            (F.col("name") if "name" in cols else F.lit(None).cast("string")).alias(
+                "name"
+            ),
+            (
+                F.col("country") if "country" in cols else F.lit(None).cast("string")
+            ).alias("country"),
+        )
+    )
+    res = F.col("__nearest")
+    assigned = points.withColumn(
+        "__nearest", solve(F.col(lat_col), F.col(lon_col))
+    ).select(
+        *points.columns,
+        res["city_id"].alias("city_id"),
+        res["dist_km"].alias("dist_km"),
+    )
+    return assigned.join(payload, "city_id", "left").select(
+        *points.columns, "city_id", "name", "country", "dist_km"
+    )

@@ -1,0 +1,90 @@
+"""Event-stream operators over the `events` table.
+
+The reference has no streaming engine (its HTTP server is stateless
+request/response, SURVEY §2.5), so these operators are part of the
+engine's training-pipeline/ops surface, built on Structured
+Streaming's unified API: each transformation is written once and runs
+on BOTH a batch DataFrame (spark.read) and a streaming DataFrame
+(spark.readStream + watermark). Tests drive the streaming side with
+trigger(availableNow=True) and assert equality with the batch twin;
+the driver's DuckDB oracles check the batch side.
+
+Scale notes: tumbling/session windows shuffle once on the group key;
+watermarks bound state. Timestamps are emitted as epoch seconds
+(bigint) so cross-engine comparison never depends on session
+timezones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type.
+
+    Output: (window_start: long epoch sec, event_type, n_events,
+    sum_value). Pass watermark (e.g. "10 minutes") for streaming input
+    so late state is bounded and windows finalize.
+    """
+    # parquet written by other engines is often TIMESTAMP_NTZ; event
+    # time + watermarks need TIMESTAMP (session tz is UTC -> no-op).
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = src.withWatermark("ts", watermark) if watermark else src
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows per user: a session closes after `gap` of
+    inactivity (F.session_window — Spark's native stateful session
+    operator; the DuckDB oracle is the classic gaps-and-islands SQL).
+
+    Output: (user_id, session_start epoch sec, n_events, sum_value).
+    """
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = src.withWatermark("ts", watermark) if watermark else src
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def props_extract(events: DataFrame) -> DataFrame:
+    """Semi-structured projection: pull props.k (JSON) as an int and
+    bucket events by it. Output: (k_bucket, event_type, n_events)."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .where(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
