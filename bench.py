@@ -53,6 +53,9 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh",
     "image_pipeline",
+    "events_windowed",
+    "events_sessionize",
+    "events_props",
 ]
 
 # fact table each query scans (for rows/sec); keys absent -> no rate.
@@ -74,6 +77,9 @@ _FACT_TABLE = {
     "lang_id": "documents",
     "cosine_topk": "embeddings",
     "ann_lsh": "embeddings",
+    "events_windowed": "events",
+    "events_sessionize": "events",
+    "events_props": "events",
 }
 
 

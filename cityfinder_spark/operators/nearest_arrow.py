@@ -429,19 +429,20 @@ def _topk_batch(
     if ncities == 0 or npts == 0:
         return empty
 
+    p_rad_lat = np.radians(lat)
+    p_rad_lon = np.radians(lon)
+    p_cos = np.cos(p_rad_lat)
     starts, counts = index.lookup(lat, lon)
     total = int(counts.sum())
     proven = np.zeros(npts, bool)
+    kth_d = np.full(npts, np.inf)
     out_rows, out_pos, out_d, out_rank = [], [], [], []
     if total:
         seg_starts = np.cumsum(counts) - counts
         within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
         flat = index.cover_idx[np.repeat(starts, counts) + within]
         pt_rep = np.repeat(np.arange(npts, dtype=np.int64), counts)
-        d = _round_np(
-            haversine_np(lat[pt_rep], lon[pt_rep], index.lat[flat], index.lon[flat]),
-            digits,
-        )
+        d = _hav_pairs_rounded(index, p_rad_lat, p_rad_lon, p_cos, pt_rep, flat, digits)
         order = np.lexsort((within, d, pt_rep))
         d_s, flat_s, pt_s = d[order], flat[order], pt_rep[order]
         rank_within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
@@ -457,31 +458,50 @@ def _topk_batch(
         out_d.append(d_s[take])
         out_rank.append(rank_within[take] + 1)
 
+    # escalation: rows with an in-ring k-th distance get the lat-window
+    # prune (every global top-k member has rounded d <= in-ring kth, so
+    # |dlat| <= (kth + step)/deg_km); rows without k in-ring candidates
+    # scan everything. Both paths share the ragged top-k selection.
     esc = np.flatnonzero(~proven)
     if len(esc):
-        kk = min(k, ncities)
-        rows_per_chunk = max(1, _CHUNK // ncities)
-        for s in range(0, len(esc), rows_per_chunk):
-            sel = esc[s : s + rows_per_chunk]
-            m = len(sel)
-            dm = _round_np(
-                haversine_np(
-                    lat[sel][:, None], lon[sel][:, None],
-                    index.lat[None, :], index.lon[None, :],
-                ),
-                digits,
+        from cityfinder_spark.geo.cells import KM_PER_DEG
+
+        slack = 10.0 ** (-digits)
+        e_kth = kth_d[esc]
+        windowed = np.isfinite(e_kth)
+        e_lo = np.zeros(len(esc), np.int64)
+        e_hi = np.full(len(esc), ncities, np.int64)
+        if windowed.any():
+            margin = (e_kth[windowed] + 2.0 * slack) / KM_PER_DEG
+            e_lo[windowed] = np.searchsorted(
+                index.lat_sorted, lat[esc[windowed]] - margin, side="left"
             )
-            if ncities > kk:
-                part = np.argpartition(dm, kk - 1, axis=1)[:, :kk]
-            else:
-                part = np.broadcast_to(np.arange(ncities), (m, ncities)).copy()
-            part_d = np.take_along_axis(dm, part, axis=1)
-            rows_rep = np.repeat(np.arange(m, dtype=np.int64), kk)
-            o2 = np.lexsort((part.ravel(), part_d.ravel(), rows_rep))
-            out_rows.append(sel[rows_rep[o2]])
-            out_pos.append(part.ravel()[o2])
-            out_d.append(part_d.ravel()[o2])
-            out_rank.append(np.tile(np.arange(1, kk + 1, dtype=np.int64), m))
+            e_hi[windowed] = np.searchsorted(
+                index.lat_sorted, lat[esc[windowed]] + margin, side="right"
+            )
+        e_counts = e_hi - e_lo
+        keep = e_counts > 0
+        esc, e_lo, e_counts, windowed = esc[keep], e_lo[keep], e_counts[keep], windowed[keep]
+        etotal = int(e_counts.sum())
+        if etotal:
+            eseg = np.cumsum(e_counts) - e_counts
+            ewithin = np.arange(etotal, dtype=np.int64) - np.repeat(eseg, e_counts)
+            gather = np.repeat(e_lo, e_counts) + ewithin
+            eflat = np.where(
+                np.repeat(windowed, e_counts), index.lat_order[gather], gather
+            )
+            ept = np.repeat(esc, e_counts)
+            ed = _hav_pairs_rounded(
+                index, p_rad_lat, p_rad_lon, p_cos, ept, eflat, digits
+            )
+            o2 = np.lexsort((eflat, ed, ept))
+            ed_s, eflat_s, ept_s = ed[o2], eflat[o2], ept[o2]
+            erank = np.arange(etotal, dtype=np.int64) - np.repeat(eseg, e_counts)
+            tk = erank < k
+            out_rows.append(ept_s[tk])
+            out_pos.append(eflat_s[tk])
+            out_d.append(ed_s[tk])
+            out_rank.append(erank[tk] + 1)
     if not out_rows:
         return empty
     return (

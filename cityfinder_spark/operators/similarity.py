@@ -8,7 +8,11 @@ parity). The dot product runs inside higher-order Column expressions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from cityfinder_spark.colutils import round6_col
 
@@ -106,32 +110,42 @@ def lsh_bucket_topk(
     sign-signatures of n_planes bits each; candidates = pairs sharing
     any (table, bucket); exact cosine + window ranks the union.
     Recall for neighbors at angle θ: 1-(1-(1-θ/π)^n_planes)^n_tables.
-    Approximate — recall vs cosine_topk tested statistically."""
+    Approximate — recall vs cosine_topk tested statistically.
+
+    Signatures are one Arrow-batched matmul per batch: (rows x dim) @
+    (dim x tables*planes) sign matrix (deterministic md5-derived ±1,
+    same family as _LSH_SIGN), instead of per-row interpreted
+    zip_with/aggregate folds with md5 inside the element lambda."""
     base = with_norm(emb, vec_col)
 
-    def sig_col(table: int) -> F.Column:
-        bits = []
-        for p in range(n_planes):
-            sign_expr = _LSH_SIGN.format(p=table * 1000 + p)
-            proj = F.expr(
-                "aggregate(zip_with(__v, transform(sequence(1, size(__v)), i -> "
-                f"case when {sign_expr} = 0 then -1.0 else 1.0 end), (x, s) -> x * s), "
-                "0.0D, (acc, x) -> acc + x)"
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    def _sign(p: int, i: int) -> float:
+        h = hashlib.md5(f"plane{p}_{i}".encode()).hexdigest()
+        return 1.0 if int(h[:4], 16) % 2 else -1.0
 
-    buckets = F.array(
-        *[
-            F.struct(F.lit(t).alias("t"), sig_col(t).alias("bkt"))
-            for t in range(n_tables)
-        ]
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets_udf(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy())
+        dim = M.shape[1]
+        S = np.empty((dim, n_tables * n_planes))
+        for t in range(n_tables):
+            for p in range(n_planes):
+                pid = t * 1000 + p
+                for i in range(dim):
+                    S[i, t * n_planes + p] = _sign(pid, i + 1)
+        proj = M @ S  # (rows, tables*planes)
+        bits = (proj > 0).astype(np.int32)
+        weights = np.tile(1 << np.arange(n_planes, dtype=np.int32), n_tables)
+        weighted = bits * weights
+        bkts = weighted.reshape(len(M), n_tables, n_planes).sum(axis=2)
+        return pd.Series(list(bkts.astype(np.int32)))
+
+    buckets = F.transform(
+        F.col("__bkts"),
+        lambda b, t: F.struct(t.cast("int").alias("t"), b.alias("bkt")),
     )
     bucketed = (
-        base.withColumn("__b", F.explode(buckets))
+        base.withColumn("__bkts", buckets_udf("__v"))
+        .withColumn("__b", F.explode(buckets))
         .select(
             F.col(id_col).alias("vec_id"),
             F.col("__b.t").alias("t"), F.col("__b.bkt").alias("bkt"),
