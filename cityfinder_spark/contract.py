@@ -284,6 +284,36 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdicts
 
 
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every payload -> shape/stat/phash (rows-only: binary in,
+    per-row decode via mapInPandas; pytest pins exact values)."""
+    from cityfinder_spark.datagen.images import images_table
+    from cityfinder_spark.operators.images_ops import decode_stats
+
+    n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
+    return decode_stats(images_table(spark, n))
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x box-downsample + re-encode (rows-only; invariants in pytest)."""
+    from cityfinder_spark.datagen.images import images_table
+    from cityfinder_spark.operators.images_ops import resize_half
+
+    n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
+    return resize_half(images_table(spark, n)).select("image_id", "w", "h")
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample FVID payloads -> one row per kept frame (rows-only)."""
+    from cityfinder_spark.datagen.images import videos_table
+    from cityfinder_spark.operators.images_ops import frame_sample
+
+    n = max(100, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 50)
+    return frame_sample(videos_table(spark, n), every=2).select(
+        "video_id", "frame_idx"
+    )
+
+
 # ---------------- event-stream queries (batch twins) ----------------
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -747,6 +777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "image_pipeline": q_image_pipeline,
+        "image_decode_stats": q_image_decode_stats,
+        "image_resize": q_image_resize,
+        "video_frame_sample": q_video_frame_sample,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_props": q_events_props,

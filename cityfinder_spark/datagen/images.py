@@ -56,6 +56,38 @@ def expected_caption(i: int, w: int, h: int, fmt: str) -> str:
     return f"caption for image {i}: a {w}x{h} {fmt} scene"
 
 
+def videos_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """n deterministic FVID rows: (video_id string, bytes binary,
+    n_frames int, w int, h int) — frame pixels derive from the row id
+    like images do."""
+    from cityfinder_spark.codecs.fakeimage import encode_video
+
+    base = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                nf = 3 + i % 4
+                w, h = 8 + i % 9, 6 + i % 7
+                frames = [gen_pixels(1000 + i * 10 + k, w, h) for k in range(nf)]
+                rows.append(
+                    {
+                        "video_id": f"vid{i:08d}",
+                        "bytes": encode_video(frames),
+                        "n_frames": nf,
+                        "w": w,
+                        "h": h,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen, schema="video_id string, bytes binary, n_frames int, w int, h int"
+    )
+
+
 def images_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
     """Generate n deterministic image rows, distributed."""
     base = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)

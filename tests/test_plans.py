@@ -1,0 +1,58 @@
+"""Physical-plan regression checks: the properties that keep the
+engine viable at 100 TB — parquet filter pushdown + column pruning,
+broadcast (never sort-merge) joins on the kNN fast path, and the
+arrow strategy shipping only coordinates through Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cityfinder_spark import contract as C
+from cityfinder_spark.operators.nearest import nearest_city_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    C.load_views(spark, SF, ("documents",))
+    d = spark.table("documents").where(F.col("doc_id") > 100).select("doc_id")
+    plan = _plan(d)
+    assert "GreaterThan(doc_id" in plan  # filter reached the scan
+    tail = plan.split("ReadSchema")[1][:120]
+    assert "doc_id" in tail and "text" not in tail  # text column pruned
+
+
+def test_jvm_knn_fast_path_is_broadcast_only(spark):
+    pts = C._points(spark, SF)
+    cities = C._cities(spark, SF)
+    plan = _plan(
+        nearest_city_join(pts, cities, n_cities=150, fallback=False, strategy="jvm")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact side never shuffles for the join
+
+
+def test_arrow_knn_ships_only_coordinates(spark):
+    pts = C._points(spark, SF).withColumn("payload", F.lit("x" * 10))
+    cities = C._cities(spark, SF)
+    plan = _plan(nearest_city_join(pts, cities, n_cities=150))
+    assert "ArrowEvalPython" in plan
+    # payload re-attach is a broadcast hash join, not a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_name_lookup_dictionary_joins_are_broadcast(spark):
+    from cityfinder_spark.operators.name_lookup import city_by_name
+
+    C.load_views(spark, SF, ("orders", "customer", "nation"))
+    q = C.spread(spark.sql(C.sc.name_queries_sql()))
+    dim = spark.sql(C.sc.names_dim_sql())
+    plan = _plan(city_by_name(q, dim))
+    # every dictionary-side join (exact probe, fuzzy scan, payload
+    # resolve) must be a broadcast hash join
+    assert plan.count("BroadcastHashJoin") >= 3
