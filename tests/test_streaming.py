@@ -102,3 +102,43 @@ def test_stateful_running_totals(spark, events_stream_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_nearest_city_enrichment(spark, tmp_path):
+    """The flagship kNN operator runs unchanged on a STREAM of
+    geotagged rows (scalar pandas UDF + broadcast joins are all
+    streaming-compatible): enrich each streamed image row with its
+    nearest city; availableNow result equals the batch result."""
+    import shutil
+
+    from cityfinder_spark.datagen.images import images_table
+    from cityfinder_spark.operators.nearest import nearest_city_join
+    from cityfinder_spark import contract as C
+
+    src = tmp_path / "imgs"
+    images_table(spark, 300).select("image_id", "lat", "lon").write.parquet(str(src))
+    cities = C._cities(spark, SF)
+
+    batch_in = spark.read.parquet(str(src)).withColumnRenamed("image_id", "pt_id")
+    want = sorted(
+        tuple(r)
+        for r in nearest_city_join(batch_in, cities, n_cities=150).collect()
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .withColumnRenamed("image_id", "pt_id")
+    )
+    enriched = nearest_city_join(stream_in, cities, n_cities=150)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_geo_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("t_geo_stream").collect())
+    assert got == want and len(got) == 300
