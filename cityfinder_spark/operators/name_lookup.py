@@ -76,10 +76,22 @@ def city_by_name(
     by (edit distance, indexed name asc, city_id).
     """
     index = build_name_index(cities)
-    q = queries.select(
+    q_all = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(name_col).alias("q_name"),
         F.upper(F.col(country_col)).alias("q_country"),
+    )
+    # resolution is a pure function of (name, country): dedupe the key
+    # space before the expensive fuzzy scan and join answers back —
+    # real lookup workloads repeat keys heavily, so the Levenshtein
+    # work scales with |distinct keys|, not |rows|. The explicit
+    # repartition pins the fan-out stage's parallelism: AQE would
+    # coalesce the small distinct output to ~1 partition and the
+    # ~|dictionary/country| per-key expansion would run single-threaded.
+    q = (
+        q_all.select("q_name", "q_country")
+        .distinct()
+        .repartition(q_all.sparkSession.sparkContext.defaultParallelism)
     )
 
     # First-match representative per (country, indexed name): the city
@@ -108,7 +120,7 @@ def city_by_name(
         (q["q_country"] == F.col("c_country")) & (q["q_name"] == F.col("__nm")),
         "inner",
     ).select(
-        "q_id",
+        "q_name", "q_country",
         F.col("__nm").alias("__match_name"),
         F.lit(0).alias("__rank"),
         F.lit(0).alias("__ed"),
@@ -134,7 +146,7 @@ def city_by_name(
                 & (lev <= max_dist)
             )
             .select(
-                "q_id",
+                "q_name", "q_country",
                 F.col("indexed_name").alias("__match_name"),
                 F.lit(1).alias("__rank"),
                 lev.cast("int").alias("__ed"),
@@ -189,7 +201,7 @@ def city_by_name(
             )
         )
         q_vars = q.select(
-            "q_id", "q_name", "q_country",
+            "q_name", "q_country",
             F.explode(dels(F.col("q_name"))).alias("__var"),
         )
         lev = F.levenshtein(F.col("q_name"), F.col("indexed_name"))
@@ -202,12 +214,12 @@ def city_by_name(
             )
             # collisions repeat per shared variant; dedup BEFORE the
             # Levenshtein so each (query, name) pair is verified once
-            .select("q_id", "q_name", "indexed_name")
-            .dropDuplicates(["q_id", "indexed_name"])
+            .select("q_name", "q_country", "indexed_name")
+            .dropDuplicates(["q_name", "q_country", "indexed_name"])
             .withColumn("__ed", lev.cast("int"))
             .where(F.col("__ed") <= max_dist)
             .select(
-                "q_id",
+                "q_name", "q_country",
                 F.col("indexed_name").alias("__match_name"),
                 F.lit(1).alias("__rank"),
                 "__ed",
@@ -215,10 +227,10 @@ def city_by_name(
         )
         cand = cand.unionByName(fuzzy_cand)
 
-    # one map-side-combinable min(struct) per query; field order IS the
-    # tie-break: exact (rank 0) beats fuzzy, then edit distance, then
-    # name asc (J3's documented deterministic ordering)
-    best = cand.groupBy("q_id").agg(
+    # one map-side-combinable min(struct) per distinct key; field order
+    # IS the tie-break: exact (rank 0) beats fuzzy, then edit distance,
+    # then name asc (J3's documented deterministic ordering)
+    best = cand.groupBy("q_name", "q_country").agg(
         F.min(
             F.struct(
                 F.col("__rank").alias("rank"),
@@ -229,7 +241,10 @@ def city_by_name(
     )
     b = F.col("__best")
     resolved = (
-        q.join(best, "q_id", "left")
+        # no broadcast hint: |best| is bounded by the distinct-key space,
+        # which can be large for adversarial inputs — AQE promotes the
+        # join to broadcast at runtime when it is actually small.
+        q_all.join(best, ["q_name", "q_country"], "left")
         .join(
             reps,
             (F.col("q_country") == reps["c_country"])
