@@ -3,12 +3,32 @@ brute-force cosine top-k baseline + LSH / IVF scale paths.
 
 Embeddings are array<float>; all arithmetic is promoted to double
 before any reduction (float-order divergence would break oracle
-parity). The dot product runs inside higher-order Column expressions
-(zip_with + aggregate -> JVM codegen, sequential left fold)."""
+parity). Two interchangeable physical strategies for the exact
+kernels (parity-tested against each other and the DuckDB oracle):
+
+  * strategy="jvm": the dot product runs inside higher-order Column
+    expressions (zip_with + aggregate -> sequential left fold). Fully
+    relational, but Spark evaluates the lambdas interpreted (outside
+    whole-stage codegen) and the all-pairs plan is a cross join —
+    correct, and the plan-shape reference.
+  * strategy="arrow" (default): the base set is collected driver-side
+    into an EmbIndex (float64 matrix + exact-fold norms, ids
+    ascending) and broadcast once per Python worker; the query side
+    streams through ONE mapInPandas pass — no cross join, no shuffle,
+    no interpreted lambdas. The fold order of the JVM/DuckDB dot
+    product is reproduced BIT-FOR-BIT: float32 inputs cast to float64
+    make every elementwise product exact (24-bit mantissas -> <=48
+    bits), and the accumulator adds one dimension at a time in the
+    same left-fold sequence, so rounded cos_sim values hash-match the
+    oracle. The base side must be broadcast-size — that is what
+    "brute-force baseline" means; the 100 TB scale paths are
+    lsh_bucket_topk / ivf_topk, whose candidate generation is
+    bucketed and whose exact refinement reuses the same index."""
 
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -36,33 +56,158 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("__v", v).withColumn("__norm", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
 
 
+# ---- Arrow strategy: broadcast index + exact-fold NumPy kernels ----
+
+
+def _round_np(x: np.ndarray, digits: int) -> np.ndarray:
+    scale = 10.0 ** digits
+    return np.floor(x * scale + 0.5) / scale
+
+
+def _fold_dots(Q: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """All-pairs dot products (q x n) in the EXACT left-fold order of
+    zip_with/aggregate and DuckDB list_sum: accumulator starts at 0.0
+    and adds one dimension's product at a time. Products of
+    float32-representable doubles are exact in float64, so the only
+    rounding is in the adds — and the add sequence is identical, so
+    the result is bit-identical to the JVM/DuckDB fold."""
+    acc = np.zeros((Q.shape[0], M.shape[0]))
+    for d in range(Q.shape[1]):
+        acc += Q[:, d, None] * M[None, :, d]
+    return acc
+
+
+def _fold_dots_rows(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise exact-fold dot products (A[i] . B[i])."""
+    acc = np.zeros(A.shape[0])
+    for d in range(A.shape[1]):
+        acc += A[:, d] * B[:, d]
+    return acc
+
+
+def _fold_norms(V: np.ndarray) -> np.ndarray:
+    return np.sqrt(_fold_dots_rows(V, V))
+
+
+class EmbIndex:
+    """Driver-built static embedding index for the Arrow cosine
+    kernels: ids ascending (unique), float64 matrix, exact-fold norms.
+    One pickled copy per Python worker via SparkContext.broadcast —
+    the similarity analog of nearest_arrow.CityIndex (the reference's
+    process-wide in-memory index, lib/finder/finder.go:47-64)."""
+
+    def __init__(self, ids: np.ndarray, M: np.ndarray):
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order]
+        self.M = np.ascontiguousarray(M[order])
+        self.norms = _fold_norms(self.M)
+
+    def positions(self, ids: np.ndarray) -> np.ndarray:
+        """Index positions of `ids` (must all be present)."""
+        if not len(self.ids):
+            return np.zeros(len(ids), np.int64)
+        return np.searchsorted(self.ids, ids).astype(np.int64)
+
+
+def build_emb_index(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> EmbIndex:
+    pdf = emb.select(id_col, vec_col).toPandas()
+    n = len(pdf)
+    if n == 0:
+        return EmbIndex(np.empty(0, np.int64), np.empty((0, 1)))
+    ids = pdf[id_col].to_numpy()
+    M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return EmbIndex(ids, M)
+
+
+def _id_field(emb: DataFrame, id_col: str, out_name: str) -> T.StructField:
+    return T.StructField(out_name, emb.schema[id_col].dataType, True)
+
+
 def cosine_topk(
     emb: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = COS_DIGITS,
+    strategy: str = "arrow",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k per vector (the ANN baseline):
-    cross join vs broadcast + window. (vec_id, neighbor_id, cos_sim,
-    rank); tie-break (cos desc rounded, neighbor_id asc)."""
-    left = with_norm(emb, vec_col).select(
-        F.col(id_col).alias("vec_id"), F.col("__v").alias("va"), F.col("__norm").alias("na")
+    """Exact brute-force cosine top-k per vector (the ANN baseline).
+    (vec_id, neighbor_id, cos_sim, rank); tie-break (cos desc rounded,
+    neighbor_id asc). strategy="jvm": cross join vs broadcast +
+    window; strategy="arrow": broadcast EmbIndex + one mapInPandas
+    pass per query partition (no cross join, no shuffle — the window
+    ranking collapses into a per-row stable argsort because ALL
+    candidates for a query row live in its own batch)."""
+    if strategy == "jvm":
+        left = with_norm(emb, vec_col).select(
+            F.col(id_col).alias("vec_id"), F.col("__v").alias("va"), F.col("__norm").alias("na")
+        )
+        right = with_norm(emb, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col("__v").alias("vb"), F.col("__norm").alias("nb")
+        )
+        pairs = (
+            left.crossJoin(F.broadcast(right))
+            .where(F.col("vec_id") != F.col("neighbor_id"))
+            .withColumn("cos_sim", round6_col(_dot("va", "vb") / (F.col("na") * F.col("nb"))))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id", "cos_sim", "rank")
+        )
+
+    index = build_emb_index(emb, id_col, vec_col)
+    bc = emb.sparkSession.sparkContext.broadcast(index)
+    schema = T.StructType(
+        [
+            _id_field(emb, id_col, "vec_id"),
+            _id_field(emb, id_col, "neighbor_id"),
+            T.StructField("cos_sim", T.DoubleType(), True),
+            T.StructField("rank", T.IntegerType(), True),
+        ]
     )
-    right = with_norm(emb, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("vb"), F.col("__norm").alias("nb")
-    )
-    pairs = (
-        left.crossJoin(F.broadcast(right))
-        .where(F.col("vec_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", round6_col(_dot("va", "vb") / (F.col("na") * F.col("nb"))))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cos_sim", "rank")
-    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx: EmbIndex = bc.value
+        n = len(idx.ids)
+        for pdf in batches:
+            q = len(pdf)
+            if q == 0 or n <= 1:
+                continue
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q_ids = pdf[id_col].to_numpy()
+            qn = _fold_norms(Q)
+            cos = _fold_dots(Q, idx.M)
+            # single division by the norm PRODUCT — x/(a*b) and
+            # (x/a)/b differ in ulps; the JVM/DuckDB expression is
+            # dot / (na * nb)
+            cos /= qn[:, None] * idx.norms[None, :]
+            cos = _round_np(cos, digits)
+            # exclude self (same id), matching vec_id != neighbor_id
+            pos = idx.positions(q_ids)
+            rows = np.arange(q)
+            is_self = idx.ids[np.minimum(pos, n - 1)] == q_ids
+            cos[rows[is_self], pos[is_self]] = -np.inf
+            kk = min(k, n)
+            # stable argsort on -cos: equal rounded cos -> index order
+            # == neighbor_id ascending (idx.ids is sorted)
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            vals = np.take_along_axis(cos, top, axis=1)
+            keep = np.isfinite(vals)
+            rr, cc = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_id": q_ids[rr],
+                    "neighbor_id": idx.ids[top[rr, cc]],
+                    "cos_sim": vals[rr, cc],
+                    "rank": (cc + 1).astype(np.int32),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def cosine_dedup_pairs(
@@ -71,21 +216,65 @@ def cosine_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = COS_DIGITS,
+    strategy: str = "arrow",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: (vec_a, vec_b, cos_sim >= t)."""
-    left = with_norm(emb, vec_col).select(
-        F.col(id_col).alias("vec_a"), F.col("__v").alias("va"), F.col("__norm").alias("na")
+    """Embedding-cosine near-dup pairs: (vec_a, vec_b, cos_sim >= t).
+    Same two strategies as cosine_topk; the arrow path emits pairs
+    straight from the thresholded score matrix (id_a < id_b becomes a
+    position comparison because the index ids are sorted ascending)."""
+    if strategy == "jvm":
+        left = with_norm(emb, vec_col).select(
+            F.col(id_col).alias("vec_a"), F.col("__v").alias("va"), F.col("__norm").alias("na")
+        )
+        right = with_norm(emb, vec_col).select(
+            F.col(id_col).alias("vec_b"), F.col("__v").alias("vb"), F.col("__norm").alias("nb")
+        )
+        return (
+            left.crossJoin(F.broadcast(right))
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cos_sim", round6_col(_dot("va", "vb") / (F.col("na") * F.col("nb"))))
+            .where(F.col("cos_sim") >= threshold)
+            .select("vec_a", "vec_b", "cos_sim")
+        )
+
+    index = build_emb_index(emb, id_col, vec_col)
+    bc = emb.sparkSession.sparkContext.broadcast(index)
+    schema = T.StructType(
+        [
+            _id_field(emb, id_col, "vec_a"),
+            _id_field(emb, id_col, "vec_b"),
+            T.StructField("cos_sim", T.DoubleType(), True),
+        ]
     )
-    right = with_norm(emb, vec_col).select(
-        F.col(id_col).alias("vec_b"), F.col("__v").alias("vb"), F.col("__norm").alias("nb")
-    )
-    return (
-        left.crossJoin(F.broadcast(right))
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", round6_col(_dot("va", "vb") / (F.col("na") * F.col("nb"))))
-        .where(F.col("cos_sim") >= threshold)
-        .select("vec_a", "vec_b", "cos_sim")
-    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx: EmbIndex = bc.value
+        n = len(idx.ids)
+        for pdf in batches:
+            q = len(pdf)
+            if q == 0 or n == 0:
+                continue
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q_ids = pdf[id_col].to_numpy()
+            qn = _fold_norms(Q)
+            cos = _fold_dots(Q, idx.M)
+            # single division by the norm PRODUCT — x/(a*b) and
+            # (x/a)/b differ in ulps; the JVM/DuckDB expression is
+            # dot / (na * nb)
+            cos /= qn[:, None] * idx.norms[None, :]
+            cos = _round_np(cos, digits)
+            pos = idx.positions(q_ids)
+            keep = (cos >= threshold) & (pos[:, None] < np.arange(n)[None, :])
+            rr, cc = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_a": q_ids[rr],
+                    "vec_b": idx.ids[cc],
+                    "cos_sim": cos[rr, cc],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 # ---- scale paths (approximate; verified by recall tests, not oracle) ----
@@ -105,17 +294,30 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = COS_DIGITS,
+    strategy: str = "arrow",
 ) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH: n_tables independent
     sign-signatures of n_planes bits each; candidates = pairs sharing
-    any (table, bucket); exact cosine + window ranks the union.
+    any (table, bucket); exact cosine ranks the union.
     Recall for neighbors at angle θ: 1-(1-(1-θ/π)^n_planes)^n_tables.
     Approximate — recall vs cosine_topk tested statistically.
 
-    Signatures are one Arrow-batched matmul per batch: (rows x dim) @
-    (dim x tables*planes) sign matrix (deterministic md5-derived ±1,
-    same family as _LSH_SIGN), instead of per-row interpreted
+    strategy="arrow" (default, the scale path): base signatures and
+    per-table CSR bucket lists live in a broadcast LSHIndex; each query
+    batch computes its own signatures with one matmul, gathers bucket
+    candidates ragged, dedups per query, refines with the exact-fold
+    cosine and ranks in-batch — ONE mapInPandas pass, zero shuffles
+    (vs jvm's explode + self-join + distinct + window: 3 shuffles).
+    Both strategies produce the same candidate set (union of shared
+    buckets) and the same deterministic ranking, asserted by test.
+
+    strategy="jvm": relational pipeline; signatures are one
+    Arrow-batched matmul per batch: (rows x dim) @ (dim x
+    tables*planes) sign matrix (deterministic md5-derived ±1, same
+    family as _LSH_SIGN), instead of per-row interpreted
     zip_with/aggregate folds with md5 inside the element lambda."""
+    if strategy == "arrow":
+        return _lsh_topk_arrow(emb, k, n_planes, n_tables, id_col, vec_col, digits)
     base = with_norm(emb, vec_col)
 
     def _sign(p: int, i: int) -> float:
@@ -125,13 +327,7 @@ def lsh_bucket_topk(
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def buckets_udf(v: pd.Series) -> pd.Series:
         M = np.vstack(v.to_numpy())
-        dim = M.shape[1]
-        S = np.empty((dim, n_tables * n_planes))
-        for t in range(n_tables):
-            for p in range(n_planes):
-                pid = t * 1000 + p
-                for i in range(dim):
-                    S[i, t * n_planes + p] = _sign(pid, i + 1)
+        S = _sign_matrix(M.shape[1], n_planes, n_tables)
         proj = M @ S  # (rows, tables*planes)
         bits = (proj > 0).astype(np.int32)
         weights = np.tile(1 << np.arange(n_planes, dtype=np.int32), n_tables)
@@ -160,23 +356,195 @@ def lsh_bucket_topk(
         .select("vec_id", "neighbor_id")
         .distinct()
     )
-    left = with_norm(emb, vec_col).select(
-        F.col(id_col).alias("vec_id"), F.col("__v").alias("va"), F.col("__norm").alias("na")
-    )
-    rightv = with_norm(emb, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("vb"), F.col("__norm").alias("nb")
-    )
-    pairs = (
-        cand.join(left, "vec_id")
-        .join(F.broadcast(rightv), "neighbor_id")
-        .withColumn("cos_sim", round6_col(_dot("va", "vb") / (F.col("na") * F.col("nb"))))
-    )
+    pairs = _refine_pairs(cand, emb, id_col, vec_col, digits)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _sign_matrix(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix (dim x tables*planes), the
+    same md5 family as buckets_udf / _LSH_SIGN — no RNG state."""
+    S = np.empty((dim, n_tables * n_planes))
+    for t in range(n_tables):
+        for p in range(n_planes):
+            pid = t * 1000 + p
+            for i in range(dim):
+                h = hashlib.md5(f"plane{pid}_{i + 1}".encode()).hexdigest()
+                S[i, t * n_planes + p] = 1.0 if int(h[:4], 16) % 2 else -1.0
+    return S
+
+
+class LSHIndex(EmbIndex):
+    """EmbIndex + per-table CSR bucket lists: for table t and bucket b,
+    base-vector positions are bucket_pos[t][offsets[t][b]:offsets[t][b+1]]
+    (ascending within a bucket -> ties resolve to neighbor_id asc)."""
+
+    def __init__(self, ids, M, n_planes: int, n_tables: int):
+        super().__init__(ids, M)
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        dim = self.M.shape[1] if len(self.ids) else 1
+        self.S = _sign_matrix(dim, n_planes, n_tables)
+        n_buckets = 1 << n_planes
+        self.offsets = []
+        self.bucket_pos = []
+        sigs = self.signatures(self.M)  # (n, tables)
+        for t in range(n_tables):
+            bkt = sigs[:, t]
+            order = np.argsort(bkt, kind="stable").astype(np.int64)
+            counts = np.bincount(bkt, minlength=n_buckets)
+            self.offsets.append(
+                np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            )
+            self.bucket_pos.append(order)
+
+    def signatures(self, V: np.ndarray) -> np.ndarray:
+        """(rows, tables) int32 bucket signatures — identical weighting
+        to buckets_udf (bit p of table t = sign of plane t*1000+p)."""
+        if not len(V):
+            return np.zeros((0, self.n_tables), np.int32)
+        proj = V @ self.S
+        bits = (proj > 0).astype(np.int32)
+        weights = np.tile(
+            1 << np.arange(self.n_planes, dtype=np.int32), self.n_tables
+        )
+        return (
+            (bits * weights)
+            .reshape(len(V), self.n_tables, self.n_planes)
+            .sum(axis=2)
+            .astype(np.int32)
+        )
+
+
+def _lsh_topk_arrow(
+    emb: DataFrame,
+    k: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+    digits: int,
+) -> DataFrame:
+    """Single-pass LSH ANN (see lsh_bucket_topk): broadcast LSHIndex,
+    one mapInPandas over the query side, zero shuffles."""
+    base = build_emb_index(emb, id_col, vec_col)
+    index = LSHIndex(base.ids, base.M, n_planes, n_tables)
+    bc = emb.sparkSession.sparkContext.broadcast(index)
+    schema = T.StructType(
+        [
+            _id_field(emb, id_col, "vec_id"),
+            _id_field(emb, id_col, "neighbor_id"),
+            T.StructField("cos_sim", T.DoubleType(), True),
+            T.StructField("rank", T.IntegerType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx: LSHIndex = bc.value
+        n = len(idx.ids)
+        for pdf in batches:
+            q = len(pdf)
+            if q == 0 or n <= 1:
+                continue
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q_ids = pdf[id_col].to_numpy()
+            sigs = idx.signatures(Q)  # (q, tables)
+            qi_parts, cd_parts = [], []
+            rows = np.arange(q, dtype=np.int64)
+            for t in range(idx.n_tables):
+                starts = idx.offsets[t][sigs[:, t]]
+                counts = idx.offsets[t][sigs[:, t] + 1] - starts
+                total = int(counts.sum())
+                if not total:
+                    continue
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(counts) - counts, counts
+                )
+                qi_parts.append(np.repeat(rows, counts))
+                cd_parts.append(
+                    idx.bucket_pos[t][np.repeat(starts, counts) + within]
+                )
+            if not qi_parts:
+                continue
+            qi = np.concatenate(qi_parts)
+            cd = np.concatenate(cd_parts)
+            # dedup (query, candidate) across tables; drop self
+            pos = idx.positions(q_ids)
+            keyed = np.unique(qi * n + cd)
+            qi, cd = keyed // n, keyed % n
+            not_self = idx.ids[cd] != q_ids[qi]
+            qi, cd = qi[not_self], cd[not_self]
+            if not len(qi):
+                continue
+            qn = _fold_norms(Q)
+            cos = _fold_dots_rows(Q[qi], idx.M[cd])
+            cos /= qn[qi] * idx.norms[cd]
+            cos = _round_np(cos, digits)
+            # rank per query: cos desc (rounded), neighbor position asc
+            order = np.lexsort((cd, -cos, qi))
+            qi, cd, cos = qi[order], cd[order], cos[order]
+            grp_start = np.concatenate([[0], np.nonzero(np.diff(qi))[0] + 1])
+            seg = np.repeat(
+                grp_start, np.diff(np.concatenate([grp_start, [len(qi)]]))
+            )
+            rank = np.arange(len(qi), dtype=np.int64) - seg
+            keep = rank < k
+            yield pd.DataFrame(
+                {
+                    "vec_id": q_ids[qi[keep]],
+                    "neighbor_id": idx.ids[cd[keep]],
+                    "cos_sim": cos[keep],
+                    "rank": (rank[keep] + 1).astype(np.int32),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def _refine_pairs(
+    cand: DataFrame,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    digits: int,
+) -> DataFrame:
+    """Exact cosine for candidate (vec_id, neighbor_id) pairs via the
+    broadcast EmbIndex: a row-wise exact-fold kernel in one mapInPandas
+    pass — replaces two hash joins + an interpreted zip_with/aggregate
+    lambda per pair. Scale shape: only two id columns shuffle; the
+    vectors never leave the broadcast index."""
+    index = build_emb_index(emb, id_col, vec_col)
+    bc = cand.sparkSession.sparkContext.broadcast(index)
+    schema = T.StructType(
+        [
+            _id_field(emb, id_col, "vec_id"),
+            _id_field(emb, id_col, "neighbor_id"),
+            T.StructField("cos_sim", T.DoubleType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx: EmbIndex = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pa = idx.positions(pdf["vec_id"].to_numpy())
+            pb = idx.positions(pdf["neighbor_id"].to_numpy())
+            cos = _fold_dots_rows(idx.M[pa], idx.M[pb])
+            cos /= idx.norms[pa] * idx.norms[pb]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cos_sim": _round_np(cos, digits),
+                }
+            )
+
+    return cand.select("vec_id", "neighbor_id").mapInPandas(gen, schema)
 
 
 def ivf_topk(

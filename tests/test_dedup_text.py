@@ -135,3 +135,20 @@ def test_ann_ivf_recall(spark, emb):
     }
     recall = len(truth & approx) / len(truth)
     assert recall > 0.5, f"IVF recall too low: {recall}"
+
+
+def test_cosine_strategies_bitwise_equal(spark, emb):
+    """Arrow kernels must reproduce the JVM fold bit-for-bit (same
+    left-fold add sequence, single division by the norm product) —
+    this is what keeps the DuckDB oracle hash-matching when the
+    default strategy is arrow."""
+    from cityfinder_spark.operators.similarity import cosine_dedup_pairs
+
+    for fn, kwargs in (
+        (cosine_topk, {"k": 5}),
+        (cosine_dedup_pairs, {"threshold": 0.5}),
+        (lsh_bucket_topk, {"k": 5}),
+    ):
+        a = sorted(map(tuple, fn(emb, strategy="arrow", **kwargs).collect()))
+        j = sorted(map(tuple, fn(emb, strategy="jvm", **kwargs).collect()))
+        assert a == j, f"{fn.__name__} strategies diverge"
