@@ -12,7 +12,12 @@ Design notes (100 TB scale):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from cityfinder_spark.colutils import round6_col
 
@@ -27,6 +32,22 @@ MINHASH_FUNCS: list[tuple[int, int, int]] = [
 SIMHASH_BITS = 16
 
 MD5_INT_SPARK = "cast(conv(substr(md5({x}), 1, 12), 16, 10) as bigint)"
+
+
+def _md5_int(s: str) -> int:
+    """int48 of md5 — the Python twin of MD5_INT_SPARK / the DuckDB
+    oracle's substr(md5(x),1,12). Spark's md5() hashes the UTF-8 bytes
+    of the string, which is exactly str.encode()."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _md5_int_np(tokens: list[str]) -> np.ndarray:
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int(md5(t.encode()).hexdigest()[:12], 16) for t in tokens),
+        dtype=np.int64,
+        count=len(tokens),
+    )
 
 
 def dedup_exact(
@@ -51,22 +72,55 @@ def word_shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    strategy: str = "arrow",
 ) -> DataFrame:
     """Distinct n-word shingles per document: (doc_id, shingle).
     max_df drops shingles appearing in more than max_df docs (bounds
-    the quadratic candidate join; None = exact semantics)."""
-    parts = ", ".join(f"element_at(__w, i + {j})" for j in range(n))
-    sh = (
-        docs.withColumn("__w", F.split(F.col(text_col), " "))
-        .where(F.size("__w") >= n)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(f"transform(sequence(1, size(__w) - {n - 1}), i -> concat_ws(' ', {parts}))")
-            ).alias("shingle"),
+    the quadratic candidate join; None = exact semantics).
+
+    strategy="arrow" (default): per-doc shingle SETS built in one
+    mapInPandas pass — global distinct on (doc_id, shingle) equals the
+    per-doc set because ids are unique, so the explode + distinct
+    SHUFFLE of the jvm path disappears entirely. strategy="jvm": the
+    relational explode of an interpreted transform() lambda + distinct
+    (plan-shape reference; exactly equal output, parity-tested)."""
+    if strategy == "jvm":
+        parts = ", ".join(f"element_at(__w, i + {j})" for j in range(n))
+        sh = (
+            docs.withColumn("__w", F.split(F.col(text_col), " "))
+            .where(F.size("__w") >= n)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.expr(f"transform(sequence(1, size(__w) - {n - 1}), i -> concat_ws(' ', {parts}))")
+                ).alias("shingle"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        schema = T.StructType(
+            [
+                T.StructField(id_col, docs.schema[id_col].dataType, True),
+                T.StructField("shingle", T.StringType(), True),
+            ]
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids_out, sh_out = [], []
+                for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = (text or "").split(" ")
+                    if len(toks) < n:
+                        continue
+                    uniq = set(
+                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    )
+                    ids_out.extend([doc_id] * len(uniq))
+                    sh_out.extend(uniq)
+                if ids_out:
+                    yield pd.DataFrame({id_col: ids_out, "shingle": sh_out})
+
+        sh = docs.select(id_col, text_col).mapInPandas(gen, schema)
     if max_df is not None:
         hot = (
             sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
@@ -120,20 +174,70 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "arrow",
 ) -> DataFrame:
     """(doc_id, k, minhash) MinHash sketch over n-word shingles with
-    the fixed affine hash family MINHASH_FUNCS."""
-    sh = word_shingles(docs, n, id_col, text_col).withColumn(
-        "x", F.expr(MD5_INT_SPARK.format(x="shingle"))
+    the fixed affine hash family MINHASH_FUNCS. Docs with < n words
+    emit no rows. All arithmetic is integer, so the two strategies are
+    exactly equal (parity-tested):
+
+      * "jvm": explode shingles -> md5 Column expr -> crossJoin the
+        hash family -> groupBy min. Two shuffles, |shingles| x M rows
+        through the aggregate.
+      * "arrow" (default): ONE mapInPandas pass — per doc, shingle
+        windows + md5 in Python, then a (shingles x M) affine-hash
+        matrix min-reduced in NumPy. Zero shuffles; duplicates need no
+        distinct pass because min() is idempotent under multiplicity.
+    """
+    if strategy == "jvm":
+        sh = word_shingles(docs, n, id_col, text_col).withColumn(
+            "x", F.expr(MD5_INT_SPARK.format(x="shingle"))
+        )
+        funcs = docs.sparkSession.createDataFrame(
+            MINHASH_FUNCS, "k int, a long, b long"
+        )
+        return (
+            sh.crossJoin(F.broadcast(funcs))
+            .groupBy(id_col, "k")
+            .agg(F.min((F.col("a") * F.col("x") + F.col("b")) % MINHASH_P).alias("minhash"))
+        )
+
+    A = np.array([a for _, a, _ in MINHASH_FUNCS], dtype=np.int64)
+    B = np.array([b for _, _, b in MINHASH_FUNCS], dtype=np.int64)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType, True),
+            T.StructField("k", T.IntegerType(), True),
+            T.StructField("minhash", T.LongType(), True),
+        ]
     )
-    funcs = docs.sparkSession.createDataFrame(
-        MINHASH_FUNCS, "k int, a long, b long"
-    )
-    return (
-        sh.crossJoin(F.broadcast(funcs))
-        .groupBy(id_col, "k")
-        .agg(F.min((F.col("a") * F.col("x") + F.col("b")) % MINHASH_P).alias("minhash"))
-    )
+    ks = np.arange(MINHASH_M, dtype=np.int32)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_out, sigs_out = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split(" ")
+                if len(toks) < n:
+                    continue
+                shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                x = _md5_int_np(shingles)
+                # (shingles x M) affine hashes; a < 2^15 keeps a*x in int64
+                h = (x[:, None] * A[None, :] + B[None, :]) % MINHASH_P
+                ids_out.append(doc_id)
+                sigs_out.append(h.min(axis=0))
+            if not ids_out:
+                continue
+            m = len(ids_out)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(np.asarray(ids_out), MINHASH_M),
+                    "k": np.tile(ks, m),
+                    "minhash": np.concatenate(sigs_out),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
 
 
 def minhash_lsh_pairs(
@@ -148,20 +252,7 @@ def minhash_lsh_pairs(
     (shingle->minhash->band->bucket-join), exact Jaccard verifies.
     Output is a SUBSET of ngram_jaccard_pairs (LSH recall < 1); the
     banding makes the candidate join O(collisions), not O(n^2)."""
-    sigs = minhash_signatures(docs, n, id_col, text_col)
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("k") / F.lit(float(band_size))).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-            ).alias("sig")
-        )
-    )
+    bands = minhash_band_sigs(docs, n, band_size, id_col, text_col)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
     cand = (
@@ -175,29 +266,123 @@ def minhash_lsh_pairs(
     return pairs.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def minhash_band_sigs(
+    docs: DataFrame,
+    n: int = 3,
+    band_size: int = BAND_SIZE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band, sig) LSH band signatures straight from the
+    Arrow minhash kernel — sig is the comma-joined minhashes of the
+    band in k order, identical to grouping minhash_signatures by
+    floor(k/band_size) and concat_ws over array_sort(struct(k, mh))
+    (array_sort on structs orders by the first field, k). Emitting
+    bands in the same pass removes that groupBy's shuffle and its
+    interpreted transform() lambda."""
+    n_bands = MINHASH_M // band_size
+    A = np.array([a for _, a, _ in MINHASH_FUNCS], dtype=np.int64)
+    B = np.array([b for _, _, b in MINHASH_FUNCS], dtype=np.int64)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType, True),
+            T.StructField("band", T.IntegerType(), True),
+            T.StructField("sig", T.StringType(), True),
+        ]
+    )
+    bands_idx = np.arange(n_bands, dtype=np.int32)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_out, sig_out = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split(" ")
+                if len(toks) < n:
+                    continue
+                shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                x = _md5_int_np(shingles)
+                mh = ((x[:, None] * A[None, :] + B[None, :]) % MINHASH_P).min(axis=0)
+                ids_out.append(doc_id)
+                sig_out.append(
+                    [
+                        ",".join(str(v) for v in mh[c * band_size : (c + 1) * band_size])
+                        for c in range(n_bands)
+                    ]
+                )
+            if not ids_out:
+                continue
+            m = len(ids_out)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(np.asarray(ids_out), n_bands),
+                    "band": np.tile(bands_idx, m),
+                    "sig": [s for row in sig_out for s in row],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
 def simhash(
     docs: DataFrame,
     bits: int = SIMHASH_BITS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "arrow",
 ) -> DataFrame:
     """SimHash signature over word token hashes (with multiplicity):
-    bit b of the signature = sign of sum over tokens of ±1 on bit b."""
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("x", F.expr(MD5_INT_SPARK.format(x="tok")))
-    bit_rows = [(b, 1 << b, 1 << (b + 1)) for b in range(bits)]
-    bdf = docs.sparkSession.createDataFrame(bit_rows, "b int, lo long, hi long")
-    signed = toks.crossJoin(F.broadcast(bdf)).withColumn(
-        "s", F.when((F.col("x") % F.col("hi")) >= F.col("lo"), 1).otherwise(-1)
+    bit b of the signature = sign of sum over tokens of ±1 on bit b.
+    Integer arithmetic throughout -> the strategies are exactly equal
+    (parity-tested). Assumes unique doc ids (one output row per doc).
+
+      * "jvm": explode tokens x bit table, two groupBy shuffles —
+        |tokens| x bits rows through the first aggregate.
+      * "arrow" (default): ONE mapInPandas pass — md5 the batch's
+        token stream once, per-doc bit balances via segmented
+        reduction. Zero shuffles. (x % 2^(b+1)) >= 2^b is just
+        "bit b of x is set", so the balance is a popcount diff."""
+    if strategy == "jvm":
+        toks = docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        ).withColumn("x", F.expr(MD5_INT_SPARK.format(x="tok")))
+        bit_rows = [(b, 1 << b, 1 << (b + 1)) for b in range(bits)]
+        bdf = docs.sparkSession.createDataFrame(bit_rows, "b int, lo long, hi long")
+        signed = toks.crossJoin(F.broadcast(bdf)).withColumn(
+            "s", F.when((F.col("x") % F.col("hi")) >= F.col("lo"), 1).otherwise(-1)
+        )
+        return (
+            signed.groupBy(id_col, "b", "lo")
+            .agg(F.sum("s").alias("bal"))
+            .withColumn("bitval", F.when(F.col("bal") > 0, F.col("lo")).otherwise(F.lit(0)))
+            .groupBy(id_col)
+            .agg(F.sum("bitval").alias("simhash"))
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType, True),
+            T.StructField("simhash", T.LongType(), True),
+        ]
     )
-    return (
-        signed.groupBy(id_col, "b", "lo")
-        .agg(F.sum("s").alias("bal"))
-        .withColumn("bitval", F.when(F.col("bal") > 0, F.col("lo")).otherwise(F.lit(0)))
-        .groupBy(id_col)
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tok_lists = [(t or "").split(" ") for t in pdf[text_col]]
+            counts = np.array([len(l) for l in tok_lists], dtype=np.int64)
+            x = _md5_int_np([tok for l in tok_lists for tok in l])
+            bit_m = ((x[:, None] >> np.arange(bits)) & 1).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            # split(" ") of any string yields >= 1 token, so every
+            # segment is non-empty and reduceat is well-defined
+            set_counts = np.add.reduceat(bit_m, starts, axis=0)
+            bal = 2 * set_counts - counts[:, None]
+            sig = ((bal > 0) * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": sig})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
 
 
 def hamming_pairs(

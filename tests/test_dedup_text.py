@@ -152,3 +152,20 @@ def test_cosine_strategies_bitwise_equal(spark, emb):
         a = sorted(map(tuple, fn(emb, strategy="arrow", **kwargs).collect()))
         j = sorted(map(tuple, fn(emb, strategy="jvm", **kwargs).collect()))
         assert a == j, f"{fn.__name__} strategies diverge"
+
+
+def test_dedup_strategies_exactly_equal(spark):
+    """simhash / minhash / shingles are pure integer+string pipelines,
+    so arrow and jvm strategies must be EXACTLY equal, not just
+    hash-close."""
+    from cityfinder_spark.operators.dedup import (
+        minhash_signatures,
+        simhash,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(8)
+    for fn in (simhash, minhash_signatures, word_shingles):
+        a = sorted(map(tuple, fn(docs, strategy="arrow").collect()))
+        j = sorted(map(tuple, fn(docs, strategy="jvm").collect()))
+        assert a == j, f"{fn.__name__} strategies diverge"
