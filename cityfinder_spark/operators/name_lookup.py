@@ -29,7 +29,10 @@ one best-candidate row per matched query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
 
 
 def build_name_index(cities: DataFrame) -> DataFrame:
@@ -67,13 +70,32 @@ def city_by_name(
     id_col: str = "q_id",
     name_col: str = "q_name",
     country_col: str = "q_country",
-    fuzzy_strategy: str = "scan",
+    fuzzy_strategy: str = "symspell",
 ) -> DataFrame:
     """queries + (city_id, name, c_lat, c_lon, match_type, edit_dist).
 
     match_type in ('exact', 'fuzzy', NULL-on-miss). Exact hits resolve
     to the lowest city_id (reference first-match). Fuzzy hits resolve
     by (edit distance, indexed name asc, city_id).
+
+    fuzzy_strategy picks the candidate-resolution physical plan (all
+    three produce identical rows, parity-tested):
+      * "symspell" (default): relational deletion-neighborhood
+        equi-join — explode both sides into <= max_dist deletion
+        variants, equi-join, verify Levenshtein on collisions only.
+        Fastest measured at sf0.1 (~7s vs ~11s scan / ~9s arrow
+        warm) and fully JVM-side.
+      * "scan": per-country broadcast join + codegen'd Levenshtein
+        over |keys| x |dict/country| pairs — simplest plan, best when
+        the per-country dictionary is tiny.
+      * "arrow": the first-match dictionary resolves every distinct
+        key in ONE mapInPandas pass (exact hash probe, then SymSpell
+        variant probe + integer Levenshtein verify) against a
+        per-worker NameIndex — this IS the reference's in-process
+        structure (inverted index + BK-tree as pruning map,
+        name.go:14-18). Loses to symspell here only because each call
+        rebuilds the worker indexes; wins when the same dictionary
+        serves many queries per process.
     """
     index = build_name_index(cities)
     q_all = queries.select(
@@ -113,6 +135,9 @@ def city_by_name(
             ).alias("rep")
         )
     )
+
+    if fuzzy_strategy == "arrow":
+        return _resolve_arrow(q_all, q, reps, fuzzy, max_dist)
 
     # exact branch: broadcast equi-join on (country, name), rank 0
     exact = q.join(
@@ -263,4 +288,150 @@ def city_by_name(
         .when(b["rank"] == 1, "fuzzy")
         .alias("match_type"),
         b["edit_dist"].alias("edit_dist"),
+    )
+
+
+# per-worker-process memo of the built NameIndex (workers run one task
+# at a time; the cache is keyed by the operator invocation's token and
+# cleared on a new token so stale indexes don't accumulate)
+_WORKER_INDEX_CACHE: dict[str, "NameIndex"] = {}
+
+
+def _deletion_variants(s: str, max_dist: int) -> set[str]:
+    """All strings reachable from s by <= max_dist single-char
+    deletions (including s itself) — the SymSpell neighborhood."""
+    out = {s}
+    frontier = {s}
+    for _ in range(max_dist):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1 :])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain integer Levenshtein (insert/delete/substitute, unit
+    costs) — identical to Spark's F.levenshtein and DuckDB's
+    levenshtein() on these inputs; integer DP, so no parity risk."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
+class NameIndex:
+    """Driver-built broadcast name dictionary: first-match payload per
+    (country, indexed name) + SymSpell deletion-neighborhood map —
+    the Spark analog of the reference's InvertedIndex + BK-tree pair
+    (lib/finder/name/name.go:14-18; the BK-tree is only a pruning
+    structure, replaced here by the deletion map)."""
+
+    def __init__(self, rows: list[tuple], max_dist: int):
+        # rows: (c_country, indexed_name, city_id, name, c_lat, c_lon)
+        self.max_dist = max_dist
+        self.exact: dict[tuple[str, str], tuple] = {}
+        self.variants: dict[tuple[str, str], list[str]] = {}
+        for country, iname, city_id, name, lat, lon in rows:
+            self.exact[(country, iname)] = (city_id, name, lat, lon)
+        for country, iname in self.exact:
+            for v in _deletion_variants(iname, max_dist):
+                self.variants.setdefault((country, v), []).append(iname)
+
+    def resolve(self, q_name: str, q_country: str, fuzzy: bool):
+        """-> (city_id, name, lat, lon, match_type, edit_dist) or None.
+        Tie-break identical to the relational min(struct): exact beats
+        fuzzy, then edit distance, then indexed name ascending."""
+        hit = self.exact.get((q_country, q_name))
+        if hit is not None:
+            return (*hit, "exact", 0)
+        if not fuzzy or q_name is None:
+            return None
+        cands: set[str] = set()
+        for v in _deletion_variants(q_name, self.max_dist):
+            cands.update(self.variants.get((q_country, v), ()))
+        best = None
+        for iname in cands:
+            ed = _levenshtein(q_name, iname)
+            if ed <= self.max_dist and (best is None or (ed, iname) < best):
+                best = (ed, iname)
+        if best is None:
+            return None
+        ed, iname = best
+        return (*self.exact[(q_country, iname)], "fuzzy", ed)
+
+
+def _resolve_arrow(
+    q_all: DataFrame, q: DataFrame, reps: DataFrame, fuzzy: bool, max_dist: int
+) -> DataFrame:
+    """Single-pass resolution of the DISTINCT key space against the
+    broadcast NameIndex, then one join back to the query rows. The
+    dictionary build is a Spark aggregation (first-match reps), then a
+    driver collect — the build-once gob-cache analog (SURVEY §1.3)."""
+    rep_rows = [
+        (r["c_country"], r["indexed_name"], r["rep"]["city_id"],
+         r["rep"]["name"], r["rep"]["c_lat"], r["rep"]["c_lon"])
+        for r in reps.collect()
+    ]
+    # Broadcast the COMPACT rep rows, not the built index: the variant
+    # map pickles ~10x larger than its inputs, and PySpark workers
+    # fetch broadcast payloads serially — a multi-MB pickle costs each
+    # of N workers its queue position (measured: 4s mean wait at 32
+    # workers for a 5.5 MB index vs ~0.1s for the raw rows). Each
+    # worker builds the index once, in parallel, memoized by token.
+    token = f"nameidx-{id(rep_rows)}-{len(rep_rows)}-{max_dist}"
+    bc = q_all.sparkSession.sparkContext.broadcast((token, rep_rows, max_dist))
+    schema = T.StructType(
+        [
+            T.StructField("q_name", T.StringType(), True),
+            T.StructField("q_country", T.StringType(), True),
+            T.StructField("city_id", T.LongType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("c_lat", T.DoubleType(), True),
+            T.StructField("c_lon", T.DoubleType(), True),
+            T.StructField("match_type", T.StringType(), True),
+            T.StructField("edit_dist", T.IntegerType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok, rows_in, md = bc.value
+        idx = _WORKER_INDEX_CACHE.get(tok)
+        if idx is None:
+            idx = NameIndex(rows_in, md)
+            _WORKER_INDEX_CACHE.clear()
+            _WORKER_INDEX_CACHE[tok] = idx
+        for pdf in batches:
+            rows = []
+            for q_name, q_country in zip(pdf["q_name"], pdf["q_country"]):
+                r = idx.resolve(q_name, q_country, fuzzy)
+                if r is not None:
+                    rows.append((q_name, q_country, *r))
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    best = q.mapInPandas(gen, schema)
+    resolved = q_all.join(best, ["q_name", "q_country"], "left")
+    return resolved.select(
+        "q_id", "q_name", "q_country", "city_id", "name", "c_lat", "c_lon",
+        "match_type",
+        F.col("edit_dist").cast("int").alias("edit_dist"),
     )

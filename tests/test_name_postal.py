@@ -135,3 +135,23 @@ def test_postal_lookup_hit_miss_case(spark):
     assert out[0]["name"] == "Paris Louvre"  # lowercase country uppercased (routes.go:64)
     assert out[1]["name"] == "New York" and out[1]["accuracy"] == 4
     assert out[2]["name"] is None  # nil on miss (postalCode.go:62-63)
+
+
+def test_name_lookup_strategies_equal(spark):
+    """All three fuzzy physical strategies (symspell / scan / arrow)
+    must produce identical rows — same candidates (SymSpell deletion
+    neighborhoods are complete for Levenshtein <= d) and same
+    (rank, edit distance, name) tie-break."""
+    from cityfinder_spark import sqlcompat as sc
+    from cityfinder_spark.colutils import spread
+    from cityfinder_spark.contract import load_views
+    from cityfinder_spark.operators.name_lookup import city_by_name
+
+    load_views(spark, "/root/testdata/sf0.001", ("orders", "customer", "nation"))
+    dim = spark.sql(sc.names_dim_sql())
+    q = spread(spark.sql(sc.name_queries_sql()))
+    outs = [
+        sorted(map(tuple, city_by_name(q, dim, fuzzy_strategy=s).collect()))
+        for s in ("symspell", "scan", "arrow")
+    ]
+    assert outs[0] == outs[1] == outs[2]
