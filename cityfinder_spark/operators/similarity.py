@@ -576,21 +576,23 @@ def ivf_topk(
     probes = (
         assign.withColumn("pr", F.row_number().over(w))
         .where(F.col("pr") <= n_probe)
-        .select(F.col(id_col).alias("vec_id"), "list_id",
-                F.col("__v").alias("va"), F.col("__norm").alias("na"))
+        .select(F.col(id_col).alias("vec_id"), "list_id")
     )
     # inverted lists: every vector belongs to its own top-1 list
     lists = (
         assign.withColumn("pr", F.row_number().over(w))
         .where(F.col("pr") == 1)
-        .select(F.col(id_col).alias("neighbor_id"), "list_id",
-                F.col("__v").alias("vb"), F.col("__norm").alias("nb"))
+        .select(F.col(id_col).alias("neighbor_id"), "list_id")
     )
-    pairs = (
+    cand = (
         probes.join(lists, "list_id")
         .where(F.col("vec_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", round6_col(_dot("va", "vb") / (F.col("na") * F.col("nb"))))
+        .select("vec_id", "neighbor_id")
     )
+    # exact refinement via the broadcast EmbIndex (row-wise exact-fold
+    # kernel) — same values as the inline zip_with/aggregate fold, but
+    # only id pairs shuffle and no interpreted lambda per pair
+    pairs = _refine_pairs(cand, emb, id_col, vec_col, digits)
     w2 = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w2))
