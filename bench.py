@@ -54,6 +54,7 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh",
     "image_pipeline",
+    "audio_features",
     "events_windowed",
     "events_sessionize",
     "events_props",

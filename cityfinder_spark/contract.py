@@ -314,6 +314,27 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic features (RMS/ZCR/spectral centroid) per clip via
+    Arrow-batched decode (rows-only: binary payload + FFT are not
+    SQL-expressible; exact values pinned in pytest)."""
+    from cityfinder_spark.datagen.audio import audio_table
+    from cityfinder_spark.operators.audio_ops import audio_features
+
+    n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
+    return audio_features(audio_table(spark, n))
+
+
+def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio payload-invariant verdicts (SNR>=40 dB lossy / byte-exact
+    lossless + captions), mirroring image_pipeline (rows-only)."""
+    from cityfinder_spark.datagen.audio import audio_table
+    from cityfinder_spark.operators.audio_ops import check_audio_invariants
+
+    n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
+    return check_audio_invariants(audio_table(spark, n))
+
+
 # ---------------- event-stream queries (batch twins) ----------------
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": q_image_decode_stats,
         "image_resize": q_image_resize,
         "video_frame_sample": q_video_frame_sample,
+        "audio_features": q_audio_features,
+        "audio_pipeline": q_audio_pipeline,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_props": q_events_props,

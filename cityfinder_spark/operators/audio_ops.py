@@ -1,0 +1,144 @@
+"""Multimodal audio column operators.
+
+Audio travels as an opaque `binary` column with typed metadata, same
+contract as images (operators/images_ops.py): every per-row kernel is
+an Arrow-batched mapInPandas — never row-at-a-time Python. The codec
+is the deterministic fake from codecs.fakeaudio; swap it for
+soundfile/ffmpeg and the plumbing (schemas, batch shapes, signatures)
+is unchanged.
+
+The reference has no audio path — this is part of the engine's
+training-data-pipeline extension surface (multimodal columns), built
+to the same invariant standard as the image mandate: decoded-sample
+byte-exactness for lossless, SNR >= 40 dB for lossy, byte-exact
+captions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from cityfinder_spark.codecs.fakeaudio import (
+    decode_audio,
+    encode_audio,
+    gen_samples,
+    snr_db,
+)
+
+SNR_FLOOR_DB = 40.0
+
+FEATURES_SCHEMA = (
+    "audio_id string, fmt string, sr int, n_samples int, duration_s double, "
+    "rms double, zcr double, spectral_centroid_hz double"
+)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Decode every payload -> per-clip acoustic features: RMS level,
+    zero-crossing rate, spectral centroid (rfft-based). All NumPy
+    inside the Arrow batch; one output row per clip."""
+    cols = audio.select("audio_id", "bytes")
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for aid, buf in zip(pdf["audio_id"], pdf["bytes"]):
+                fmt, sr, pcm = decode_audio(bytes(buf))
+                x = pcm.astype(np.float64) / 32768.0
+                rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+                zcr = (
+                    float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+                    if x.size > 1
+                    else 0.0
+                )
+                mag = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(x.size, d=1.0 / sr)
+                denom = float(mag.sum())
+                centroid = float((freqs * mag).sum() / denom) if denom > 0 else 0.0
+                out.append(
+                    {
+                        "audio_id": aid,
+                        "fmt": fmt,
+                        "sr": sr,
+                        "n_samples": int(pcm.size),
+                        "duration_s": pcm.size / float(sr),
+                        "rms": rms,
+                        "zcr": zcr,
+                        "spectral_centroid_hz": centroid,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(op, schema=FEATURES_SCHEMA)
+
+
+def audio_resample(audio: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer-factor downsample (box filter then decimate), re-encoded
+    with the same fmt. Output: audio_id, bytes, sr, n_samples."""
+    cols = audio.select("audio_id", "bytes")
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for aid, buf in zip(pdf["audio_id"], pdf["bytes"]):
+                fmt, sr, pcm = decode_audio(bytes(buf))
+                n2 = pcm.size // factor
+                ds = (
+                    pcm[: n2 * factor]
+                    .astype(np.float64)
+                    .reshape(n2, factor)
+                    .mean(axis=1)
+                    .astype(np.int16)
+                )
+                out.append(
+                    {
+                        "audio_id": aid,
+                        "bytes": encode_audio(ds, sr // factor, fmt),
+                        "sr": sr // factor,
+                        "n_samples": n2,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(
+        op, schema="audio_id string, bytes binary, sr int, n_samples int"
+    )
+
+
+def check_audio_invariants(audio: DataFrame) -> DataFrame:
+    """Per-row invariant verdicts vs the regenerated reference
+    waveform: (audio_id, snr_db, snr_ok, caption_ok). Mirrors the
+    image PSNR mandate (operators/images_ops.py) on the audio axis:
+    lossless must be byte-exact, lossy must clear SNR_FLOOR_DB."""
+    from cityfinder_spark.datagen.audio import expected_audio_caption
+
+    cols = audio.select("audio_id", "bytes", "n_samples", "fmt", "caption")
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                i = int(str(r.audio_id).removeprefix("aud"))
+                fmt, sr, pcm = decode_audio(bytes(r.bytes))
+                ref = gen_samples(i, int(r.n_samples))
+                s = snr_db(ref, pcm)
+                snr_ok = (
+                    bool((pcm == ref).all()) if fmt == "wav" else s >= SNR_FLOOR_DB
+                )
+                out.append(
+                    {
+                        "audio_id": r.audio_id,
+                        "snr_db": min(s, 999.0),
+                        "snr_ok": snr_ok,
+                        "caption_ok": r.caption
+                        == expected_audio_caption(i, int(r.n_samples), sr, fmt),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(
+        op,
+        schema="audio_id string, snr_db double, snr_ok boolean, caption_ok boolean",
+    )

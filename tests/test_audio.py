@@ -1,0 +1,101 @@
+"""Fake audio codec + audio operators + payload invariants (the audio
+sibling of test_images.py: SNR>=40 dB lossy, byte-exact lossless and
+captions)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from cityfinder_spark.codecs.fakeaudio import (
+    decode_audio,
+    decode_audio_real,
+    encode_audio,
+    gen_samples,
+    quantize_lossy_pcm,
+    snr_db,
+)
+from cityfinder_spark.datagen.audio import audio_table
+from cityfinder_spark.operators.audio_ops import (
+    audio_features,
+    audio_resample,
+    check_audio_invariants,
+)
+
+
+def test_audio_codec_roundtrip_lossless():
+    pcm = gen_samples(7, 500)
+    fmt, sr, back = decode_audio(encode_audio(pcm, 16000, "wav"))
+    assert fmt == "wav" and sr == 16000 and (back == pcm).all()
+
+
+def test_audio_codec_lossy_snr_above_floor():
+    pcm = gen_samples(8, 4096)
+    fmt, sr, back = decode_audio(encode_audio(pcm, 8000, "ogg"))
+    assert fmt == "ogg"
+    s = snr_db(pcm, back)
+    assert 40.0 <= s < 90.0  # quantization designed to clear 40 dB
+    assert (back == quantize_lossy_pcm(pcm)).all()
+
+
+def test_audio_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"RIFF....WAVE")
+
+
+def test_gen_samples_deterministic():
+    a, b = gen_samples(42, 100), gen_samples(42, 100)
+    assert (a == b).all()
+    assert not (gen_samples(43, 100) == a).all()
+
+
+def test_audio_features_values(spark):
+    feats = audio_features(audio_table(spark, 20)).orderBy("audio_id").toPandas()
+    assert len(feats) == 20
+    # recompute row 0 locally, compare
+    i = 0
+    n = 256 + (i * 37) % 1792
+    pcm = gen_samples(i, n)
+    x = pcm.astype(np.float64) / 32768.0
+    r0 = feats.iloc[0]
+    assert r0["audio_id"] == "aud000000000000"
+    assert r0["n_samples"] == n and r0["sr"] == 8000
+    assert math.isclose(r0["rms"], float(np.sqrt((x * x).mean())), rel_tol=1e-12)
+    assert math.isclose(
+        r0["zcr"],
+        float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()),
+        rel_tol=1e-12,
+    )
+    assert 0.0 < r0["spectral_centroid_hz"] < r0["sr"] / 2
+    # counter-mix samples are white noise: centroid ~ sr/4 (flat spectrum)
+    assert abs(r0["spectral_centroid_hz"] / r0["sr"] - 0.25) < 0.05
+
+
+def test_audio_resample_halves(spark):
+    out = audio_resample(audio_table(spark, 10), factor=2).orderBy("audio_id").toPandas()
+    src = audio_table(spark, 10).orderBy("audio_id").toPandas()
+    assert (out["n_samples"].to_numpy() == src["n_samples"].to_numpy() // 2).all()
+    assert (out["sr"].to_numpy() == src["sr"].to_numpy() // 2).all()
+    fmt, sr, pcm = decode_audio(bytes(out.iloc[0]["bytes"]))
+    assert pcm.size == out.iloc[0]["n_samples"]
+
+
+def test_audio_invariants_all_ok(spark):
+    verdicts = check_audio_invariants(audio_table(spark, 60)).toPandas()
+    assert len(verdicts) == 60
+    assert verdicts["snr_ok"].all()
+    assert verdicts["caption_ok"].all()
+    lossy = verdicts[verdicts["snr_db"] < 999.0]
+    assert (lossy["snr_db"] >= 40.0).all()
+
+
+def test_audio_invariants_detect_corruption(spark):
+    from pyspark.sql import functions as F
+
+    tbl = audio_table(spark, 10).withColumn(
+        "caption", F.concat(F.col("caption"), F.lit("!"))
+    )
+    verdicts = check_audio_invariants(tbl).toPandas()
+    assert not verdicts["caption_ok"].any()
