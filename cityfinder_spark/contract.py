@@ -71,7 +71,7 @@ def q_nearest_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: nearest-city kNN(k=1) join (SURVEY §2.3 J1)."""
     pts = _points(spark, sf_dir)
     cities = _cities(spark, sf_dir)
-    return nearest_city_join(pts, cities).select(
+    return nearest_city_join(pts, cities, cache_key=("cities", sf_dir)).select(
         "pt_id", "caption", "city_id", "name", "country", "dist_km"
     )
 
@@ -80,7 +80,9 @@ def q_nearest_city_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 nearest (window strategy; generalizes s2.go:65 results[0])."""
     pts = _points(spark, sf_dir)
     cities = _cities(spark, sf_dir)
-    return nearest_city_topk(pts, cities, k=3).select(
+    return nearest_city_topk(
+        pts, cities, k=3, cache_key=("cities", sf_dir)
+    ).select(
         "pt_id", "city_id", "name", "country", "dist_km", "rank"
     )
 
@@ -152,7 +154,8 @@ def q_nearest_city_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir)
     cities = _cities(spark, sf_dir)
     return nearest_city_join_adaptive(
-        pts, cities, base_level=4, max_per_cell=40
+        pts, cities, base_level=4, max_per_cell=40,
+        cache_key=("cities", sf_dir),
     ).select("pt_id", "caption", "city_id", "name", "country", "dist_km")
 
 
@@ -279,7 +282,9 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 10)
     imgs = images_table(spark, n).withColumnRenamed("image_id", "pt_id")
     cities = _cities(spark, sf_dir)
-    joined = nearest_city_join(imgs, cities).withColumnRenamed("pt_id", "image_id")
+    joined = nearest_city_join(
+        imgs, cities, cache_key=("cities", sf_dir)
+    ).withColumnRenamed("pt_id", "image_id")
     verdicts = check_payload_invariants(joined.drop("name").withColumnRenamed("city_id", "_cid"))
     return verdicts
 

@@ -181,6 +181,7 @@ def nearest_city_join(
     fallback: bool = True,
     n_cities: int | None = None,
     strategy: str = "arrow",
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """points + (city_id, name, country, dist_km) of the nearest city.
 
@@ -202,6 +203,7 @@ def nearest_city_join(
             points, cities,
             level=level, ring=ring, id_col=id_col, lat_col=lat_col,
             lon_col=lon_col, digits=digits, n_cities=n_cities,
+            cache_key=cache_key,
         )
     if level is None:
         n = n_cities if n_cities is not None else cities.count()
@@ -256,6 +258,7 @@ def nearest_city_topk(
     digits: int = ROUND_DIGITS,
     n_cities: int | None = None,
     strategy: str = "arrow",
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Top-k nearest cities per point (explode + window strategy).
 
@@ -275,6 +278,7 @@ def nearest_city_topk(
             points, cities,
             k=k, level=level, ring=ring, id_col=id_col, lat_col=lat_col,
             lon_col=lon_col, digits=digits, n_cities=n_cities,
+            cache_key=cache_key,
         )
     if level is None:
         n = n_cities if n_cities is not None else cities.count()

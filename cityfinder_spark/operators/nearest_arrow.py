@@ -79,6 +79,60 @@ def _round_np(d: np.ndarray, digits: int) -> np.ndarray:
     return np.floor(d * scale + 0.5) / scale
 
 
+# ---- chord-distance prefilter ----
+# Great-circle distance is strictly monotone in 3D chord length
+# (chord = 2 sin(d/2R), d in [0, pi*R]), so chord^2 — three mults and
+# two adds per pair, no trig — can (1) find the argmin-by-true-distance
+# candidate and (2) prune every candidate that cannot tie the rounded
+# minimum, before the rounded-haversine kernel runs. The exact kernel
+# then touches only the near-disc survivors instead of the whole
+# latitude band / dense scan (escalated rows were ~95% of kernel time).
+
+
+def _chord_sq_pairs(
+    index: CityIndex,
+    p_ux: np.ndarray,
+    p_uy: np.ndarray,
+    p_uz: np.ndarray,
+    pt_rep: np.ndarray,
+    flat: np.ndarray,
+) -> np.ndarray:
+    """chord^2 between point[pt_rep] and city[flat] unit vectors."""
+    dot = index.ux[flat]
+    dot *= p_ux[pt_rep]
+    t = index.uy[flat]
+    t *= p_uy[pt_rep]
+    dot += t
+    t = index.uz[flat]
+    t *= p_uz[pt_rep]
+    dot += t
+    np.clip(dot, -1.0, 1.0, out=dot)
+    dot *= -2.0
+    dot += 2.0
+    return dot
+
+
+def _chord_sq_to_km(c2: np.ndarray) -> np.ndarray:
+    """Exact great-circle km for a chord^2 (used per-SEGMENT on the
+    minima only, never per pair)."""
+    from cityfinder_spark.sqlcompat import EARTH_RADIUS_KM
+
+    half = np.sqrt(np.maximum(c2, 0.0)) * 0.5
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.minimum(half, 1.0))
+
+
+def _km_to_chord_sq_bound(margin_km: np.ndarray) -> np.ndarray:
+    """chord^2 upper bound for 'true distance <= margin_km', inclusive
+    with a relative guard against sin/asin roundtrip ulps. Margins at or
+    beyond the antipode keep everything (bound 4)."""
+    from cityfinder_spark.sqlcompat import EARTH_RADIUS_KM
+
+    half_angle = margin_km / (2.0 * EARTH_RADIUS_KM)
+    t = 2.0 * np.sin(np.minimum(half_angle, np.pi / 2.0))
+    t2 = t * t * (1.0 + 1e-12) + 1e-30
+    return np.where(half_angle >= np.pi / 2.0, 4.000001, t2)
+
+
 def _hav_pairs_rounded(
     index: CityIndex,
     rad_lat: np.ndarray,
@@ -216,6 +270,11 @@ class CityIndex:
         self.rad_lat = np.radians(self.lat)
         self.rad_lon = np.radians(self.lon)
         self.cos_lat = np.cos(self.rad_lat)
+        # unit vectors for the chord^2 prefilter (no trig per pair)
+        self.ux = self.cos_lat * np.cos(self.rad_lon)
+        self.uy = self.cos_lat * np.sin(self.rad_lon)
+        self.uz = np.sin(self.rad_lat)
+        self.xyz = np.column_stack([self.ux, self.uy, self.uz])
         if n == 0:
             self.cover_cells = np.empty(0, np.int64)
             self.cover_offsets = np.zeros(1, np.int64)
@@ -274,6 +333,14 @@ class CityIndex:
                 starts[hot] = fs
                 counts[hot] = fc
         return starts, counts
+
+
+# driver-side build-once cache — the Spark analog of the reference's
+# gob-serialized index reuse (initializer.go:198-213: build if missing,
+# else load). Keyed by a caller-supplied identity for the cities
+# dimension (e.g. its source path) + the build knobs; callers own key
+# correctness (a stale key for changed data returns the stale index).
+_INDEX_CACHE: dict[tuple, CityIndex] = {}
 
 
 def build_city_index(
@@ -359,7 +426,11 @@ def _solve_batch(
     # — refine over the lat-window slice only (exact: any city outside
     # has a strictly larger rounded distance; equal-distance ties
     # outside the window are impossible since the window includes the
-    # full <= best_d + step band).
+    # full <= best_d + step band). Within the window, the chord^2
+    # prefilter shrinks the exact kernel to the near-disc: minimum
+    # chord identifies the true-nearest pair, and only candidates whose
+    # chord fits inside (that distance + 2*round-step) can tie the
+    # rounded minimum.
     wb = np.flatnonzero(esc & (best_pos >= 0))
     if len(wb):
         from cityfinder_spark.geo.cells import KM_PER_DEG
@@ -376,15 +447,29 @@ def _solve_batch(
             seg_starts = np.cumsum(counts) - counts
             within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
             flat = index.lat_order[np.repeat(lo[have], counts) + within]
+            p_ux = p_cos * np.cos(p_rad_lon)
+            p_uy = p_cos * np.sin(p_rad_lon)
+            p_uz = np.sin(p_rad_lat)
             pt_rep = np.repeat(wbi, counts)
+            c2 = _chord_sq_pairs(index, p_ux, p_uy, p_uz, pt_rep, flat)
+            min_c2 = np.minimum.reduceat(c2, seg_starts)
+            margin_km = _chord_sq_to_km(min_c2) + 2.0 * slack
+            seg_rep = np.repeat(np.arange(len(wbi), dtype=np.int64), counts)
+            keep = c2 <= _km_to_chord_sq_bound(margin_km)[seg_rep]
+            # the min-chord pair always survives its own margin, so
+            # every segment keeps >= 1 candidate
+            flat2 = flat[keep]
+            pt2 = pt_rep[keep]
+            counts2 = np.bincount(seg_rep[keep], minlength=len(wbi))
+            seg2 = np.cumsum(counts2) - counts2
             d = _hav_pairs_rounded(
-                index, p_rad_lat, p_rad_lon, p_cos, pt_rep, flat, digits
+                index, p_rad_lat, p_rad_lon, p_cos, pt2, flat2, digits
             )
-            minv = np.minimum.reduceat(d, seg_starts)
-            is_min = d == np.repeat(minv, counts)
+            minv = np.minimum.reduceat(d, seg2)
+            is_min = d == np.repeat(minv, counts2)
             # tie-break: lowest city position (== lowest city_id)
-            cand_pos = np.where(is_min, flat, np.iinfo(np.int64).max)
-            win_pos = np.minimum.reduceat(cand_pos, seg_starts)
+            cand_pos = np.where(is_min, flat2, np.iinfo(np.int64).max)
+            win_pos = np.minimum.reduceat(cand_pos, seg2)
             better = (minv < best_d[wbi]) | (
                 (minv == best_d[wbi]) & (win_pos < best_pos[wbi])
             )
@@ -392,22 +477,36 @@ def _solve_batch(
             best_d[wbi[better]] = minv[better]
 
     # (b) rows with NO in-ring candidate (empty polar/sparse
-    # neighborhoods — rare): full dense scan.
+    # neighborhoods — rare): dense chord^2 scan via one BLAS matmul per
+    # chunk (argmin-by-chord == argmin-by-true-distance), then the
+    # rounded kernel on the per-row near-minimum survivors only.
     blind = np.flatnonzero(esc & (best_pos < 0))
     if len(blind):
+        p_ux = p_cos * np.cos(p_rad_lon)
+        p_uy = p_cos * np.sin(p_rad_lon)
+        p_uz = np.sin(p_rad_lat)
         rows_per_chunk = max(1, _CHUNK // ncities)
         for s in range(0, len(blind), rows_per_chunk):
             sel = blind[s : s + rows_per_chunk]
-            dm = _round_np(
-                haversine_np(
-                    lat[sel][:, None], lon[sel][:, None],
-                    index.lat[None, :], index.lon[None, :],
-                ),
-                digits,
+            pxyz = np.column_stack([p_ux[sel], p_uy[sel], p_uz[sel]])
+            c2m = pxyz @ index.xyz.T
+            np.clip(c2m, -1.0, 1.0, out=c2m)
+            c2m *= -2.0
+            c2m += 2.0
+            min_c2 = c2m.min(axis=1)
+            margin_km = _chord_sq_to_km(min_c2) + 2.0 * slack
+            mask = c2m <= _km_to_chord_sq_bound(margin_km)[:, None]
+            rows_rep, flat = np.nonzero(mask)  # row-major: city pos ascends
+            counts = mask.sum(axis=1)
+            seg = np.cumsum(counts) - counts
+            d = _hav_pairs_rounded(
+                index, p_rad_lat, p_rad_lon, p_cos, sel[rows_rep], flat, digits
             )
-            am = np.argmin(dm, axis=1)  # first min == lowest city_id
-            best_pos[sel] = am
-            best_d[sel] = dm[np.arange(len(sel)), am]
+            minv = np.minimum.reduceat(d, seg)
+            is_min = d == np.repeat(minv, counts)
+            cand_pos = np.where(is_min, flat, np.iinfo(np.int64).max)
+            best_pos[sel] = np.minimum.reduceat(cand_pos, seg)
+            best_d[sel] = minv
     return best_pos, best_d
 
 
@@ -491,12 +590,48 @@ def _topk_batch(
                 np.repeat(windowed, e_counts), index.lat_order[gather], gather
             )
             ept = np.repeat(esc, e_counts)
-            ed = _hav_pairs_rounded(
-                index, p_rad_lat, p_rad_lon, p_cos, ept, eflat, digits
+            # chord^2 prefilter: only candidates whose chord fits the
+            # per-row margin (in-ring kth for windowed rows; the k-th
+            # smallest chord's distance for blind full scans) can enter
+            # the global top-k — the exact kernel and the lexsort then
+            # run on the survivors only.
+            p_ux = p_cos * np.cos(p_rad_lon)
+            p_uy = p_cos * np.sin(p_rad_lon)
+            p_uz = np.sin(p_rad_lat)
+            c2 = _chord_sq_pairs(index, p_ux, p_uy, p_uz, ept, eflat)
+            margin_km = np.where(windowed, kth_d[esc] + 2.0 * slack, np.inf)
+            blind_rows = np.flatnonzero(~windowed)
+            if len(blind_rows):
+                pair_blind = np.repeat(~windowed, e_counts)
+                bc2 = c2[pair_blind]
+                bpt = ept[pair_blind]
+                bcounts = e_counts[blind_rows]
+                bseg = np.cumsum(bcounts) - bcounts
+                bo = np.lexsort((bc2, bpt))
+                kth_idx = np.minimum(bseg + k - 1, bseg + bcounts - 1)
+                kth_c2 = bc2[bo][kth_idx]
+                enough = bcounts >= k
+                margin_km[blind_rows[enough]] = (
+                    _chord_sq_to_km(kth_c2[enough]) + 2.0 * slack
+                )
+            seg_rep = np.repeat(np.arange(len(esc), dtype=np.int64), e_counts)
+            t2 = np.where(
+                np.isinf(margin_km), 4.000001, _km_to_chord_sq_bound(margin_km)
             )
-            o2 = np.lexsort((eflat, ed, ept))
-            ed_s, eflat_s, ept_s = ed[o2], eflat[o2], ept[o2]
-            erank = np.arange(etotal, dtype=np.int64) - np.repeat(eseg, e_counts)
+            keep = c2 <= t2[seg_rep]
+            eflat2 = eflat[keep]
+            ept2 = ept[keep]
+            counts2 = np.bincount(seg_rep[keep], minlength=len(esc))
+            seg2 = np.cumsum(counts2) - counts2
+            ed = _hav_pairs_rounded(
+                index, p_rad_lat, p_rad_lon, p_cos, ept2, eflat2, digits
+            )
+            o2 = np.lexsort((eflat2, ed, ept2))
+            ed_s, eflat_s, ept_s = ed[o2], eflat2[o2], ept2[o2]
+            erank = (
+                np.arange(int(counts2.sum()), dtype=np.int64)
+                - np.repeat(seg2, counts2)
+            )
             tk = erank < k
             out_rows.append(ept_s[tk])
             out_pos.append(eflat_s[tk])
@@ -524,18 +659,25 @@ def nearest_city_topk_arrow(
     lon_col: str = "lon",
     digits: int = ROUND_DIGITS,
     n_cities: int | None = None,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Top-k variant of nearest_city_join_arrow: one mapInPandas pass,
     output one row per (point, rank). Selects (id, lat, lon) only —
     top-k is a fan-out, payload columns should be re-attached by id."""
     from cityfinder_spark.operators.nearest import choose_level
 
-    if level is None:
-        n = n_cities if n_cities is not None else cities.count()
-        level = choose_level(n, ring)
+    full_key = None if cache_key is None else (*cache_key, "topk", level, ring)
+    index = _INDEX_CACHE.get(full_key) if full_key is not None else None
+    if index is None:
+        if level is None:
+            n = n_cities if n_cities is not None else cities.count()
+            level = choose_level(n, ring)
+        index = build_city_index(cities, level, ring)
+        if full_key is not None:
+            _INDEX_CACHE[full_key] = index
 
     spark = points.sparkSession
-    index_bc = spark.sparkContext.broadcast(build_city_index(cities, level, ring))
+    index_bc = spark.sparkContext.broadcast(index)
     slim = points.select(id_col, lat_col, lon_col)
 
     out_schema = T.StructType(
@@ -581,21 +723,32 @@ def nearest_city_join_arrow(
     max_per_cell: int | None = None,
     fine_delta: int = 2,
     city_index: CityIndex | None = None,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """points + (city_id, name, country, dist_km) of the global nearest
     city — one mapInPandas pass, zero shuffle. See module docstring.
     max_per_cell enables adaptive cell splitting (see CityIndex).
 
-    Pass a prebuilt city_index to amortize the driver-side index build
-    across queries — the Spark analog of the reference's build-once
+    Pass a prebuilt city_index — or a cache_key naming the cities
+    dimension's identity — to amortize the driver-side index build
+    across queries: the Spark analog of the reference's build-once
     gob-cached index (initializer.go:198-213)."""
     if city_index is None:
         from cityfinder_spark.operators.nearest import choose_level
 
-        if level is None:
-            n = n_cities if n_cities is not None else cities.count()
-            level = choose_level(n, ring)
-        city_index = build_city_index(cities, level, ring, max_per_cell, fine_delta)
+        full_key = (
+            None
+            if cache_key is None
+            else (*cache_key, "k1", level, ring, max_per_cell, fine_delta)
+        )
+        city_index = _INDEX_CACHE.get(full_key) if full_key is not None else None
+        if city_index is None:
+            if level is None:
+                n = n_cities if n_cities is not None else cities.count()
+                level = choose_level(n, ring)
+            city_index = build_city_index(cities, level, ring, max_per_cell, fine_delta)
+            if full_key is not None:
+                _INDEX_CACHE[full_key] = city_index
 
     spark = points.sparkSession
     index_bc = spark.sparkContext.broadcast(city_index)

@@ -115,6 +115,7 @@ def nearest_city_join_adaptive(
     lon_col: str = "lon",
     digits: int = ROUND_DIGITS,
     strategy: str = "arrow",
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """nearest_city_join with adaptive cell splitting: fact rows in hot
     cells use a cover re-built at base_level+fine_delta with
@@ -133,6 +134,7 @@ def nearest_city_join_adaptive(
             level=base_level, ring=ring, id_col=id_col, lat_col=lat_col,
             lon_col=lon_col, digits=digits,
             max_per_cell=max_per_cell, fine_delta=fine_delta,
+            cache_key=cache_key,
         )
     cover_ok, cover_fine, fine_level, fine_ring = build_adaptive_cover(
         cities, base_level, ring, max_per_cell, fine_delta

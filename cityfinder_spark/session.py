@@ -23,6 +23,12 @@ def get_spark(
     shuffle_partitions: defaults to the core count (local mode — the
     upstream default of 200 over-parallelizes small shuffles).
     """
+    # one BLAS thread per Python worker: N workers each spawning
+    # N BLAS threads oversubscribes the host N-fold on the NumPy
+    # matmul kernels (set before the JVM forks workers; workers
+    # inherit the driver environment in local mode).
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if shuffle_partitions is None:
         ncores = os.cpu_count() or 8
         shuffle_partitions = ncores if cores == "*" else int(cores)

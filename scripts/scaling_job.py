@@ -49,6 +49,8 @@ def main() -> None:
     ap.add_argument("--payload", action="store_true")
     args = ap.parse_args()
 
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     spark = (
         SparkSession.builder.appName("scaling_job")
         .config("spark.sql.adaptive.enabled", "true")
