@@ -58,6 +58,49 @@ class CityFinder:
         # build-once, like ensureS2Index (initializer.go:192-215)
         self.index = build_city_index(cities, self.level, ring)
 
+    # ---- index persistence (SURVEY §2.1 S5/S6/S7) ----
+    #
+    # The reference serializes its three lookup structures to gob files
+    # (s2.go:77-129, name.go:78-122, postalCode.go:76-115) and reloads
+    # them instead of re-parsing the TSVs. The Spark analog is Parquet
+    # dimension tables: cities annotated with their index cell_id (the
+    # S5 "Cities + ShapeIndex" pair), names in the exploded layout
+    # resolved at query time (S6), postal as-is (S7). The worker-side
+    # CityIndex is rebuilt from the loaded table — like
+    # DeserializeIndex rebuilding ShapeIndex from points (s2.go:103-127).
+
+    def save_index(self, path: str) -> None:
+        import json
+        import os
+
+        from cityfinder_spark.geo.cells import cell_col
+
+        self.cities.withColumn(
+            "cell_id", cell_col("lat", "lon", self.level)
+        ).write.mode("overwrite").parquet(os.path.join(path, "cities"))
+        if self.postal is not None:
+            self.postal.write.mode("overwrite").parquet(
+                os.path.join(path, "postal")
+            )
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"level": self.level, "ring": self.ring,
+                       "has_postal": self.postal is not None}, f)
+
+    @classmethod
+    def load_index(cls, spark: SparkSession, path: str) -> "CityFinder":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        cities = spark.read.parquet(os.path.join(path, "cities")).drop("cell_id")
+        postal = (
+            spark.read.parquet(os.path.join(path, "postal"))
+            if meta["has_postal"]
+            else None
+        )
+        return cls(cities, postal, level=meta["level"], ring=meta["ring"])
+
     # ---- DataFrame forms (the engine surface) ----
 
     def nearest_city_df(

@@ -50,3 +50,20 @@ def test_find_city_by_postal_code(finder):
     assert got is not None and got["Name"] is not None
     miss = finder.find_city_by_postal_code("zz-no-such-code", "ZZ")
     assert miss is None
+
+
+def test_save_load_index_roundtrip(spark, finder, tmp_path):
+    """S5/S6/S7 parity: persist the index tables to Parquet, reload,
+    and get identical answers from all three entry points."""
+    path = str(tmp_path / "idx")
+    finder.save_index(path)
+    loaded = CityFinder.load_index(spark, path)
+    assert loaded.level == finder.level and loaded.ring == finder.ring
+    q = (40.73, -74.0)
+    assert loaded.find_nearest_city(*q) == finder.find_nearest_city(*q)
+    a = finder.find_city_by_name("london", "GB")
+    b = loaded.find_city_by_name("london", "GB")
+    assert a == b
+    assert loaded.find_city_by_postal_code(
+        "10001", "US"
+    ) == finder.find_city_by_postal_code("10001", "US")

@@ -216,3 +216,46 @@ def test_strategies_agree_knn_and_topk(spark):
         .orderBy("pt_id", "rank").collect()
     )
     assert [tuple(r) for r in at] == [tuple(r) for r in jt]
+
+
+def test_chord_helpers_roundtrip_and_monotone():
+    """chord^2 <-> km conversions: monotone, inclusive bound, antipode
+    clamp (the correctness basis of the escalation prefilter)."""
+    from cityfinder_spark.operators.nearest_arrow import (
+        _chord_sq_to_km,
+        _km_to_chord_sq_bound,
+    )
+    from cityfinder_spark.sqlcompat import EARTH_RADIUS_KM
+
+    d = np.array([0.0, 1e-3, 1.0, 500.0, 5000.0, 15000.0, np.pi * EARTH_RADIUS_KM])
+    half = d / (2.0 * EARTH_RADIUS_KM)
+    c2 = (2.0 * np.sin(half)) ** 2
+    back = _chord_sq_to_km(c2)
+    assert np.allclose(back, d, rtol=1e-12, atol=1e-9)
+    # the bound for margin d must admit chord^2(d) itself (inclusive)
+    bound = _km_to_chord_sq_bound(d)
+    assert (c2 <= bound).all()
+    # monotone in d below the antipode; beyond it keeps everything
+    assert (np.diff(bound[:-1]) > 0).all()
+    assert _km_to_chord_sq_bound(np.array([1e9]))[0] > 4.0
+
+
+def test_index_cache_reuse(spark):
+    """cache_key reuses the driver-built index across calls; different
+    knobs under the same key rebuild (reference gob-cache analog)."""
+    from cityfinder_spark.operators import nearest_arrow as na
+
+    cities = _cities_df(spark, THREE)
+    na._INDEX_CACHE.clear()
+    nearest_city_join(_points_df(spark, [(48.8, 2.3)]), cities,
+                      level=4, cache_key=("t", "x")).collect()
+    assert len(na._INDEX_CACHE) == 1
+    idx1 = next(iter(na._INDEX_CACHE.values()))
+    nearest_city_join(_points_df(spark, [(51.5, -0.1)]), cities,
+                      level=4, cache_key=("t", "x")).collect()
+    assert len(na._INDEX_CACHE) == 1
+    assert next(iter(na._INDEX_CACHE.values())) is idx1
+    nearest_city_join(_points_df(spark, [(51.5, -0.1)]), cities,
+                      level=5, cache_key=("t", "x")).collect()
+    assert len(na._INDEX_CACHE) == 2
+    na._INDEX_CACHE.clear()
