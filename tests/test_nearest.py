@@ -259,3 +259,42 @@ def test_index_cache_reuse(spark):
                       level=5, cache_key=("t", "x")).collect()
     assert len(na._INDEX_CACHE) == 2
     na._INDEX_CACHE.clear()
+
+
+def test_escalation_tiebreak_equidistant_cities(spark):
+    """Cities EXACTLY equidistant (symmetric dlon) from sparse query
+    points: lowest city_id must win on both the in-ring path and the
+    chord-prefiltered escalation path (rounded-dist-then-id mandate)."""
+    pts = []
+    cities = []
+    cid = 0
+    for j, plat in enumerate([0.0, 20.0, 45.0, -60.0, 80.0]):
+        plon = j * 30.0
+        # two cities symmetric about the point's meridian: identical
+        # great-circle distance by construction; far enough (~8 deg)
+        # that a sparse dimension forces escalation
+        for dlon, _tag in ((8.0, "east"), (-8.0, "west")):
+            cities.append((cid, f"c{cid}", plat, plon + dlon, "ZZ"))
+            cid += 1
+        pts.append((plat, plon))
+    got = (
+        nearest_city_join(
+            _points_df(spark, pts), _cities_df(spark, cities), level=7, ring=1
+        )
+        .orderBy("pt_id")
+        .collect()
+    )
+    for i, r in enumerate(got):
+        assert r["city_id"] == 2 * i  # lower id of the equidistant pair
+    # top-k: both of the pair appear, ordered by id at equal distance
+    topk = (
+        nearest_city_topk(
+            _points_df(spark, pts), _cities_df(spark, cities), k=2, level=7, ring=1
+        )
+        .orderBy("pt_id", "rank")
+        .collect()
+    )
+    for i in range(len(pts)):
+        a, b = topk[2 * i], topk[2 * i + 1]
+        assert (a["city_id"], b["city_id"]) == (2 * i, 2 * i + 1)
+        assert a["dist_km"] == b["dist_km"]
