@@ -31,7 +31,7 @@ if _HERE not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-MEASURE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+MEASURE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 # headline set: one per operator family (SURVEY.md §2), in rough order
 # of importance. nearest_city is the BASELINE.json flagship.

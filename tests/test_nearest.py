@@ -298,3 +298,29 @@ def test_escalation_tiebreak_equidistant_cities(spark):
         a, b = topk[2 * i], topk[2 * i + 1]
         assert (a["city_id"], b["city_id"]) == (2 * i, 2 * i + 1)
         assert a["dist_km"] == b["dist_km"]
+
+
+def test_topk_k_exceeds_city_count(spark):
+    """k > |cities|: every city returned once per point, ranks 1..n,
+    ordered (rounded dist, city_id) — blind escalation edge (counts<k
+    means no certainty proof; the full-scan path with the chord-kth
+    margin keeps everything)."""
+    cities = _cities_df(spark, THREE)
+    pts = _points_df(spark, [(40.73, -74.0), (-33.9, 151.2)])
+    rows = nearest_city_topk(pts, cities, k=5, level=6).orderBy(
+        "pt_id", "rank"
+    ).collect()
+    assert len(rows) == 2 * len(THREE)
+    for p in range(2):
+        chunk = rows[p * 3 : (p + 1) * 3]
+        assert [r["rank"] for r in chunk] == [1, 2, 3]
+        ds = [r["dist_km"] for r in chunk]
+        assert ds == sorted(ds)
+
+
+def test_topk_empty_cities(spark):
+    cities = spark.createDataFrame(
+        [], "city_id long, name string, lat double, lon double, country string"
+    )
+    pts = _points_df(spark, [(10.0, 10.0)])
+    assert nearest_city_topk(pts, cities, k=3, level=4).count() == 0
