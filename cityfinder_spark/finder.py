@@ -70,11 +70,14 @@ class CityFinder:
     # DeserializeIndex rebuilding ShapeIndex from points (s2.go:103-127).
 
     def save_index(self, path: str) -> None:
-        import json
         import os
 
         from cityfinder_spark.geo.cells import cell_col
 
+        # cell_id annotation = the S5 "Cities + ShapeIndex" pair: the
+        # stored table doubles as a ready-made cover/join key for
+        # external JVM-side consumers (load_index itself rebuilds the
+        # worker index from lat/lon and ignores it)
         self.cities.withColumn(
             "cell_id", cell_col("lat", "lon", self.level)
         ).write.mode("overwrite").parquet(os.path.join(path, "cities"))
@@ -82,24 +85,25 @@ class CityFinder:
             self.postal.write.mode("overwrite").parquet(
                 os.path.join(path, "postal")
             )
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"level": self.level, "ring": self.ring,
-                       "has_postal": self.postal is not None}, f)
+        # meta rides through the same writer as the tables so any
+        # filesystem the tables can reach (hdfs://, s3a://), meta can too
+        self.spark.createDataFrame(
+            [(self.level, self.ring, self.postal is not None)],
+            "level int, ring int, has_postal boolean",
+        ).coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta"))
 
     @classmethod
     def load_index(cls, spark: SparkSession, path: str) -> "CityFinder":
-        import json
         import os
 
-        with open(os.path.join(path, "meta.json")) as f:
-            meta = json.load(f)
+        meta = spark.read.json(os.path.join(path, "meta")).collect()[0]
         cities = spark.read.parquet(os.path.join(path, "cities")).drop("cell_id")
         postal = (
             spark.read.parquet(os.path.join(path, "postal"))
             if meta["has_postal"]
             else None
         )
-        return cls(cities, postal, level=meta["level"], ring=meta["ring"])
+        return cls(cities, postal, level=int(meta["level"]), ring=int(meta["ring"]))
 
     # ---- DataFrame forms (the engine surface) ----
 

@@ -53,17 +53,22 @@ def audio_features(audio: DataFrame) -> DataFrame:
                     if x.size > 1
                     else 0.0
                 )
-                mag = np.abs(np.fft.rfft(x))
-                freqs = np.fft.rfftfreq(x.size, d=1.0 / sr)
-                denom = float(mag.sum())
-                centroid = float((freqs * mag).sum() / denom) if denom > 0 else 0.0
+                if x.size:
+                    mag = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(x.size, d=1.0 / sr)
+                    denom = float(mag.sum())
+                    centroid = (
+                        float((freqs * mag).sum() / denom) if denom > 0 else 0.0
+                    )
+                else:
+                    centroid = 0.0
                 out.append(
                     {
                         "audio_id": aid,
                         "fmt": fmt,
                         "sr": sr,
                         "n_samples": int(pcm.size),
-                        "duration_s": pcm.size / float(sr),
+                        "duration_s": pcm.size / float(sr) if sr else 0.0,
                         "rms": rms,
                         "zcr": zcr,
                         "spectral_centroid_hz": centroid,
@@ -84,6 +89,7 @@ def audio_resample(audio: DataFrame, factor: int = 2) -> DataFrame:
             out = []
             for aid, buf in zip(pdf["audio_id"], pdf["bytes"]):
                 fmt, sr, pcm = decode_audio(bytes(buf))
+                sr2 = max(sr // factor, 1)  # sample rate stays positive
                 n2 = pcm.size // factor
                 ds = (
                     pcm[: n2 * factor]
@@ -95,8 +101,8 @@ def audio_resample(audio: DataFrame, factor: int = 2) -> DataFrame:
                 out.append(
                     {
                         "audio_id": aid,
-                        "bytes": encode_audio(ds, sr // factor, fmt),
-                        "sr": sr // factor,
+                        "bytes": encode_audio(ds, sr2, fmt),
+                        "sr": sr2,
                         "n_samples": n2,
                     }
                 )
@@ -123,10 +129,17 @@ def check_audio_invariants(audio: DataFrame) -> DataFrame:
                 i = int(str(r.audio_id).removeprefix("aud"))
                 fmt, sr, pcm = decode_audio(bytes(r.bytes))
                 ref = gen_samples(i, int(r.n_samples))
-                s = snr_db(ref, pcm)
-                snr_ok = (
-                    bool((pcm == ref).all()) if fmt == "wav" else s >= SNR_FLOOR_DB
-                )
+                if pcm.size != ref.size:
+                    # corrupted length metadata is a FAILED verdict,
+                    # not a crashed task
+                    s, snr_ok = 0.0, False
+                else:
+                    s = snr_db(ref, pcm)
+                    snr_ok = (
+                        bool((pcm == ref).all())
+                        if fmt == "wav"
+                        else s >= SNR_FLOOR_DB
+                    )
                 out.append(
                     {
                         "audio_id": r.audio_id,

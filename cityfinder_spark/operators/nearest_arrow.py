@@ -274,7 +274,6 @@ class CityIndex:
         self.ux = self.cos_lat * np.cos(self.rad_lon)
         self.uy = self.cos_lat * np.sin(self.rad_lon)
         self.uz = np.sin(self.rad_lat)
-        self.xyz = np.column_stack([self.ux, self.uy, self.uz])
         if n == 0:
             self.cover_cells = np.empty(0, np.int64)
             self.cover_offsets = np.zeros(1, np.int64)
@@ -317,6 +316,16 @@ class CityIndex:
         )
         fine_idx = fidx[np.repeat(kept_starts, fcounts) + within]
         self.cover_idx = np.concatenate([self.cover_idx, fine_idx])
+
+    def xyz(self) -> np.ndarray:
+        """(n,3) unit-vector matrix for the dense blind-scan matmul —
+        built lazily per process (sole consumer is the rare no-in-ring
+        path) so the broadcast pickle carries only the 3 components."""
+        m = getattr(self, "_xyz", None)
+        if m is None:
+            m = np.column_stack([self.ux, self.uy, self.uz])
+            self._xyz = m
+        return m
 
     def lookup(self, lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(starts, counts) slices into cover_idx per point, routing
@@ -489,7 +498,7 @@ def _solve_batch(
         for s in range(0, len(blind), rows_per_chunk):
             sel = blind[s : s + rows_per_chunk]
             pxyz = np.column_stack([p_ux[sel], p_uy[sel], p_uz[sel]])
-            c2m = pxyz @ index.xyz.T
+            c2m = pxyz @ index.xyz().T
             np.clip(c2m, -1.0, 1.0, out=c2m)
             c2m *= -2.0
             c2m += 2.0
@@ -615,10 +624,9 @@ def _topk_batch(
                     _chord_sq_to_km(kth_c2[enough]) + 2.0 * slack
                 )
             seg_rep = np.repeat(np.arange(len(esc), dtype=np.int64), e_counts)
-            t2 = np.where(
-                np.isinf(margin_km), 4.000001, _km_to_chord_sq_bound(margin_km)
-            )
-            keep = c2 <= t2[seg_rep]
+            # inf margins fall into _km_to_chord_sq_bound's antipode
+            # clamp (bound > 4 keeps every candidate)
+            keep = c2 <= _km_to_chord_sq_bound(margin_km)[seg_rep]
             eflat2 = eflat[keep]
             ept2 = ept[keep]
             counts2 = np.bincount(seg_rep[keep], minlength=len(esc))
@@ -666,7 +674,10 @@ def nearest_city_topk_arrow(
     top-k is a fan-out, payload columns should be re-attached by id."""
     from cityfinder_spark.operators.nearest import choose_level
 
-    full_key = None if cache_key is None else (*cache_key, "topk", level, ring)
+    # same key shape as the k=1 path: both build build_city_index(
+    # cities, level, ring) with no cell-split knobs, so one cached
+    # index serves nearest_city_join_arrow AND the top-k variant
+    full_key = None if cache_key is None else (*cache_key, level, ring, None, 2)
     index = _INDEX_CACHE.get(full_key) if full_key is not None else None
     if index is None:
         if level is None:
@@ -739,7 +750,7 @@ def nearest_city_join_arrow(
         full_key = (
             None
             if cache_key is None
-            else (*cache_key, "k1", level, ring, max_per_cell, fine_delta)
+            else (*cache_key, level, ring, max_per_cell, fine_delta)
         )
         city_index = _INDEX_CACHE.get(full_key) if full_key is not None else None
         if city_index is None:

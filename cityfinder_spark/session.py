@@ -11,6 +11,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def pin_blas_threads() -> None:
+    """One BLAS thread per Python worker: N workers each spawning N
+    BLAS threads oversubscribes the host N-fold on the NumPy matmul
+    kernels. Must run before the JVM forks workers; workers inherit
+    the driver environment in local mode."""
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
+
 def get_spark(
     app_name: str = "cityfinder_spark",
     cores: int | str = "*",
@@ -23,12 +32,7 @@ def get_spark(
     shuffle_partitions: defaults to the core count (local mode — the
     upstream default of 200 over-parallelizes small shuffles).
     """
-    # one BLAS thread per Python worker: N workers each spawning
-    # N BLAS threads oversubscribes the host N-fold on the NumPy
-    # matmul kernels (set before the JVM forks workers; workers
-    # inherit the driver environment in local mode).
-    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
-        os.environ.setdefault(var, "1")
+    pin_blas_threads()
     if shuffle_partitions is None:
         ncores = os.cpu_count() or 8
         shuffle_partitions = ncores if cores == "*" else int(cores)

@@ -49,8 +49,9 @@ def main() -> None:
     ap.add_argument("--payload", action="store_true")
     args = ap.parse_args()
 
-    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
-        os.environ.setdefault(var, "1")
+    from cityfinder_spark.session import pin_blas_threads
+
+    pin_blas_threads()
     spark = (
         SparkSession.builder.appName("scaling_job")
         .config("spark.sql.adaptive.enabled", "true")

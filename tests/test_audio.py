@@ -99,3 +99,26 @@ def test_audio_invariants_detect_corruption(spark):
     )
     verdicts = check_audio_invariants(tbl).toPandas()
     assert not verdicts["caption_ok"].any()
+
+
+def test_audio_features_zero_sample_clip(spark):
+    """A zero-length clip yields a zeroed feature row, not a crashed
+    task (e.g. aggressive resample of a short clip)."""
+    out = audio_resample(audio_table(spark, 3), factor=10_000)
+    feats = audio_features(out).orderBy("audio_id").toPandas()
+    assert len(feats) == 3
+    assert (feats["n_samples"] == 0).all()
+    assert (feats["rms"] == 0.0).all()
+    assert (feats["spectral_centroid_hz"] == 0.0).all()
+
+
+def test_audio_invariants_detect_length_corruption(spark):
+    """Corrupted n_samples metadata -> snr_ok=False verdict, no crash."""
+    from pyspark.sql import functions as F
+
+    tbl = audio_table(spark, 6).withColumn(
+        "n_samples", F.col("n_samples") + F.lit(1)
+    )
+    v = check_audio_invariants(tbl).toPandas()
+    assert len(v) == 6
+    assert not v["snr_ok"].any()
