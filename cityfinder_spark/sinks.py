@@ -1,0 +1,90 @@
+"""Partition-aware Parquet sinks — the output side of the 100 TB plan.
+
+The reference writes gob blobs and a flat results.csv
+(cmd/benchmark/main.go:108-143); at engine scale the assignment table
+itself is 10^12 rows, so HOW it lands on disk decides whether every
+downstream read is a full scan or a pruned one:
+
+  * partition by a COARSE spatial cell (bounded directory cardinality:
+    2*4^L dirs at level L, e.g. 128 at L=3) — regional consumers
+    ("all assignments in this country/area") prune to the cells that
+    cover their region instead of scanning the world;
+  * never partition by a high-cardinality key (city_id, image_id):
+    millions of directories destroys both the writers (small files)
+    and the metastore;
+  * cap records per file so a skewed hot cell (NYC) splits into many
+    right-sized files instead of one multi-GB file that a single
+    downstream task must swallow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cityfinder_spark.geo.cells import cell_col
+
+DEFAULT_PARTITION_LEVEL = 3  # 128 directories worldwide
+DEFAULT_MAX_RECORDS_PER_FILE = 5_000_000
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    by: list[str],
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write partitioned by `by`, with per-file record caps so
+    partition skew becomes more files, not bigger ones."""
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*by)
+        .parquet(path)
+    )
+
+
+def write_assignments(
+    assignments: DataFrame,
+    path: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    partition_level: int = DEFAULT_PARTITION_LEVEL,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """Write a nearest-city assignment table partitioned by its coarse
+    spatial cell: downstream regional reads prune on part_cell, and
+    rows for the same area land together (spatial locality)."""
+    out = assignments.withColumn(
+        "part_cell", cell_col(lat_col, lon_col, partition_level)
+    )
+    write_partitioned(out, path, ["part_cell"], max_records_per_file)
+
+
+def read_assignments_region(
+    spark: SparkSession,
+    path: str,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    partition_level: int = DEFAULT_PARTITION_LEVEL,
+) -> DataFrame:
+    """Read only the partitions whose cells cover the lat/lon box
+    (partition pruning on part_cell — the scan never touches other
+    directories), then apply the exact box filter."""
+    import numpy as np
+
+    from cityfinder_spark.geo.cells import cell_of_np, grid_dims
+
+    nlat, nlon = grid_dims(partition_level)
+    # every cell whose (i, j) range intersects the box, lon-wrap aware
+    lats = np.linspace(lat_min, lat_max, 2 * nlat + 2)
+    lons = np.linspace(lon_min, lon_max, 2 * nlon + 2)
+    la, lo = np.meshgrid(lats, lons, indexing="ij")
+    cells = sorted(set(cell_of_np(la.ravel(), lo.ravel(), partition_level).tolist()))
+    df = spark.read.parquet(path).where(F.col("part_cell").isin(cells))
+    return df.where(
+        F.col("lat").between(lat_min, lat_max)
+        & F.col("lon").between(lon_min, lon_max)
+    )
