@@ -88,3 +88,26 @@ def read_assignments_region(
         F.col("lat").between(lat_min, lat_max)
         & F.col("lon").between(lon_min, lon_max)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed+sorted table: joins and aggregations on
+    bucket_col between tables bucketed the same way need NO exchange —
+    the shuffle is paid once at write time and reused by every
+    downstream stage (the 'co-locate joins via bucketing' leg of the
+    100 TB plan; at 10^12 rows the per-query shuffle IS the cost)."""
+    w = df.write.mode("overwrite")
+    if path is not None:
+        w = w.option("path", path)
+    if sort_col is not None:
+        w = w.bucketBy(n_buckets, bucket_col).sortBy(sort_col)
+    else:
+        w = w.bucketBy(n_buckets, bucket_col)
+    w.format("parquet").saveAsTable(table)

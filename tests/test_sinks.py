@@ -59,3 +59,33 @@ def test_max_records_per_file_splits_hot_partitions(spark, tmp_path):
     write_partitioned(df, out, ["k"], max_records_per_file=1000)
     files = glob.glob(os.path.join(out, "k=1", "*.parquet"))
     assert len(files) >= 5  # 5000 rows / 1000 cap
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key: the sort-merge join reads
+    buckets directly — NO Exchange in the physical plan (the shuffle
+    was paid once at write time)."""
+    from cityfinder_spark.sinks import write_bucketed_table
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stats = docs.select("doc_id", F.length("text").alias("text_len"))
+    write_bucketed_table(docs.select("doc_id", "lang"), "b_docs", "doc_id",
+                         n_buckets=8, sort_col="doc_id",
+                         path=str(tmp_path / "b_docs"))
+    write_bucketed_table(stats, "b_stats", "doc_id",
+                         n_buckets=8, sort_col="doc_id",
+                         path=str(tmp_path / "b_stats"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (broadcast would hide the point:
+        # at 10^12 rows neither side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_docs").join(spark.table("b_stats"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # no shuffle
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_stats")
