@@ -72,22 +72,38 @@ def read_assignments_region(
 ) -> DataFrame:
     """Read only the partitions whose cells cover the lat/lon box
     (partition pruning on part_cell — the scan never touches other
-    directories), then apply the exact box filter."""
+    directories), then apply the exact box filter.
+
+    lon_min > lon_max means the box crosses the antimeridian (a
+    Pacific region like lon in [170, -170]): the cell cover and the
+    exact filter both become the union of [lon_min, 180] and
+    [-180, lon_max]."""
     import numpy as np
 
     from cityfinder_spark.geo.cells import cell_of_np, grid_dims
 
     nlat, nlon = grid_dims(partition_level)
-    # every cell whose (i, j) range intersects the box, lon-wrap aware
+    # Sample the box densely enough that no cell can be skipped: the
+    # sampling step is < half a cell side for ANY box (2*n+2 points
+    # over a span that is at most n cells wide).
     lats = np.linspace(lat_min, lat_max, 2 * nlat + 2)
-    lons = np.linspace(lon_min, lon_max, 2 * nlon + 2)
-    la, lo = np.meshgrid(lats, lons, indexing="ij")
-    cells = sorted(set(cell_of_np(la.ravel(), lo.ravel(), partition_level).tolist()))
-    df = spark.read.parquet(path).where(F.col("part_cell").isin(cells))
-    return df.where(
-        F.col("lat").between(lat_min, lat_max)
-        & F.col("lon").between(lon_min, lon_max)
+    lon_spans = (
+        [(lon_min, 180.0), (-180.0, lon_max)]
+        if lon_min > lon_max
+        else [(lon_min, lon_max)]
     )
+    cells: set[int] = set()
+    for lo_a, lo_b in lon_spans:
+        lons = np.linspace(lo_a, lo_b, 2 * nlon + 2)
+        la, lo = np.meshgrid(lats, lons, indexing="ij")
+        cells.update(cell_of_np(la.ravel(), lo.ravel(), partition_level).tolist())
+    df = spark.read.parquet(path).where(F.col("part_cell").isin(sorted(cells)))
+    lon_pred = (
+        F.col("lon").between(lon_min, 180.0) | F.col("lon").between(-180.0, lon_max)
+        if lon_min > lon_max
+        else F.col("lon").between(lon_min, lon_max)
+    )
+    return df.where(F.col("lat").between(lat_min, lat_max) & lon_pred)
 
 
 def write_bucketed_table(

@@ -53,6 +53,19 @@ def test_regional_read_prunes_partitions(spark, tmp_path):
     assert "part_cell" in plan
 
 
+def test_regional_read_antimeridian_wrap(spark, tmp_path):
+    """lon_min > lon_max = a box crossing the antimeridian: rows on
+    BOTH sides of the seam come back, nothing in between."""
+    out = str(tmp_path / "assign")
+    rows = [(1, 10.0, 175.0), (2, 10.0, -175.0), (3, 10.0, 0.0),
+            (4, 80.0, 175.0)]
+    df = spark.createDataFrame(rows, "pt_id int, lat double, lon double")
+    write_assignments(df, out, partition_level=2)
+    region = read_assignments_region(spark, out, 0.0, 20.0, 170.0, -170.0,
+                                     partition_level=2)
+    assert sorted(r.pt_id for r in region.collect()) == [1, 2]
+
+
 def test_max_records_per_file_splits_hot_partitions(spark, tmp_path):
     out = str(tmp_path / "split")
     df = spark.range(0, 5000).withColumn("k", F.lit(1))
