@@ -251,7 +251,13 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup pairs: band signatures bucket candidates
     (shingle->minhash->band->bucket-join), exact Jaccard verifies.
     Output is a SUBSET of ngram_jaccard_pairs (LSH recall < 1); the
-    banding makes the candidate join O(collisions), not O(n^2)."""
+    banding makes BOTH the candidate join AND the verification
+    O(collisions), not O(n^2): verification joins per-doc shingle
+    SETS to the candidate pairs (array_intersect in codegen) instead
+    of re-running the all-pairs shingle self-join — that self-join
+    costs the same as the exact ngram path and would defeat the
+    banding at scale. With AQE the tiny candidate side broadcasts at
+    runtime, so the set rows never shuffle."""
     bands = minhash_band_sigs(docs, n, band_size, id_col, text_col)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
@@ -261,9 +267,47 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = word_shingles(docs, n, id_col, text_col)
-    pairs = _pair_jaccard(sh, id_col).join(cand, ["doc_a", "doc_b"], "left_semi")
-    return pairs.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    sets = _shingle_sets(docs, n, id_col, text_col)
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("__shingles").alias("__sa"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("__shingles").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("__inter", inter)
+        .withColumn(
+            "jaccard",
+            round6_col(
+                F.col("__inter")
+                / (F.size("__sa") + F.size("__sb") - F.col("__inter"))
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _shingle_sets(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, __shingles: array<string>) — each doc's DISTINCT
+    n-word shingle set as one array row (the un-exploded form of
+    word_shingles; |array| equals word_shingles' per-doc row count,
+    so Jaccard from these sets is exactly _pair_jaccard's)."""
+    parts = ", ".join(f"element_at(__w, i + {j})" for j in range(n))
+    return (
+        docs.withColumn("__w", F.split(F.col(text_col), " "))
+        .where(F.size("__w") >= n)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(__w) - {n - 1}),"
+                    f" i -> concat_ws(' ', {parts}))"
+                )
+            ).alias("__shingles"),
+        )
+    )
 
 
 def minhash_band_sigs(
