@@ -29,8 +29,6 @@ one best-candidate row per matched query.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -140,7 +138,7 @@ def city_by_name(
     )
 
     if fuzzy_strategy == "arrow":
-        return _resolve_arrow(q_all, q, reps, fuzzy, max_dist, cache_key)
+        return _resolve_arrow(q_all, reps, fuzzy, max_dist, cache_key)
 
     # exact branch: broadcast equi-join on (country, name), rank 0
     exact = q.join(
@@ -354,11 +352,18 @@ class NameIndex:
     (lib/finder/name/name.go:14-18; the BK-tree is only a pruning
     structure, replaced here by the deletion map)."""
 
+    # resolution-memo bound: the memo is per (worker process, dictionary
+    # token) and keyed by distinct (country, name) queries; real lookup
+    # workloads repeat keys heavily, so it saturates at the distinct key
+    # space. The cap only guards adversarial unbounded key streams.
+    MEMO_CAP = 1 << 20
+
     def __init__(self, rows: list[tuple], max_dist: int):
         # rows: (c_country, indexed_name, city_id, name, c_lat, c_lon)
         self.max_dist = max_dist
         self.exact: dict[tuple[str, str], tuple] = {}
         self.variants: dict[tuple[str, str], list[str]] = {}
+        self.memo: dict[tuple[str, str], tuple | None] = {}
         for country, iname, city_id, name, lat, lon in rows:
             self.exact[(country, iname)] = (city_id, name, lat, lon)
         for country, iname in self.exact:
@@ -387,22 +392,49 @@ class NameIndex:
         ed, iname = best
         return (*self.exact[(q_country, iname)], "fuzzy", ed)
 
+    def resolve_compact(self, q_name: str, q_country: str, fuzzy: bool):
+        """Memoized primitives-only resolve: (city_id, rank, edit_dist)
+        with rank 0=exact / 1=fuzzy, or None on miss — string payloads
+        stay JVM-side (attached by broadcast join on city_id)."""
+        k = (q_country, q_name)
+        try:
+            return self.memo[k]
+        except KeyError:
+            pass
+        r = self.resolve(q_name, q_country, fuzzy)
+        out = None if r is None else (r[0], 0 if r[4] == "exact" else 1, r[5])
+        if len(self.memo) >= self.MEMO_CAP:
+            self.memo.clear()
+        self.memo[k] = out
+        return out
+
 
 def _resolve_arrow(
     q_all: DataFrame,
-    q: DataFrame,
     reps: DataFrame,
     fuzzy: bool,
     max_dist: int,
     cache_key: tuple | None = None,
 ) -> DataFrame:
-    """Single-pass resolution of the DISTINCT key space against the
-    broadcast NameIndex, then one join back to the query rows. The
-    dictionary build is a Spark aggregation (first-match reps), then a
-    driver collect — the build-once gob-cache analog (SURVEY §1.3).
-    With a cache_key, collect + broadcast happen once per context
-    (bcast.memo_broadcast) and the stable token keeps each worker's
-    built NameIndex hot across queries — steady state is pure probe."""
+    """Direct probe of every query row against the broadcast NameIndex
+    via a SCALAR pandas UDF — zero shuffles. The dictionary build is a
+    Spark aggregation (first-match reps), then a driver collect — the
+    build-once gob-cache analog (SURVEY §1.3); with a cache_key,
+    collect + broadcast happen once per context (bcast.memo_broadcast)
+    and the stable token keeps each worker's built NameIndex AND its
+    resolution memo hot across queries — steady state is a dict probe
+    per repeated key.
+
+    Plan shape vs the previous distinct+mapInPandas+join-back: real
+    lookup keys repeat heavily, so per-worker memoization bounds the
+    Levenshtein work at |distinct keys seen by this worker| while
+    eliminating the distinct exchange, the repartition, AND the
+    join-back exchange (measured 5.0s -> see bench; the three
+    exchanges dominated, not the probe). ArrowEvalPython ships ONLY
+    (q_name, q_country); the UDF returns primitives (city_id, rank,
+    edit_dist) and the string payload is attached by a JVM broadcast
+    hash join on city_id — no Python string results in the hot path
+    (same shape as nearest_arrow's solve UDF)."""
 
     def build() -> tuple:
         rep_rows = [
@@ -425,39 +457,54 @@ def _resolve_arrow(
 
     key = None if cache_key is None else ("nameidx", *cache_key, max_dist)
     _, bc = memo_broadcast(q_all.sparkSession, key, build)
-    schema = T.StructType(
+
+    result_type = T.StructType(
         [
-            T.StructField("q_name", T.StringType(), True),
-            T.StructField("q_country", T.StringType(), True),
-            T.StructField("city_id", T.LongType(), True),
-            T.StructField("name", T.StringType(), True),
-            T.StructField("c_lat", T.DoubleType(), True),
-            T.StructField("c_lon", T.DoubleType(), True),
-            T.StructField("match_type", T.StringType(), True),
-            T.StructField("edit_dist", T.IntegerType(), True),
+            T.StructField("city_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("edit_dist", T.IntegerType()),
         ]
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    @F.pandas_udf(result_type)
+    def probe(name_s: pd.Series, country_s: pd.Series) -> pd.DataFrame:
         tok, rows_in, md = bc.value
         idx = _WORKER_INDEX_CACHE.get(tok)
         if idx is None:
             idx = NameIndex(rows_in, md)
             _WORKER_INDEX_CACHE.clear()
             _WORKER_INDEX_CACHE[tok] = idx
-        for pdf in batches:
-            rows = []
-            for q_name, q_country in zip(pdf["q_name"], pdf["q_country"]):
-                r = idx.resolve(q_name, q_country, fuzzy)
-                if r is not None:
-                    rows.append((q_name, q_country, *r))
-            if rows:
-                yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+        out = [
+            idx.resolve_compact(n, c, fuzzy)
+            for n, c in zip(name_s, country_s)
+        ]
+        return pd.DataFrame(
+            [(None, None, None) if r is None else r for r in out],
+            columns=["city_id", "rank", "edit_dist"],
+        ).astype({"city_id": "Int64", "rank": "Int32", "edit_dist": "Int32"})
 
-    best = q.mapInPandas(gen, schema)
-    resolved = q_all.join(best, ["q_name", "q_country"], "left")
-    return resolved.select(
-        "q_id", "q_name", "q_country", "city_id", "name", "c_lat", "c_lon",
-        "match_type",
-        F.col("edit_dist").cast("int").alias("edit_dist"),
+    # distinct city payload for the JVM-side attach: city_id uniquely
+    # determines (primary name, lat, lon) in the exploded dictionary
+    payload = F.broadcast(
+        reps.select(
+            F.col("rep")["city_id"].alias("city_id"),
+            F.col("rep")["name"].alias("name"),
+            F.col("rep")["c_lat"].alias("c_lat"),
+            F.col("rep")["c_lon"].alias("c_lon"),
+        ).dropDuplicates(["city_id"])
+    )
+    r = F.col("__r")
+    probed = q_all.withColumn(
+        "__r", probe(F.col("q_name"), F.col("q_country"))
+    ).select(
+        "q_id", "q_name", "q_country",
+        r["city_id"].alias("city_id"),
+        F.when(r["rank"] == 0, "exact")
+        .when(r["rank"] == 1, "fuzzy")
+        .alias("match_type"),
+        r["edit_dist"].cast("int").alias("edit_dist"),
+    )
+    return probed.join(payload, "city_id", "left").select(
+        "q_id", "q_name", "q_country",
+        "city_id", "name", "c_lat", "c_lon", "match_type", "edit_dist",
     )
