@@ -53,6 +53,34 @@ def memo_broadcast(
     return value, bc
 
 
+def memo_table(
+    spark: SparkSession, key: tuple | None, build: Callable[[], Any]
+) -> Any:
+    """Persisted-DataFrame memo: build once per SparkContext per key,
+    `.persist(MEMORY_AND_DISK)` so repeated queries against the same
+    generated/derived table read the cache instead of recomputing the
+    generator — the stand-in for a stored (Iceberg) table being read
+    rather than re-ingested per query.  key=None disables memoization."""
+    from pyspark import StorageLevel
+
+    if key is None:
+        return build()
+    app = spark.sparkContext.applicationId
+    ent = _CACHE.get(("__table__", *key))
+    if ent is not None and ent[0] == app:
+        return ent[1]
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHE[("__table__", *key)] = (app, df, None)
+    return df
+
+
 def clear() -> None:
     """Drop all cached entries (tests / dimension reload)."""
+    for _, ent in list(_CACHE.items()):
+        df = ent[1]
+        if hasattr(df, "unpersist"):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
     _CACHE.clear()

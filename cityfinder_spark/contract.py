@@ -55,6 +55,30 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> Non
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
+def _media_table(spark: SparkSession, kind: str, n: int) -> DataFrame:
+    """Generated media fact table (images/videos/audio), persisted once
+    per session per (kind, n) via bcast.memo_table: the generator is
+    the stand-in for a STORED Iceberg table, so repeated queries should
+    read it like storage, not re-run ingestion. (Generation itself is
+    distributed mapInPandas over spark.range — see datagen.)"""
+    from cityfinder_spark.bcast import memo_table
+
+    def build() -> DataFrame:
+        if kind == "images":
+            from cityfinder_spark.datagen.images import images_table
+
+            return images_table(spark, n)
+        if kind == "videos":
+            from cityfinder_spark.datagen.images import videos_table
+
+            return videos_table(spark, n)
+        from cityfinder_spark.datagen.audio import audio_table
+
+        return audio_table(spark, n)
+
+    return memo_table(spark, ("media", kind, n), build)
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, ("orders",))
     return spread(spark.sql(sc.points_from_orders_sql()))
@@ -283,11 +307,10 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload invariant verdicts (PSNR>=40 lossy / byte-exact captions /
     phash). pytest asserts all-ok; here the verdict columns are data.
     """
-    from cityfinder_spark.datagen.images import images_table
     from cityfinder_spark.operators.images_ops import check_payload_invariants
 
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 10)
-    imgs = images_table(spark, n).withColumnRenamed("image_id", "pt_id")
+    imgs = _media_table(spark, "images", n).withColumnRenamed("image_id", "pt_id")
     cities = _cities(spark, sf_dir)
     joined = nearest_city_join(
         imgs, cities, cache_key=("cities", sf_dir)
@@ -299,29 +322,26 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode every payload -> shape/stat/phash (rows-only: binary in,
     per-row decode via mapInPandas; pytest pins exact values)."""
-    from cityfinder_spark.datagen.images import images_table
     from cityfinder_spark.operators.images_ops import decode_stats
 
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
-    return decode_stats(images_table(spark, n))
+    return decode_stats(_media_table(spark, "images", n))
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2x box-downsample + re-encode (rows-only; invariants in pytest)."""
-    from cityfinder_spark.datagen.images import images_table
     from cityfinder_spark.operators.images_ops import resize_half
 
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
-    return resize_half(images_table(spark, n)).select("image_id", "w", "h")
+    return resize_half(_media_table(spark, "images", n)).select("image_id", "w", "h")
 
 
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample FVID payloads -> one row per kept frame (rows-only)."""
-    from cityfinder_spark.datagen.images import videos_table
     from cityfinder_spark.operators.images_ops import frame_sample
 
     n = max(100, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 50)
-    return frame_sample(videos_table(spark, n), every=2).select(
+    return frame_sample(_media_table(spark, "videos", n), every=2).select(
         "video_id", "frame_idx"
     )
 
@@ -330,21 +350,19 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic features (RMS/ZCR/spectral centroid) per clip via
     Arrow-batched decode (rows-only: binary payload + FFT are not
     SQL-expressible; exact values pinned in pytest)."""
-    from cityfinder_spark.datagen.audio import audio_table
     from cityfinder_spark.operators.audio_ops import audio_features
 
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
-    return audio_features(audio_table(spark, n))
+    return audio_features(_media_table(spark, "audio", n))
 
 
 def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio payload-invariant verdicts (SNR>=40 dB lossy / byte-exact
     lossless + captions), mirroring image_pipeline (rows-only)."""
-    from cityfinder_spark.datagen.audio import audio_table
     from cityfinder_spark.operators.audio_ops import check_audio_invariants
 
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
-    return check_audio_invariants(audio_table(spark, n))
+    return check_audio_invariants(_media_table(spark, "audio", n))
 
 
 # ---------------- event-stream queries (batch twins) ----------------
