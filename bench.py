@@ -49,6 +49,9 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh",
     "simhash",
+    "sample_rate",
+    "sample_quota",
+    "dedup_resolve",
     "token_stats",
     "lang_id",
     "cosine_topk",
@@ -75,6 +78,9 @@ _FACT_TABLE = {
     "dedup_exact": "documents",
     "minhash_lsh": "documents",
     "simhash": "documents",
+    "sample_rate": "documents",
+    "sample_quota": "documents",
+    "dedup_resolve": "documents",
     "token_stats": "documents",
     "lang_id": "documents",
     "cosine_topk": "embeddings",

@@ -280,6 +280,43 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+SAMPLE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.2}
+SAMPLE_DEFAULT_RATE = 0.1
+QUOTA_K = 10
+
+
+def q_sample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified rate sample (zero-shuffle codegen'd
+    filter on the portable multiplicative hash)."""
+    from cityfinder_spark.operators.sampling import stratified_rate_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    return stratified_rate_sample(
+        docs, "doc_id", "source", SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+    )
+
+
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sample: at most QUOTA_K docs per source,
+    deterministic by (hash, id) rank."""
+    from cityfinder_spark.operators.sampling import quota_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return quota_sample(docs, "source", "doc_id", QUOTA_K)
+
+
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster resolution: n-gram-Jaccard pairs -> connected
+    components -> (doc_id, canonical_id, is_dup). The iterative
+    min-label propagation is checked against DuckDB's recursive-CTE
+    transitive closure."""
+    from cityfinder_spark.operators.components import dedup_resolve
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_T)
+    return dedup_resolve(docs, pairs)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_embs(spark, sf_dir), k=5, cache_key=("embs", sf_dir))
 
@@ -598,6 +635,49 @@ _SHINGLES_CTE = """
 """
 
 
+def _o_sample_rate() -> str:
+    cases = " ".join(
+        f"WHEN '{v}' THEN {int(r * 100000)}"
+        for v, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+    SELECT doc_id, source, lang FROM documents
+    WHERE (doc_id * 48271) % 100000 <
+          CASE source {cases} ELSE {int(SAMPLE_DEFAULT_RATE * 100000)} END
+    """
+
+
+def _o_sample_quota() -> str:
+    return f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 48271) % 100000, doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= {QUOTA_K}
+    """
+
+
+def _o_dedup_resolve() -> str:
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    pr AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_T}),
+    ed AS (SELECT doc_a AS u, doc_b AS v FROM pr
+           UNION SELECT doc_b, doc_a FROM pr),
+    reach(n, m) AS (
+      SELECT u, u FROM ed
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN ed e ON e.u = r.m
+    ),
+    canon AS (SELECT n AS doc_id, MIN(m) AS label FROM reach GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(c.label, d.doc_id) AS canonical_id,
+           (COALESCE(c.label, d.doc_id) <> d.doc_id) AS is_dup
+    FROM documents d LEFT JOIN canon c USING (doc_id)
+    """
+
+
 def _o_dedup_exact() -> str:
     return """
     SELECT doc_id,
@@ -823,6 +903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "sample_rate": q_sample_rate,
+        "sample_quota": q_sample_quota,
+        "dedup_resolve": q_dedup_resolve,
         "cosine_topk": q_cosine_topk,
         "cosine_dedup": q_cosine_dedup,
         "ann_lsh": q_ann_lsh,
@@ -861,6 +944,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _o_ngram_jaccard(),
         "minhash_lsh": _o_minhash_lsh(),
         "simhash": _o_simhash(),
+        "sample_rate": _o_sample_rate(),
+        "sample_quota": _o_sample_quota(),
+        "dedup_resolve": _o_dedup_resolve(),
         "cosine_topk": _o_cosine_topk(),
         "cosine_dedup": _o_cosine_dedup(),
         "events_windowed": _o_events_windowed(),

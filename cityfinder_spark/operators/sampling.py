@@ -1,0 +1,91 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never trained on wholesale: pipelines take
+reproducible rate samples ("5% of web, 50% of books") and per-group
+quotas ("at most K docs per domain"). Both operators here are
+deterministic pure functions of the row id — reruns, resumes, and the
+DuckDB oracle all see the same sample, with no RNG state anywhere
+(contrast `DataFrame.sample`, whose seed is per-partition-location and
+not stable across cluster layouts).
+
+Scale shape:
+  * `rate_sample` / `stratified_rate_sample`: zero shuffle — a
+    whole-stage-codegen filter on a multiplicative hash; predicate
+    pushdown-friendly (pure column arithmetic).
+  * `quota_sample`: one exchange on the group key (the theoretical
+    minimum — a global per-group rank needs co-located groups). For
+    hot groups at extreme scale, pass `prefilter_rate` to cheaply
+    rate-cut each group first (map-side, no shuffle) so the windowed
+    sort never sees more than ~rate x |group| rows; correctness is
+    unchanged when the prefilter keeps >= k rows per group (callers
+    size it from approximate group counts).
+
+The multiplicative hash (id * 48271 mod 100000; 48271 = MINSTD
+multiplier) is chosen over xxhash/md5 for one reason: it is exactly
+expressible in ANSI SQL, so the driver's DuckDB oracle can replicate
+the sample bit-for-bit. Ids up to ~1.9e14 stay within int64 before the
+mod — fine for 10^12-row tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+HASH_A = 48271
+HASH_M = 100000
+
+
+def sample_hash(id_col: F.Column | str) -> F.Column:
+    """Deterministic uniform-ish bucket in [0, HASH_M) from an integer
+    id — the shared Spark/SQL sampling key."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(c * F.lit(HASH_A), F.lit(HASH_M))
+
+
+def rate_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Keep ~`rate` of rows, deterministically by id. Zero shuffle."""
+    return df.where(sample_hash(id_col) < F.lit(int(rate * HASH_M)))
+
+
+def stratified_rate_sample(
+    df: DataFrame,
+    id_col: str,
+    strat_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum rates (e.g. {"web": 0.05, "books": 0.5}); strata
+    absent from `rates` use default_rate. Zero shuffle: the threshold
+    is a CASE expression, the filter is codegen'd."""
+    thresh = F.lit(int(default_rate * HASH_M))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strat_col) == F.lit(value), F.lit(int(rate * HASH_M))
+        ).otherwise(thresh)
+    return df.where(sample_hash(id_col) < thresh)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    prefilter_rate: float | None = None,
+) -> DataFrame:
+    """At most k rows per group, chosen deterministically: rank by
+    (sample_hash(id), id) within each group, keep rank <= k. The hash
+    front-loads a uniform spread so the kept rows are an unbiased
+    deterministic subsample rather than the lowest ids.
+
+    One exchange on group_col. With `prefilter_rate`, a zero-shuffle
+    rate cut runs first so hot groups shrink before the windowed sort
+    (caller guarantees rate x min-group-size >= k)."""
+    base = df if prefilter_rate is None else rate_sample(df, id_col, prefilter_rate)
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

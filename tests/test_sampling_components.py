@@ -1,0 +1,144 @@
+"""Sampling + dedup-resolution operators (training-pipeline ops)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cityfinder_spark.operators.components import connected_components, dedup_resolve
+from cityfinder_spark.operators.sampling import (
+    HASH_M,
+    quota_sample,
+    rate_sample,
+    stratified_rate_sample,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_rate_sample_deterministic_and_sized(spark):
+    docs = _docs(spark)
+    a = rate_sample(docs, "doc_id", 0.3).select("doc_id")
+    b = rate_sample(docs, "doc_id", 0.3).select("doc_id")
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b
+    n = docs.count()
+    assert 0.15 * n <= len(ids_a) <= 0.45 * n  # ~30%, loose band
+
+
+def test_rate_sample_is_subset_monotone(spark):
+    """A higher rate keeps a superset: thresholds nest on one hash."""
+    docs = _docs(spark)
+    small = {r["doc_id"] for r in rate_sample(docs, "doc_id", 0.2).collect()}
+    big = {r["doc_id"] for r in rate_sample(docs, "doc_id", 0.6).collect()}
+    assert small <= big
+
+
+def test_stratified_rates_respected(spark):
+    docs = _docs(spark)
+    out = stratified_rate_sample(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.0}, 0.5
+    )
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    all_counts = {r["source"]: r["cnt"] for r in
+                  docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert got["src0"] == all_counts["src0"]  # rate 1.0 keeps all
+    assert "src1" not in got  # rate 0.0 keeps none
+
+
+def test_quota_sample_caps_each_group(spark):
+    docs = _docs(spark)
+    k = 3
+    out = quota_sample(docs, "source", "doc_id", k)
+    counts = out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    assert counts and all(r["cnt"] <= k for r in counts)
+    # deterministic across invocations
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in quota_sample(docs, "source", "doc_id", k).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_quota_prefilter_equivalence(spark):
+    """A generous prefilter keeps >= k rows per group -> identical
+    output to the unfiltered quota (the documented contract)."""
+    docs = _docs(spark)
+    plain = sorted(
+        r["doc_id"] for r in quota_sample(docs, "source", "doc_id", 2).collect()
+    )
+    pre = sorted(
+        r["doc_id"]
+        for r in quota_sample(
+            docs, "source", "doc_id", 2, prefilter_rate=0.9
+        ).collect()
+    )
+    # rate 0.9 keeps the 2 lowest-hash rows of every group: hash < 0.9*M
+    # must hold for them. Verify precondition, then equality.
+    kept_hashes = [(i * 48271) % HASH_M for i in plain]
+    assert all(h < 0.9 * HASH_M for h in kept_hashes)
+    assert plain == pre
+
+
+# ------------------------------------------------------------- components
+
+
+def _cc_dict(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["label"] for r in connected_components(df).collect()
+    }
+
+
+def test_cc_two_components(spark):
+    got = _cc_dict(spark, [(1, 2), (2, 3), (5, 6)])
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_cc_path_graph_multi_round(spark):
+    """Diameter-5 path: exercises >1 propagation round + convergence."""
+    got = _cc_dict(spark, [(10, 9), (9, 8), (8, 7), (7, 6), (6, 5)])
+    assert got == {n: 5 for n in range(5, 11)}
+
+
+def test_cc_direction_independent(spark):
+    assert _cc_dict(spark, [(2, 1), (3, 2)]) == _cc_dict(spark, [(1, 2), (2, 3)])
+
+
+def test_dedup_resolve_isolated_docs_self_canonical(spark):
+    docs = spark.createDataFrame([(1,), (2,), (3,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_dup"])
+        for r in dedup_resolve(docs, pairs).collect()
+    }
+    assert got == {1: (1, False), 2: (2, False), 3: (1, True), 9: (9, False)}
+
+
+def test_dedup_resolve_matches_duckdb_closure(spark):
+    """Spark iterative CC == DuckDB recursive-CTE closure on the real
+    documents table with n-gram Jaccard pairs (the contract query)."""
+    duckdb = pytest.importorskip("duckdb")
+    from cityfinder_spark import contract
+
+    spark_rows = sorted(
+        (r["doc_id"], r["canonical_id"], r["is_dup"])
+        for r in contract.q_dedup_resolve(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    duck_rows = sorted(
+        (int(a), int(b), bool(c))
+        for a, b, c in con.execute(contract._o_dedup_resolve()).fetchall()
+    )
+    assert spark_rows == duck_rows
