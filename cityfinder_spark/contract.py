@@ -306,14 +306,16 @@ def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dup-cluster resolution: n-gram-Jaccard pairs -> connected
-    components -> (doc_id, canonical_id, is_dup). The iterative
-    min-label propagation is checked against DuckDB's recursive-CTE
-    transitive closure."""
+    """Dup-cluster resolution: MinHash-LSH pairs (the scale path — the
+    exact all-pairs shingle join costs ~3x more and is the documented
+    baseline) -> connected components -> (doc_id, canonical_id,
+    is_dup). The iterative min-label propagation is checked against
+    DuckDB's recursive-CTE transitive closure over the SAME
+    deterministic LSH pair set."""
     from cityfinder_spark.operators.components import dedup_resolve
 
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_T)
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=JACCARD_T)
     return dedup_resolve(docs, pairs)
 
 
@@ -661,8 +663,7 @@ def _o_sample_quota() -> str:
 
 def _o_dedup_resolve() -> str:
     return f"""
-    WITH RECURSIVE {_SHINGLES_CTE},
-    pr AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_T}),
+    WITH RECURSIVE {_minhash_pairs_ctes()},
     ed AS (SELECT doc_a AS u, doc_b AS v FROM pr
            UNION SELECT doc_b, doc_a FROM pr),
     reach(n, m) AS (
@@ -764,11 +765,12 @@ def _o_ngram_jaccard() -> str:
     """
 
 
-def _o_minhash_lsh() -> str:
+def _minhash_pairs_ctes() -> str:
+    """Shared CTE chain ending in `pr` = the verified MinHash-LSH pair
+    set (used by the minhash_lsh oracle and the dedup_resolve oracle)."""
     funcs_values = ", ".join(f"({k}, {a}, {b})" for k, a, b in MINHASH_FUNCS)
     x = _DUCK_MD5_INT.format(x="shingle")
-    return f"""
-    WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
     h AS (SELECT doc_id, {x} AS x FROM sh),
     funcs AS (SELECT * FROM (VALUES {funcs_values}) f(k, a, b)),
     sig AS (SELECT doc_id, k, min((a * x + b) % {MINHASH_P}) AS mh
@@ -778,10 +780,16 @@ def _o_minhash_lsh() -> str:
               FROM sig GROUP BY 1, 2),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b USING (band, bsig)
-             WHERE a.doc_id < b.doc_id)
-    SELECT j.doc_a, j.doc_b, j.jaccard
-    FROM jac j JOIN cand USING (doc_a, doc_b)
-    WHERE j.jaccard >= {JACCARD_T}
+             WHERE a.doc_id < b.doc_id),
+    pr AS (SELECT j.doc_a, j.doc_b, j.jaccard
+           FROM jac j JOIN cand USING (doc_a, doc_b)
+           WHERE j.jaccard >= {JACCARD_T})"""
+
+
+def _o_minhash_lsh() -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM pr
     """
 
 

