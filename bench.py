@@ -52,6 +52,7 @@ HEADLINE = [
     "sample_rate",
     "sample_quota",
     "dedup_resolve",
+    "corpus_pipeline",
     "token_stats",
     "lang_id",
     "cosine_topk",
@@ -81,6 +82,7 @@ _FACT_TABLE = {
     "sample_rate": "documents",
     "sample_quota": "documents",
     "dedup_resolve": "documents",
+    "corpus_pipeline": "documents",
     "token_stats": "documents",
     "lang_id": "documents",
     "cosine_topk": "embeddings",

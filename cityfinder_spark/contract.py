@@ -305,6 +305,26 @@ def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota_sample(docs, "source", "doc_id", QUOTA_K)
 
 
+# quality floor ~ the synthetic corpus median (scores span ~0.24-0.50),
+# so the filter meaningfully splits rather than pass/drop everything
+CURATE_QUALITY_MIN = 0.28
+CURATE_RATE = 0.5
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation composite: quality floor + language
+    filter + exact-dedup keep-first + deterministic rate sample ->
+    per-source token totals, all in one pass (two exchanges total)."""
+    from cityfinder_spark.operators.textops import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf_dir),
+        quality_min=CURATE_QUALITY_MIN,
+        lang="en",
+        rate=CURATE_RATE,
+    )
+
+
 def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-cluster resolution: MinHash-LSH pairs (the scale path — the
     exact all-pairs shingle join costs ~3x more and is the documented
@@ -746,6 +766,53 @@ def _o_lang_id() -> str:
     """
 
 
+def _o_corpus_pipeline() -> str:
+    en_stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(w, x -> x IN ({stops}))) AS score_{lang}"
+        )
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs[i + 1:]
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    quality = sc.round6_sql(
+        "0.4 * (hits / n) + 0.3 * (uniq / n)"
+        " + 0.3 * least(((lc - (n - 1)) / n) / 10.0, 1.0)"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS w,
+                      length(text) AS lc
+               FROM documents),
+    s AS (SELECT doc_id, source, text, lc, len(w) AS n,
+                 len(list_filter(w, x -> x IN ({en_stops}))) AS hits,
+                 len(list_distinct(w)) AS uniq,
+                 {", ".join(score_cols)}
+          FROM t),
+    q AS (SELECT doc_id, source, text,
+                 {quality} AS quality, {case_sql} AS lang_pred
+          FROM s),
+    d AS (SELECT *,
+                 (doc_id <> min(doc_id) OVER (PARTITION BY substr(text, 1, 80)))
+                   AS is_dup
+          FROM q),
+    k AS (SELECT * FROM d
+          WHERE quality >= {CURATE_QUALITY_MIN} AND lang_pred = 'en'
+            AND NOT is_dup
+            AND (doc_id * 48271) % 100000 < {int(CURATE_RATE * 100000)})
+    SELECT source, count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           sum(cast(floor((length(text) + 3) / 4.0) as bigint)) AS total_bpe
+    FROM k GROUP BY source
+    """
+
+
 def _o_fingerprint() -> str:
     h = _DUCK_MD5_INT.format(x="substr(text, i, 8)")
     return f"""
@@ -914,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_rate": q_sample_rate,
         "sample_quota": q_sample_quota,
         "dedup_resolve": q_dedup_resolve,
+        "corpus_pipeline": q_corpus_pipeline,
         "cosine_topk": q_cosine_topk,
         "cosine_dedup": q_cosine_dedup,
         "ann_lsh": q_ann_lsh,
@@ -955,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_rate": _o_sample_rate(),
         "sample_quota": _o_sample_quota(),
         "dedup_resolve": _o_dedup_resolve(),
+        "corpus_pipeline": _o_corpus_pipeline(),
         "cosine_topk": _o_cosine_topk(),
         "cosine_dedup": _o_cosine_dedup(),
         "events_windowed": _o_events_windowed(),

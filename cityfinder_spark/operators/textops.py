@@ -46,6 +46,35 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def quality_col(text_col: str = "text") -> F.Column:
+    """Rounded composite quality score as a reusable Column (used by
+    quality_score and the corpus-curation composite)."""
+    w = _words(text_col)
+    n = F.size(w)
+    stop_ratio = _hits(w, EN_STOPWORDS) / n
+    uniq_ratio = F.size(F.array_distinct(w)) / n
+    avg_len = (F.length(F.col(text_col)) - (n - 1)) / n
+    return round6_col(
+        0.4 * stop_ratio + 0.3 * uniq_ratio + 0.3 * F.least(avg_len / 10.0, F.lit(1.0))
+    )
+
+
+def lang_pred_col(text_col: str = "text") -> F.Column:
+    """Stopword-hit language prediction as a reusable Column; argmax
+    score, tie-break language code ascending (strict > fold)."""
+    w = _words(text_col)
+    best = None
+    best_lang = F.lit(None).cast("string")
+    for lang, stops in sorted(LANG_STOPWORDS.items()):
+        score = _hits(w, stops)
+        if best is None:
+            best, best_lang = score, F.lit(lang)
+        else:
+            best_lang = F.when(score > best, F.lit(lang)).otherwise(best_lang)
+            best = F.when(score > best, score).otherwise(best)
+    return best_lang
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Length / stopword / uniqueness quality heuristics; composite
     score = 0.4*stopword_ratio + 0.3*uniq_ratio + 0.3*min(avg_len/10,1)."""
@@ -55,9 +84,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     uniq_ratio = F.size(F.array_distinct(w)) / n
     # chars minus separating spaces, over tokens
     avg_len = (F.length(F.col(text_col)) - (n - 1)) / n
-    quality = round6_col(
-        0.4 * stop_ratio + 0.3 * uniq_ratio + 0.3 * F.least(avg_len / 10.0, F.lit(1.0))
-    )
+    quality = quality_col(text_col)
     return docs.select(
         F.col(id_col),
         round6_col(stop_ratio).alias("stopword_ratio"),
@@ -84,6 +111,57 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_STOPWORDS)
     ]
     return docs.select(*sel, best_lang.alias("lang_pred"))
+
+
+def curate_corpus(
+    docs: DataFrame,
+    quality_min: float = 0.5,
+    lang: str = "en",
+    dedup_key: str = "substr(text, 1, 80)",
+    rate: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """End-to-end corpus curation in ONE pass over the scan:
+    quality floor + language filter + exact-dedup keep-first +
+    deterministic rate sample, rolled up per source
+    (source, n_docs, total_tokens, total_bpe).
+
+    Plan shape: quality and language are pure column expressions
+    computed in the same projection as the scan (joining the
+    individual operators' outputs on doc_id would add two exchanges
+    for what is per-row arithmetic); dedup keep-first is the single
+    required window exchange on the normalization key; the sample is
+    a codegen filter; the rollup is one map-side-combined aggregation.
+    Two exchanges total, none carrying text payloads past the window.
+    """
+    from pyspark.sql import Window
+
+    from cityfinder_spark.operators.sampling import rate_sample
+
+    w = Window.partitionBy(F.expr(dedup_key))
+    annotated = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.col(text_col),
+        quality_col(text_col).alias("__quality"),
+        lang_pred_col(text_col).alias("__lang"),
+    ).withColumn("__is_dup", F.col(id_col) != F.min(id_col).over(w))
+    kept = annotated.where(
+        (F.col("__quality") >= F.lit(quality_min))
+        & (F.col("__lang") == F.lit(lang))
+        & (~F.col("__is_dup"))
+    )
+    sampled = rate_sample(kept, id_col, rate)
+    wds = _words(text_col)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(wds)).alias("total_tokens"),
+        F.sum(
+            F.floor((F.length(F.col(text_col)) + 3) / F.lit(4.0)).cast("long")
+        ).alias("total_bpe"),
+    )
 
 
 def fingerprint(

@@ -133,6 +133,27 @@ def test_dedup_resolve_isolated_docs_self_canonical(spark):
     assert got == {1: (1, False), 2: (2, False), 3: (1, True), 9: (9, False)}
 
 
+def test_corpus_pipeline_matches_duckdb(spark):
+    """One-pass curation composite == the equivalent SQL chain."""
+    duckdb = pytest.importorskip("duckdb")
+    from cityfinder_spark import contract
+
+    spark_rows = sorted(
+        (r["source"], r["n_docs"], r["total_tokens"], r["total_bpe"])
+        for r in contract.q_corpus_pipeline(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    duck_rows = sorted(
+        (a, int(b), int(c), int(d))
+        for a, b, c, d in con.execute(contract._o_corpus_pipeline()).fetchall()
+    )
+    assert spark_rows == duck_rows
+    assert spark_rows  # non-trivial: curation keeps something
+
+
 def test_dedup_resolve_matches_duckdb_closure(spark):
     """Spark iterative CC == DuckDB recursive-CTE closure on the real
     documents table with n-gram Jaccard pairs (the contract query)."""
