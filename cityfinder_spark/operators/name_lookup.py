@@ -605,14 +605,30 @@ def _resolve_arrow(
         ).astype({"city_id": "Int64", "rank": "Int32", "edit_dist": "Int32"})
 
     # distinct city payload for the JVM-side attach: city_id uniquely
-    # determines (primary name, lat, lon) in the exploded dictionary
+    # determines (primary name, lat, lon) in the exploded dictionary.
+    # Built from the ALREADY-COLLECTED broadcast rows, not from `reps`:
+    # deriving it relationally re-ran the whole dictionary aggregation
+    # subtree (explode + sort-aggregates, ~0.85s at sf0.1) on every
+    # query; a local-relation payload is free and memoized with the
+    # same key.
+    def build_payload() -> DataFrame:
+        _, rows_in, _ = bc.value
+        seen: dict = {}
+        for _co, _nm, cid, name, lat, lon in rows_in:
+            seen.setdefault(cid, (name, lat, lon))
+        return q_all.sparkSession.createDataFrame(
+            [(cid, n, la, lo) for cid, (n, la, lo) in seen.items()],
+            "city_id long, name string, c_lat double, c_lon double",
+        )
+
+    from cityfinder_spark.bcast import memo_table
+
     payload = F.broadcast(
-        reps.select(
-            F.col("rep")["city_id"].alias("city_id"),
-            F.col("rep")["name"].alias("name"),
-            F.col("rep")["c_lat"].alias("c_lat"),
-            F.col("rep")["c_lon"].alias("c_lon"),
-        ).dropDuplicates(["city_id"])
+        memo_table(
+            q_all.sparkSession,
+            None if key is None else ("namepayload", *key),
+            build_payload,
+        )
     )
     r = F.col("__r")
     probed = q_all.withColumn(
