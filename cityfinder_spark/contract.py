@@ -85,8 +85,17 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_views(spark, sf_dir, ("customer", "nation"))
-    return spark.sql(sc.cities_from_customer_sql())
+    """Cities dimension, persisted once per session (bcast.memo_table):
+    it is the static broadcast side of every nearest-family query, and
+    re-deriving the customer x nation join per run is pure fixed cost.
+    (The fact side is never cached — at the design scale it cannot be.)"""
+    from cityfinder_spark.bcast import memo_table
+
+    def build() -> DataFrame:
+        load_views(spark, sf_dir, ("customer", "nation"))
+        return spark.sql(sc.cities_from_customer_sql())
+
+    return memo_table(spark, ("cities-dim", sf_dir), build)
 
 
 # ---------------- Spark queries ----------------
