@@ -707,8 +707,6 @@ def nearest_city_topk_arrow(
         [slim.schema[id_col]]
         + [
             T.StructField("city_id", T.LongType()),
-            T.StructField("name", T.StringType()),
-            T.StructField("country", T.StringType()),
             T.StructField("dist_km", T.DoubleType()),
             T.StructField("rank", T.IntegerType()),
         ]
@@ -723,13 +721,31 @@ def nearest_city_topk_arrow(
             rows, pos, d, rank = _topk_batch(index, lat, lon, k, digits)
             out = pdf.iloc[rows][[id_col]].reset_index(drop=True)
             out["city_id"] = index.city_id[pos]
-            out["name"] = index.name[pos]
-            out["country"] = index.country[pos]
             out["dist_km"] = d
             out["rank"] = rank.astype(np.int32)
             yield out
 
-    return slim.mapInPandas(solve, out_schema)
+    # primitives-only through Arrow (same shape as the k=1 path): the
+    # top-k fan-out is k x |points| rows, and emitting name/country as
+    # Python strings per output row dominated the kernel; the string
+    # payload re-attaches via a JVM broadcast hash join on city_id.
+    cols = set(cities.columns)
+    payload = F.broadcast(
+        cities.select(
+            F.col("city_id").cast("long").alias("city_id"),
+            (F.col("name") if "name" in cols else F.lit(None).cast("string")).alias(
+                "name"
+            ),
+            (
+                F.col("country") if "country" in cols else F.lit(None).cast("string")
+            ).alias("country"),
+        )
+    )
+    return (
+        slim.mapInPandas(solve, out_schema)
+        .join(payload, "city_id", "left")
+        .select(id_col, "city_id", "name", "country", "dist_km", "rank")
+    )
 
 
 def nearest_city_join_arrow(
