@@ -395,6 +395,40 @@ def _sign_matrix(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
     return S
 
 
+def _gather_lists(
+    offsets: np.ndarray, pos: np.ndarray, bkt: np.ndarray, rows: np.ndarray
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Ragged CSR gather: for each query row r with bucket/list id
+    bkt[r], emit (row, member_position) for every member of that list.
+    Returns None when every addressed list is empty."""
+    starts = offsets[bkt]
+    counts = offsets[bkt + 1] - starts
+    total = int(counts.sum())
+    if not total:
+        return None
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    return np.repeat(rows, counts), pos[np.repeat(starts, counts) + within]
+
+
+def _rank_topk(
+    qi: np.ndarray, cd: np.ndarray, cos: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-query top-k over candidate triples: cos desc (already
+    rounded), candidate position asc (== neighbor_id asc because index
+    ids are sorted). Returns (qi, cd, cos, rank) filtered to rank<=k —
+    the in-batch collapse of the window `partitionBy(vec_id).orderBy
+    (desc(cos_sim), asc(neighbor_id))`."""
+    order = np.lexsort((cd, -cos, qi))
+    qi, cd, cos = qi[order], cd[order], cos[order]
+    grp_start = np.concatenate([[0], np.nonzero(np.diff(qi))[0] + 1])
+    seg = np.repeat(grp_start, np.diff(np.concatenate([grp_start, [len(qi)]])))
+    rank = np.arange(len(qi), dtype=np.int64) - seg
+    keep = rank < k
+    return qi[keep], cd[keep], cos[keep], (rank[keep] + 1).astype(np.int32)
+
+
 class LSHIndex(EmbIndex):
     """EmbIndex + per-table CSR bucket lists: for table t and bucket b,
     base-vector positions are bucket_pos[t][offsets[t][b]:offsets[t][b+1]]
@@ -482,18 +516,11 @@ def _lsh_topk_arrow(
             qi_parts, cd_parts = [], []
             rows = np.arange(q, dtype=np.int64)
             for t in range(idx.n_tables):
-                starts = idx.offsets[t][sigs[:, t]]
-                counts = idx.offsets[t][sigs[:, t] + 1] - starts
-                total = int(counts.sum())
-                if not total:
+                got = _gather_lists(idx.offsets[t], idx.bucket_pos[t], sigs[:, t], rows)
+                if got is None:
                     continue
-                within = np.arange(total, dtype=np.int64) - np.repeat(
-                    np.cumsum(counts) - counts, counts
-                )
-                qi_parts.append(np.repeat(rows, counts))
-                cd_parts.append(
-                    idx.bucket_pos[t][np.repeat(starts, counts) + within]
-                )
+                qi_parts.append(got[0])
+                cd_parts.append(got[1])
             if not qi_parts:
                 continue
             qi = np.concatenate(qi_parts)
@@ -510,21 +537,13 @@ def _lsh_topk_arrow(
             cos = _fold_dots_rows(Q[qi], idx.M[cd])
             cos /= qn[qi] * idx.norms[cd]
             cos = _round_np(cos, digits)
-            # rank per query: cos desc (rounded), neighbor position asc
-            order = np.lexsort((cd, -cos, qi))
-            qi, cd, cos = qi[order], cd[order], cos[order]
-            grp_start = np.concatenate([[0], np.nonzero(np.diff(qi))[0] + 1])
-            seg = np.repeat(
-                grp_start, np.diff(np.concatenate([grp_start, [len(qi)]]))
-            )
-            rank = np.arange(len(qi), dtype=np.int64) - seg
-            keep = rank < k
+            qi, cd, cos, rank = _rank_topk(qi, cd, cos, k)
             yield pd.DataFrame(
                 {
-                    "vec_id": q_ids[qi[keep]],
-                    "neighbor_id": idx.ids[cd[keep]],
-                    "cos_sim": cos[keep],
-                    "rank": (rank[keep] + 1).astype(np.int32),
+                    "vec_id": q_ids[qi],
+                    "neighbor_id": idx.ids[cd],
+                    "cos_sim": cos,
+                    "rank": rank,
                 }
             )
 
@@ -573,6 +592,128 @@ def _refine_pairs(
     return cand.select("vec_id", "neighbor_id").mapInPandas(gen, schema)
 
 
+class IVFIndex(EmbIndex):
+    """EmbIndex + coarse quantizer: one centroid per distinct label
+    (the exact left-fold mean of its members in id-ascending order —
+    np.bincount accumulates in input order, so the fold is
+    deterministic, unlike F.avg whose partial-aggregation order is
+    partition-dependent), plus CSR inverted lists assigning every base
+    vector to its top-1 nearest centroid (cosine desc, list asc)."""
+
+    def __init__(self, ids, M, labels):
+        order = np.argsort(ids, kind="stable")
+        super().__init__(ids, M)
+        labels = np.asarray(labels)[order]
+        self.list_labels, inv = np.unique(labels, return_inverse=True)
+        L = len(self.list_labels)
+        dim = self.M.shape[1] if len(self.ids) else 1
+        C = np.zeros((L, dim))
+        counts = np.bincount(inv, minlength=L).astype(np.float64)
+        for d in range(dim):
+            C[:, d] = np.bincount(inv, weights=self.M[:, d], minlength=L)
+        self.C = C / np.maximum(counts, 1.0)[:, None]
+        self.cnorms = _fold_norms(self.C)
+        if len(self.ids):
+            csim = _fold_dots(self.M, self.C)
+            csim /= self.norms[:, None] * self.cnorms[None, :]
+            top1 = np.argmax(csim, axis=1)  # first max == list asc tie-break
+        else:
+            top1 = np.zeros(0, np.int64)
+        cnts = np.bincount(top1, minlength=L)
+        self.list_offsets = np.concatenate([[0], np.cumsum(cnts)]).astype(np.int64)
+        self.list_pos = np.argsort(top1, kind="stable").astype(np.int64)
+
+
+def _ivf_topk_arrow(
+    emb: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    digits: int,
+    cache_key: tuple | None = None,
+) -> DataFrame:
+    """Single-pass IVF ANN: broadcast IVFIndex, one mapInPandas over
+    the query side — zero shuffles (vs jvm's centroid agg + cross join
+    + two windows + candidate join: 4+ exchanges). Per batch: one
+    (q x L) matmul picks the n_probe nearest lists, a ragged CSR
+    gather pulls their members, and the exact-fold cosine ranks them
+    in-batch. Lists are disjoint (top-1 assignment) so no dedup pass
+    is needed, unlike LSH's multi-table union."""
+
+    def build() -> IVFIndex:
+        pdf = emb.select(id_col, vec_col, label_col).toPandas()
+        if not len(pdf):
+            return IVFIndex(np.empty(0, np.int64), np.empty((0, 1)), np.empty(0))
+        ids = pdf[id_col].to_numpy()
+        M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        return IVFIndex(ids, M, pdf[label_col].to_numpy())
+
+    key = (
+        None
+        if cache_key is None
+        else ("ivfidx", *cache_key, id_col, vec_col, label_col)
+    )
+    index, bc = memo_broadcast(emb.sparkSession, key, build)
+    schema = T.StructType(
+        [
+            _id_field(emb, id_col, "vec_id"),
+            _id_field(emb, id_col, "neighbor_id"),
+            T.StructField("cos_sim", T.DoubleType(), True),
+            T.StructField("rank", T.IntegerType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx: IVFIndex = bc.value
+        n = len(idx.ids)
+        L = len(idx.list_labels)
+        for pdf in batches:
+            q = len(pdf)
+            if q == 0 or n <= 1 or L == 0:
+                continue
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q_ids = pdf[id_col].to_numpy()
+            qn = _fold_norms(Q)
+            csim = _fold_dots(Q, idx.C)
+            csim /= qn[:, None] * idx.cnorms[None, :]
+            npb = min(n_probe, L)
+            probes = np.argsort(-csim, axis=1, kind="stable")[:, :npb]
+            rows = np.arange(q, dtype=np.int64)
+            qi_parts, cd_parts = [], []
+            for j in range(npb):
+                got = _gather_lists(
+                    idx.list_offsets, idx.list_pos, probes[:, j], rows
+                )
+                if got is None:
+                    continue
+                qi_parts.append(got[0])
+                cd_parts.append(got[1])
+            if not qi_parts:
+                continue
+            qi = np.concatenate(qi_parts)
+            cd = np.concatenate(cd_parts)
+            not_self = idx.ids[cd] != q_ids[qi]
+            qi, cd = qi[not_self], cd[not_self]
+            if not len(qi):
+                continue
+            cos = _fold_dots_rows(Q[qi], idx.M[cd])
+            cos /= qn[qi] * idx.norms[cd]
+            cos = _round_np(cos, digits)
+            qi, cd, cos, rank = _rank_topk(qi, cd, cos, k)
+            yield pd.DataFrame(
+                {
+                    "vec_id": q_ids[qi],
+                    "neighbor_id": idx.ids[cd],
+                    "cos_sim": cos,
+                    "rank": rank,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -581,10 +722,25 @@ def ivf_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     digits: int = COS_DIGITS,
+    strategy: str = "arrow",
     cache_key: tuple | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse centroids (per label group), search only
-    the n_probe nearest inverted lists. Approximate; recall-tested."""
+    the n_probe nearest inverted lists. Approximate; recall-tested.
+
+    strategy="arrow" (default, the scale path): broadcast IVFIndex +
+    one mapInPandas pass, zero shuffles. strategy="jvm": the
+    relational plan-shape reference — centroid groupBy agg, cross join
+    vs broadcast centroids with interpreted zip_with/aggregate dot
+    products, two row_number windows, candidate equi-join. Candidate
+    semantics are identical (n_probe nearest lists by cosine, tie list
+    asc; members = top-1 assignment); centroid arithmetic differs only
+    in fold order (bincount id-ascending vs F.avg partition order), so
+    results can differ by ulps for near-equidistant vectors."""
+    if strategy == "arrow":
+        return _ivf_topk_arrow(
+            emb, k, n_probe, id_col, vec_col, label_col, digits, cache_key
+        )
     base = with_norm(emb, vec_col)
     dim = len(base.select(vec_col).first()[0])
     cents = (
