@@ -60,6 +60,7 @@ HEADLINE = [
     "lang_id",
     "cosine_topk",
     "ann_lsh",
+    "ann_ivf",
     "image_pipeline",
     "audio_features",
     "events_windowed",
@@ -90,6 +91,7 @@ _FACT_TABLE = {
     "lang_id": "documents",
     "cosine_topk": "embeddings",
     "ann_lsh": "embeddings",
+    "ann_ivf": "embeddings",
     "events_windowed": "events",
     "events_sessionize": "events",
     "events_props": "events",
