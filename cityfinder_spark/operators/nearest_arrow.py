@@ -91,20 +91,22 @@ def _round_np(d: np.ndarray, digits: int) -> np.ndarray:
 
 def _chord_sq_pairs(
     index: CityIndex,
-    p_ux: np.ndarray,
-    p_uy: np.ndarray,
-    p_uz: np.ndarray,
-    pt_rep: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+    pz: np.ndarray,
     flat: np.ndarray,
 ) -> np.ndarray:
-    """chord^2 between point[pt_rep] and city[flat] unit vectors."""
-    dot = index.ux[flat]
-    dot *= p_ux[pt_rep]
-    t = index.uy[flat]
-    t *= p_uy[pt_rep]
+    """chord^2 between per-PAIR point unit vectors (px/py/pz, already
+    expanded by the caller — np.repeat over segment counts is a
+    sequential fill, ~2x faster than the random fancy-gather this
+    kernel previously did per component) and city[flat] vectors."""
+    dot = np.take(index.ux, flat)
+    dot *= px
+    t = np.take(index.uy, flat)
+    t *= py
     dot += t
-    t = index.uz[flat]
-    t *= p_uz[pt_rep]
+    t = np.take(index.uz, flat)
+    t *= pz
     dot += t
     np.clip(dot, -1.0, 1.0, out=dot)
     dot *= -2.0
@@ -416,30 +418,65 @@ def _solve_batch(
     p_rad_lat = np.radians(lat)
     p_rad_lon = np.radians(lon)
     p_cos = np.cos(p_rad_lat)
+    p_ux = p_cos * np.cos(p_rad_lon)
+    p_uy = p_cos * np.sin(p_rad_lon)
+    p_uz = np.sin(p_rad_lat)
+    slack = 10.0 ** (-digits)
     starts, counts = index.lookup(lat, lon)
     total = int(counts.sum())
     if total:
         seg_starts = np.cumsum(counts) - counts
-        within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
-        flat = index.cover_idx[np.repeat(starts, counts) + within]
-        pt_rep = np.repeat(np.arange(npts, dtype=np.int64), counts)
-        d = _hav_pairs_rounded(index, p_rad_lat, p_rad_lon, p_cos, pt_rep, flat, digits)
+        # cover positions: per pair, cover_idx[start_of_my_cell + my
+        # offset]; built as ONE sequential repeat + arange + take so no
+        # 27M-element fancy-gather chain materializes
+        flat = np.take(
+            index.cover_idx,
+            np.repeat(starts - seg_starts, counts)
+            + np.arange(total, dtype=np.int64),
+        )
         has = counts > 0
         red_at = seg_starts[has]
-        minv = np.minimum.reduceat(d, red_at)
-        # first (== lowest city_id, cover lists ascend) position hitting
-        # the segment min
-        min_rep = np.empty(npts)
-        min_rep[has] = minv
-        is_min = d == np.repeat(min_rep, counts)
-        gpos = np.where(is_min, np.arange(total, dtype=np.int64), total)
-        first = np.minimum.reduceat(gpos, red_at)
-        best_pos[has] = flat[first]
+        # chord prefilter, same proof as the refinement paths below:
+        # the minimum chord is the true in-ring nearest, and only
+        # candidates within (that distance + 2*round-step) can tie the
+        # rounded minimum — so the transcendental kernel runs on the
+        # near-disc survivors only (~50 ring candidates/point at the
+        # default level, ~1-2 survivors). The per-pair arrays stay in
+        # DOT space (chord^2 = 2 - 2*dot, monotone decreasing): min
+        # chord == max dot, and only the per-SEGMENT extrema pay the
+        # chord/km conversions — three fewer full passes (scale, shift,
+        # clip; the conversion helpers clamp their own inputs).
+        dot = np.take(index.ux, flat)
+        dot *= np.repeat(p_ux, counts)
+        t = np.take(index.uy, flat)
+        t *= np.repeat(p_uy, counts)
+        dot += t
+        t = np.take(index.uz, flat)
+        t *= np.repeat(p_uz, counts)
+        dot += t
+        max_dot = np.maximum.reduceat(dot, red_at)
+        min_c2 = 2.0 - 2.0 * np.minimum(max_dot, 1.0)
+        margin_km = _chord_sq_to_km(min_c2) + 2.0 * slack
+        # c2 <= bound  <=>  dot >= 1 - bound/2
+        dot_bound_pt = np.full(npts, np.inf)
+        dot_bound_pt[has] = 1.0 - 0.5 * _km_to_chord_sq_bound(margin_km)
+        keep = dot >= np.repeat(dot_bound_pt, counts)
+        counts2 = np.add.reduceat(keep, red_at, dtype=np.int64)
+        seg2 = np.cumsum(counts2) - counts2
+        sel = np.flatnonzero(keep)
+        flat2 = np.take(flat, sel)
+        pt2 = np.repeat(np.flatnonzero(has), counts2)
+        d = _hav_pairs_rounded(index, p_rad_lat, p_rad_lon, p_cos, pt2, flat2, digits)
+        minv = np.minimum.reduceat(d, seg2)
+        is_min = d == np.repeat(minv, counts2)
+        # tie-break: lowest city position (== lowest city_id, the same
+        # rule as the refinement paths; cover lists ascend by position)
+        cand_pos = np.where(is_min, flat2, np.iinfo(np.int64).max)
+        best_pos[has] = np.minimum.reduceat(cand_pos, seg2)
         best_d[has] = minv
 
     # exact refinement where the ring result is not provably global
     cert = certainty_radius_np(lat, index.ring, index.level)
-    slack = 10.0 ** (-digits)
     esc = (best_pos < 0) | ~(best_d + slack < cert)
 
     # (a) rows with an in-ring best: the true nearest has rounded
@@ -468,11 +505,14 @@ def _solve_batch(
             seg_starts = np.cumsum(counts) - counts
             within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
             flat = index.lat_order[np.repeat(lo[have], counts) + within]
-            p_ux = p_cos * np.cos(p_rad_lon)
-            p_uy = p_cos * np.sin(p_rad_lon)
-            p_uz = np.sin(p_rad_lat)
             pt_rep = np.repeat(wbi, counts)
-            c2 = _chord_sq_pairs(index, p_ux, p_uy, p_uz, pt_rep, flat)
+            c2 = _chord_sq_pairs(
+                index,
+                np.repeat(p_ux[wbi], counts),
+                np.repeat(p_uy[wbi], counts),
+                np.repeat(p_uz[wbi], counts),
+                flat,
+            )
             min_c2 = np.minimum.reduceat(c2, seg_starts)
             margin_km = _chord_sq_to_km(min_c2) + 2.0 * slack
             seg_rep = np.repeat(np.arange(len(wbi), dtype=np.int64), counts)
@@ -503,9 +543,6 @@ def _solve_batch(
     # rounded kernel on the per-row near-minimum survivors only.
     blind = np.flatnonzero(esc & (best_pos < 0))
     if len(blind):
-        p_ux = p_cos * np.cos(p_rad_lon)
-        p_uy = p_cos * np.sin(p_rad_lon)
-        p_uz = np.sin(p_rad_lat)
         rows_per_chunk = max(1, _CHUNK // ncities)
         for s in range(0, len(blind), rows_per_chunk):
             sel = blind[s : s + rows_per_chunk]
@@ -619,7 +656,13 @@ def _topk_batch(
             p_ux = p_cos * np.cos(p_rad_lon)
             p_uy = p_cos * np.sin(p_rad_lon)
             p_uz = np.sin(p_rad_lat)
-            c2 = _chord_sq_pairs(index, p_ux, p_uy, p_uz, ept, eflat)
+            c2 = _chord_sq_pairs(
+                index,
+                np.repeat(p_ux[esc], e_counts),
+                np.repeat(p_uy[esc], e_counts),
+                np.repeat(p_uz[esc], e_counts),
+                eflat,
+            )
             margin_km = np.where(windowed, kth_d[esc] + 2.0 * slack, np.inf)
             blind_rows = np.flatnonzero(~windowed)
             if len(blind_rows):
