@@ -503,9 +503,28 @@ def _solve_batch(
         if len(wbi):
             total = int(counts.sum())
             seg_starts = np.cumsum(counts) - counts
-            within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
-            flat = index.lat_order[np.repeat(lo[have], counts) + within]
-            pt_rep = np.repeat(wbi, counts)
+            flat = np.take(
+                index.lat_order,
+                np.repeat(lo[have] - seg_starts, counts)
+                + np.arange(total, dtype=np.int64),
+            )
+            # per-component box prune BEFORE the 3-component chord dot:
+            # any candidate within the (best_d + 2*round-step) disc has
+            # every unit-vector component within the same chord length
+            # of the point's — the lat band bounds uz, and ux/uy cut the
+            # band's full longitude sweep down to the near arc. Each cut
+            # is 4 array passes vs 8 for the chord, and the in-ring best
+            # always survives (its distance fits the margin), so no
+            # segment empties.
+            cb = np.sqrt(_km_to_chord_sq_bound(best_d[wbi] + 2.0 * slack))
+            for comp, pcomp in ((index.ux, p_ux), (index.uy, p_uy)):
+                t = np.take(comp, flat)
+                t -= np.repeat(pcomp[wbi], counts)
+                np.abs(t, out=t)
+                pre = t <= np.repeat(cb, counts)
+                counts = np.add.reduceat(pre, seg_starts, dtype=np.int64)
+                seg_starts = np.cumsum(counts) - counts
+                flat = np.take(flat, np.flatnonzero(pre))
             c2 = _chord_sq_pairs(
                 index,
                 np.repeat(p_ux[wbi], counts),
@@ -515,14 +534,13 @@ def _solve_batch(
             )
             min_c2 = np.minimum.reduceat(c2, seg_starts)
             margin_km = _chord_sq_to_km(min_c2) + 2.0 * slack
-            seg_rep = np.repeat(np.arange(len(wbi), dtype=np.int64), counts)
-            keep = c2 <= _km_to_chord_sq_bound(margin_km)[seg_rep]
+            keep = c2 <= np.repeat(_km_to_chord_sq_bound(margin_km), counts)
             # the min-chord pair always survives its own margin, so
             # every segment keeps >= 1 candidate
-            flat2 = flat[keep]
-            pt2 = pt_rep[keep]
-            counts2 = np.bincount(seg_rep[keep], minlength=len(wbi))
+            counts2 = np.add.reduceat(keep, seg_starts, dtype=np.int64)
             seg2 = np.cumsum(counts2) - counts2
+            flat2 = np.take(flat, np.flatnonzero(keep))
+            pt2 = np.repeat(wbi, counts2)
             d = _hav_pairs_rounded(
                 index, p_rad_lat, p_rad_lon, p_cos, pt2, flat2, digits
             )
