@@ -607,6 +607,9 @@ def _topk_batch(
     p_rad_lat = np.radians(lat)
     p_rad_lon = np.radians(lon)
     p_cos = np.cos(p_rad_lat)
+    p_ux = p_cos * np.cos(p_rad_lon)
+    p_uy = p_cos * np.sin(p_rad_lon)
+    p_uz = np.sin(p_rad_lat)
     starts, counts = index.lookup(lat, lon)
     total = int(counts.sum())
     proven = np.zeros(npts, bool)
@@ -614,15 +617,57 @@ def _topk_batch(
     out_rows, out_pos, out_d, out_rank = [], [], [], []
     if total:
         seg_starts = np.cumsum(counts) - counts
-        within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
-        flat = index.cover_idx[np.repeat(starts, counts) + within]
+        flat = np.take(
+            index.cover_idx,
+            np.repeat(starts - seg_starts, counts)
+            + np.arange(total, dtype=np.int64),
+        )
+        has = counts > 0
+        red_at = seg_starts[has]
+        slack = 10.0 ** (-digits)
+        if k <= 16:
+            # k-th-chord prefilter, the top-k analog of _solve_batch's
+            # ring prune: a conservative (tie-collapsed) k-th-largest
+            # dot per segment lower-bounds the true k-th, so keeping
+            # every candidate within (that distance + 2*round-step)
+            # keeps the entire rounded top-k — the exact kernel and
+            # the ranking lexsort then run on ~k survivors per point
+            # instead of the full ring cover. Tie collapsing only
+            # lowers the threshold (larger margin), never drops a
+            # winner; segments with < k distinct values keep all.
+            dot = np.take(index.ux, flat)
+            dot *= np.repeat(p_ux, counts)
+            t = np.take(index.uy, flat)
+            t *= np.repeat(p_uy, counts)
+            dot += t
+            t = np.take(index.uz, flat)
+            t *= np.repeat(p_uz, counts)
+            dot += t
+            work = dot.copy()
+            kth_dot = np.full(npts, -np.inf)
+            for _ in range(k):
+                m = np.full(npts, -np.inf)
+                m[has] = np.maximum.reduceat(work, red_at)
+                live = np.isfinite(m)
+                kth_dot = np.where(live, m, kth_dot)
+                work = np.where(work == np.repeat(m, counts), -np.inf, work)
+            kth_c2 = 2.0 - 2.0 * np.minimum(kth_dot, 1.0)
+            margin_km = _chord_sq_to_km(kth_c2) + 2.0 * slack
+            dot_bound = 1.0 - 0.5 * _km_to_chord_sq_bound(margin_km)
+            keep = dot >= np.repeat(dot_bound, counts)
+            counts = np.zeros(npts, np.int64)
+            counts[has] = np.add.reduceat(keep, red_at, dtype=np.int64)
+            seg_starts = np.cumsum(counts) - counts
+            flat = np.take(flat, np.flatnonzero(keep))
+            total = len(flat)
         pt_rep = np.repeat(np.arange(npts, dtype=np.int64), counts)
         d = _hav_pairs_rounded(index, p_rad_lat, p_rad_lon, p_cos, pt_rep, flat, digits)
-        order = np.lexsort((within, d, pt_rep))
+        # survivors preserve cover-list order, so a stable 2-key sort
+        # reproduces the (rounded dist, city_id) tie-break
+        order = np.lexsort((np.arange(total, dtype=np.int64), d, pt_rep))
         d_s, flat_s, pt_s = d[order], flat[order], pt_rep[order]
         rank_within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
         cert = certainty_radius_np(lat, index.ring, index.level)
-        slack = 10.0 ** (-digits)
         has_k = counts >= k
         kth_idx = np.minimum(seg_starts + k - 1, np.maximum(seg_starts, seg_starts + counts - 1))
         kth_d = np.where(has_k, d_s[np.minimum(kth_idx, total - 1)], np.inf)
@@ -671,9 +716,6 @@ def _topk_batch(
             # smallest chord's distance for blind full scans) can enter
             # the global top-k — the exact kernel and the lexsort then
             # run on the survivors only.
-            p_ux = p_cos * np.cos(p_rad_lon)
-            p_uy = p_cos * np.sin(p_rad_lon)
-            p_uz = np.sin(p_rad_lat)
             c2 = _chord_sq_pairs(
                 index,
                 np.repeat(p_ux[esc], e_counts),
