@@ -195,7 +195,21 @@ def nearest_city_join(
     a worker-resident city index (see operators.nearest_arrow) — the
     scale path, ~20x faster than the relational plan. strategy="jvm":
     pure-Catalyst broadcast-join + lambda-aggregate plan below.
+    strategy="tiled": arrow plus the precomputed certain-tile fast
+    path (JVM-only assignment for rows in provably-single-winner
+    cells) — pays off on clustered real-world city layouts; on the
+    dense synthetic lattice it degenerates to the arrow path (see
+    SCALE.md "tiling economics").
     """
+    if strategy == "tiled" and fallback:
+        from cityfinder_spark.operators.nearest_arrow import nearest_city_join_tiled
+
+        return nearest_city_join_tiled(
+            points, cities,
+            level=level, ring=ring, id_col=id_col, lat_col=lat_col,
+            lon_col=lon_col, digits=digits, n_cities=n_cities,
+            cache_key=cache_key,
+        )
     if strategy == "arrow" and fallback:
         from cityfinder_spark.operators.nearest_arrow import nearest_city_join_arrow
 

@@ -592,6 +592,7 @@ def _topk_batch(
     lon: np.ndarray,
     k: int,
     digits: int,
+    ring_only: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Top-k nearest per point. Returns (point_row, city_pos, dist,
     rank) flat arrays, rank 1..min(k, n_cities), ordered by (rounded
@@ -682,7 +683,15 @@ def _topk_batch(
     # prune (every global top-k member has rounded d <= in-ring kth, so
     # |dlat| <= (kth + step)/deg_km); rows without k in-ring candidates
     # scan everything. Both paths share the ragged top-k selection.
-    esc = np.flatnonzero(~proven)
+    if ring_only:
+        # build-time fast path (tile precomputation): emit only rows
+        # whose ring top-k is PROVEN global; unproven rows get no
+        # output instead of the exact escalation — far-from-city
+        # centers would otherwise pay near-full scans for an answer
+        # the caller treats as "ambiguous" anyway.
+        esc = np.empty(0, np.int64)
+    else:
+        esc = np.flatnonzero(~proven)
     if len(esc):
         from cityfinder_spark.geo.cells import KM_PER_DEG
 
@@ -950,6 +959,203 @@ def nearest_city_join_arrow(
         *points.columns,
         res["city_id"].alias("city_id"),
         res["dist_km"].alias("dist_km"),
+    )
+    return assigned.join(payload, "city_id", "left").select(
+        *points.columns, "city_id", "name", "country", "dist_km"
+    )
+
+
+# ---- certain-tile precomputation: the raster->vector assignment map ----
+# The north rule's tiling made executable: at a fine grid level, most
+# cells lie strictly inside one city's (rounded-distance) Voronoi
+# region — every possible point in such a cell provably resolves to the
+# same city, so assignment is a pure JVM broadcast hash join + codegen
+# haversine with NO Python in the path. Only boundary-ambiguous cells
+# (and cells whose winner has a rounding-tie rival) fall through to the
+# Arrow kernel. The proof per cell, from the top-2 at the cell CENTER:
+#   d(p, X)  <= d1_true + r_cell          for every p in the cell
+#   d(p, Y)  >= d2_true - r_cell          for every other city Y
+# so d2_true - d1_true > 2*r_cell + slack makes X's rounded distance
+# strictly smallest everywhere in the cell (no tie-break needed); with
+# the kernel's ROUNDED top-2, d2r - d1r > 2*r_cell + 2*slack implies
+# it. r_cell is the triangle-inequality bound on center->anywhere:
+# a meridian arc of half the cell height plus a parallel arc of half
+# the width at the cell's most-equatorial latitude. Duplicate or
+# rounding-tied winners give d2r == d1r -> ambiguous -> kernel path
+# (conservative, never wrong).
+
+TILE_LEVEL = 9  # ~0.35 deg cells; ~2^19 cells, certain subset broadcast
+
+_TILE_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+_TILE_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def build_tile_map(
+    index: CityIndex,
+    tile_level: int = TILE_LEVEL,
+    digits: int = ROUND_DIGITS,
+    chunk: int = 1 << 17,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cell_ids, city_pos) for every tile-level cell whose nearest
+    city is provably unique in rounded distance for EVERY point in the
+    cell (see module comment above for the margin proof)."""
+    from cityfinder_spark.geo.cells import KM_PER_DEG
+
+    nlat, nlon = grid_dims(tile_level)
+    slack = 10.0 ** (-digits)
+    half_lat = 90.0 / nlat
+    half_lon = 180.0 / nlon
+    total = nlat * nlon
+    cells_out, pos_out = [], []
+    for s in range(0, total, chunk):
+        idxs = np.arange(s, min(s + chunk, total), dtype=np.int64)
+        ii, jj = idxs // nlon, idxs % nlon
+        clat = -90.0 + (ii + 0.5) * (180.0 / nlat)
+        clon = -180.0 + (jj + 0.5) * (360.0 / nlon)
+        rows, pos, d, rank = _topk_batch(index, clat, clon, 2, digits, ring_only=True)
+        d1 = np.full(len(idxs), np.inf)
+        p1 = np.full(len(idxs), -1, np.int64)
+        d2 = np.full(len(idxs), np.inf)
+        r1 = rank == 1
+        d1[rows[r1]] = d[r1]
+        p1[rows[r1]] = pos[r1]
+        r2 = rank == 2
+        d2[rows[r2]] = d[r2]
+        # isolated-winner case (the GeoNames shape this path exists
+        # for): k=2 unprovable in-ring because the runner-up is beyond
+        # the certainty radius — but that IS a lower bound: a k=1-
+        # proven center with no provable second place has d2_true >=
+        # cert(center) (any in-ring runner-up that failed the proof
+        # sits within 3*slack/2 of cert, hence the 2*slack guard).
+        rows1, pos1, dk1, _rank1 = _topk_batch(
+            index, clat, clon, 1, digits, ring_only=True
+        )
+        k1_d = np.full(len(idxs), np.inf)
+        k1_p = np.full(len(idxs), -1, np.int64)
+        k1_d[rows1] = dk1
+        k1_p[rows1] = pos1
+        only1 = (p1 < 0) & (k1_p >= 0)
+        cert = certainty_radius_np(clat, index.ring, index.level)
+        d1[only1] = k1_d[only1]
+        p1[only1] = k1_p[only1]
+        d2[only1] = cert[only1] - 2.0 * slack
+        lat_lo, lat_hi = clat - half_lat, clat + half_lat
+        cosmax = np.maximum(
+            np.cos(np.radians(lat_lo)), np.cos(np.radians(lat_hi))
+        )
+        cosmax = np.where((lat_lo < 0.0) & (lat_hi > 0.0), 1.0, cosmax)
+        r_cell = KM_PER_DEG * (half_lat + half_lon * cosmax)
+        certain = (p1 >= 0) & (d2 - d1 > 2.0 * r_cell + 2.0 * slack)
+        cells_out.append(tile_level * LEVEL_STRIDE + idxs[certain])
+        pos_out.append(p1[certain])
+    return np.concatenate(cells_out), np.concatenate(pos_out)
+
+
+def _tile_df(spark, full_key, index: CityIndex, tile_level: int, digits: int):
+    """Broadcastable (cell -> winner city) DataFrame, memoized per
+    SparkContext + cities-dimension key like the index broadcast."""
+    ckey = None if full_key is None else (*full_key, "tiles", tile_level)
+    tiles = _TILE_CACHE.get(ckey) if ckey is not None else None
+    if tiles is None:
+        tiles = build_tile_map(index, tile_level, digits)
+        if ckey is not None:
+            _TILE_CACHE[ckey] = tiles
+    cells, pos = tiles
+    if not len(cells):
+        return None
+    dfkey = None if ckey is None else (id(spark.sparkContext), *ckey)
+    df = _TILE_DF_CACHE.get(dfkey) if dfkey is not None else None
+    if df is None:
+        pdf = pd.DataFrame(
+            {
+                "__tcell": cells,
+                "__tcity": index.city_id[pos],
+                "__tlat": index.lat[pos],
+                "__tlon": index.lon[pos],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        if dfkey is not None:
+            _TILE_DF_CACHE[dfkey] = df
+    return df
+
+
+def nearest_city_join_tiled(
+    points: DataFrame,
+    cities: DataFrame,
+    *,
+    level: int | None = None,
+    ring: int = 1,
+    id_col: str = "pt_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    digits: int = ROUND_DIGITS,
+    n_cities: int | None = None,
+    tile_level: int = TILE_LEVEL,
+    cache_key: tuple | None = None,
+) -> DataFrame:
+    """nearest_city_join_arrow semantics with the certain-tile fast
+    path: rows landing in a provably-single-winner cell are assigned
+    by a JVM broadcast hash join + whole-stage-codegen haversine (zero
+    Python); the ambiguous remainder flows through the Arrow kernel.
+    Output is row-identical to the arrow strategy (parity-tested)."""
+    from cityfinder_spark.geo.cells import cell_col
+    from cityfinder_spark.geo.distance import haversine_rounded_col
+    from cityfinder_spark.operators.nearest import choose_level
+
+    full_key = None if cache_key is None else (*cache_key, level, ring, None, 2)
+    index = _INDEX_CACHE.get(full_key) if full_key is not None else None
+    if index is None:
+        if level is None:
+            n = n_cities if n_cities is not None else cities.count()
+            level = choose_level(n, ring)
+        index = build_city_index(cities, level, ring)
+        if full_key is not None:
+            _INDEX_CACHE[full_key] = index
+
+    spark = points.sparkSession
+    tiles = _tile_df(spark, full_key, index, tile_level, digits)
+    if tiles is None:
+        return nearest_city_join_arrow(
+            points, cities, level=index.level, ring=ring, id_col=id_col,
+            lat_col=lat_col, lon_col=lon_col, digits=digits,
+            city_index=index, cache_key=cache_key,
+        )
+
+    j = points.withColumn(
+        "__tcell", cell_col(F.col(lat_col), F.col(lon_col), tile_level)
+    ).join(F.broadcast(tiles), "__tcell", "left")
+    certain = (
+        j.where(F.col("__tcity").isNotNull())
+        .withColumn(
+            "dist_km",
+            haversine_rounded_col(
+                F.col(lat_col), F.col(lon_col), F.col("__tlat"), F.col("__tlon"), digits
+            ),
+        )
+        .select(
+            *points.columns, F.col("__tcity").alias("city_id"), "dist_km"
+        )
+    )
+    rest = j.where(F.col("__tcity").isNull()).select(*points.columns)
+    rest_assigned = nearest_city_join_arrow(
+        rest, cities, level=index.level, ring=ring, id_col=id_col,
+        lat_col=lat_col, lon_col=lon_col, digits=digits,
+        city_index=index, cache_key=cache_key,
+    ).select(*points.columns, "city_id", "dist_km")
+    assigned = certain.unionByName(rest_assigned)
+
+    cols = set(cities.columns)
+    payload = F.broadcast(
+        cities.select(
+            F.col("city_id").cast("long").alias("city_id"),
+            (F.col("name") if "name" in cols else F.lit(None).cast("string")).alias(
+                "name"
+            ),
+            (
+                F.col("country") if "country" in cols else F.lit(None).cast("string")
+            ).alias("country"),
+        )
     )
     return assigned.join(payload, "city_id", "left").select(
         *points.columns, "city_id", "name", "country", "dist_km"
