@@ -1045,7 +1045,8 @@ def build_tile_map(
         )
         cosmax = np.where((lat_lo < 0.0) & (lat_hi > 0.0), 1.0, cosmax)
         r_cell = KM_PER_DEG * (half_lat + half_lon * cosmax)
-        certain = (p1 >= 0) & (d2 - d1 > 2.0 * r_cell + 2.0 * slack)
+        with np.errstate(invalid="ignore"):  # inf - inf on unproven cells
+            certain = (p1 >= 0) & (d2 - d1 > 2.0 * r_cell + 2.0 * slack)
         cells_out.append(tile_level * LEVEL_STRIDE + idxs[certain])
         pos_out.append(p1[certain])
     return np.concatenate(cells_out), np.concatenate(pos_out)
