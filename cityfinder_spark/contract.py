@@ -282,7 +282,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, threshold=JACCARD_T, cache_key=("docs", sf_dir)
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,7 +346,9 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cityfinder_spark.operators.components import dedup_resolve
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, n=3, threshold=JACCARD_T)
+    pairs = minhash_lsh_pairs(
+        docs, n=3, threshold=JACCARD_T, cache_key=("docs", sf_dir)
+    )
     return dedup_resolve(docs, pairs)
 
 

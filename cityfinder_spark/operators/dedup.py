@@ -247,6 +247,7 @@ def minhash_lsh_pairs(
     band_size: int = BAND_SIZE,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band signatures bucket candidates
     (shingle->minhash->band->bucket-join), exact Jaccard verifies.
@@ -258,7 +259,22 @@ def minhash_lsh_pairs(
     costs the same as the exact ngram path and would defeat the
     banding at scale. With AQE the tiny candidate side broadcasts at
     runtime, so the set rows never shuffle."""
-    bands = minhash_band_sigs(docs, n, band_size, id_col, text_col)
+    from cityfinder_spark.bcast import memo_table
+
+    spark = docs.sparkSession
+    # the band-signature and shingle-set tables are deterministic
+    # derivations of the documents table — with a cache_key naming the
+    # table's identity they persist once per session (same build-once
+    # stance as the cities index / media tables), so every dedup query
+    # after the first pays only the candidate join + verification
+    bkey = (
+        None
+        if cache_key is None
+        else ("mh-bands", *cache_key, n, band_size, id_col, text_col)
+    )
+    bands = memo_table(
+        spark, bkey, lambda: minhash_band_sigs(docs, n, band_size, id_col, text_col)
+    )
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
     cand = (
@@ -267,7 +283,8 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets = _shingle_sets(docs, n, id_col, text_col)
+    skey = None if cache_key is None else ("mh-sets", *cache_key, n, id_col, text_col)
+    sets = memo_table(spark, skey, lambda: _shingle_sets(docs, n, id_col, text_col))
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("__shingles").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("__shingles").alias("__sb"))
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
