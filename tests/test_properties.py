@@ -85,3 +85,79 @@ def test_certainty_radius_formula_bounds(lat, ring, level):
     cert = certainty_radius_np(np.array([lat]), ring, level)[0]
     h = 180.0 / (1 << level)
     assert 0.0 <= cert <= ring * h * KM_PER_DEG + 1e-9
+
+
+# ---- randomized end-to-end kernel property: _solve_batch / _topk_batch
+# vs the all-pairs rounded oracle, over arbitrary city layouts.
+# Exercises every pruning layer added to the batch kernels (ring
+# chord prefilter in dot space, per-component box cuts, tie-collapsed
+# k-th-max) without Spark: CityIndex builds straight from arrays.
+
+
+def _rand_index(seed: int, n_cities: int, level: int, ring: int):
+    from cityfinder_spark.operators.nearest_arrow import CityIndex
+
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-89.9, 89.9, n_cities)
+    lon = rng.uniform(-180.0, 180.0, n_cities)
+    # force some exact duplicates and micro-ties into every layout
+    if n_cities >= 8:
+        lat[1], lon[1] = lat[0], lon[0]
+        lat[3] = lat[2] + 1e-9
+        lon[3] = lon[2]
+    ids = np.arange(n_cities, dtype=np.int64)
+    names = np.array([f"c{i}" for i in ids], dtype=object)
+    ctry = np.array(["XX"] * n_cities, dtype=object)
+    return CityIndex(ids, lat, lon, names, ctry, level, ring)
+
+
+def _rand_points(seed: int, idx, npts: int):
+    rng = np.random.default_rng(seed + 1)
+    lat = rng.uniform(-89.99, 89.99, npts)
+    lon = rng.uniform(-180.0, 180.0, npts)
+    # half the points huddle near cities (the skewed real shape)
+    near = rng.integers(0, len(idx.lat), npts // 2)
+    lat[: npts // 2] = np.clip(
+        idx.lat[near] + rng.uniform(-0.3, 0.3, npts // 2), -89.99, 89.99
+    )
+    lon[: npts // 2] = idx.lon[near] + rng.uniform(-0.3, 0.3, npts // 2)
+    return lat, lon
+
+
+@given(
+    st.integers(0, 10_000),
+    st.integers(2, 300),
+    st.integers(2, 7),
+    st.integers(1, 2),
+    st.sampled_from([1, 2, 3, 5]),
+)
+@settings(max_examples=30, deadline=None)
+def test_batch_kernels_match_allpairs_oracle(seed, n_cities, level, ring, k):
+    from cityfinder_spark.operators import nearest_arrow as na
+
+    idx = _rand_index(seed, n_cities, level, ring)
+    lat, lon = _rand_points(seed, idx, 60)
+    npts, nc = len(lat), n_cities
+    pt = np.repeat(np.arange(npts, dtype=np.int64), nc)
+    ct = np.tile(np.arange(nc, dtype=np.int64), npts)
+    d_all = na._hav_pairs_rounded(
+        idx, np.radians(lat), np.radians(lon), np.cos(np.radians(lat)),
+        pt, ct, na.ROUND_DIGITS,
+    ).reshape(npts, nc)
+
+    pos, d = na._solve_batch(idx, lat, lon, na.ROUND_DIGITS)
+    for i in range(npts):
+        order = np.lexsort((np.arange(nc), d_all[i]))
+        assert pos[i] == order[0], (i, pos[i], order[0])
+        assert d[i] == d_all[i][order[0]]
+
+    rows, tpos, td, trank = na._topk_batch(idx, lat, lon, k, na.ROUND_DIGITS)
+    kk = min(k, nc)
+    assert len(rows) == npts * kk
+    by_row = np.lexsort((trank, rows))
+    tpos = tpos[by_row].reshape(npts, kk)
+    td = td[by_row].reshape(npts, kk)
+    for i in range(npts):
+        order = np.lexsort((np.arange(nc), d_all[i]))[:kk]
+        assert np.array_equal(tpos[i], order), (i, tpos[i], order)
+        assert np.array_equal(td[i], d_all[i][order])
