@@ -719,6 +719,28 @@ def _topk_batch(
             eflat = np.where(
                 np.repeat(windowed, e_counts), index.lat_order[gather], gather
             )
+            # per-component box prune for WINDOWED rows before the
+            # 3-component chord (same proof as _solve_batch's windowed
+            # path, with the in-ring k-th margin): the lat band bounds
+            # uz but sweeps all longitudes; two 4-pass cuts on ux/uy
+            # shrink it to the near arc. A pair inside the margin disc
+            # has every |component delta| within the chord bound, so
+            # the cuts only drop pairs the chord filter would drop —
+            # and the in-ring k-th always survives, so no windowed
+            # segment empties. Blind rows get an infinite bound (their
+            # margin needs the dense chord pass below).
+            cb = np.full(len(esc), np.inf)
+            cb[windowed] = np.sqrt(
+                _km_to_chord_sq_bound(kth_d[esc[windowed]] + 2.0 * slack)
+            )
+            for comp, pcomp in ((index.ux, p_ux), (index.uy, p_uy)):
+                t = np.take(comp, eflat)
+                t -= np.repeat(pcomp[esc], e_counts)
+                np.abs(t, out=t)
+                pre = t <= np.repeat(cb, e_counts)
+                e_counts = np.add.reduceat(pre, eseg, dtype=np.int64)
+                eseg = np.cumsum(e_counts) - e_counts
+                eflat = np.take(eflat, np.flatnonzero(pre))
             ept = np.repeat(esc, e_counts)
             # chord^2 prefilter: only candidates whose chord fits the
             # per-row margin (in-ring kth for windowed rows; the k-th
