@@ -47,31 +47,12 @@ from cityfinder_spark.geo.cells import (
 )
 from cityfinder_spark.geo.distance import haversine_np
 from cityfinder_spark.sqlcompat import LEVEL_STRIDE, ROUND_DIGITS
+from cityfinder_spark.workerenv import tune_malloc
 
 _CHUNK = 1 << 22  # max elements per dense escalation chunk
 
-_malloc_tuned = False
-
-
-def _tune_malloc() -> None:
-    """Raise glibc's mmap/trim thresholds in THIS process (each Python
-    worker) so the multi-MB NumPy scratch arrays of the kNN kernels are
-    reused from the heap instead of mmap'd and returned per batch.
-    Without this, 32 concurrent workers spend most of their time in
-    kernel page-zeroing + cross-core TLB shootdowns (measured: ~28 of
-    32 cores in system time, and local[32] SLOWER than local[8])."""
-    global _malloc_tuned
-    if _malloc_tuned:
-        return
-    _malloc_tuned = True
-    try:
-        import ctypes
-
-        libc = ctypes.CDLL("libc.so.6")
-        libc.mallopt(-3, 512 * 1024 * 1024)  # M_MMAP_THRESHOLD
-        libc.mallopt(-1, 512 * 1024 * 1024)  # M_TRIM_THRESHOLD
-    except Exception:
-        pass
+# per-process allocator tuning (shared with the similarity kernels)
+_tune_malloc = tune_malloc
 
 
 def _round_np(d: np.ndarray, digits: int) -> np.ndarray:
@@ -89,17 +70,18 @@ def _round_np(d: np.ndarray, digits: int) -> np.ndarray:
 # latitude band / dense scan (escalated rows were ~95% of kernel time).
 
 
-def _chord_sq_pairs(
+def _dot_pairs(
     index: CityIndex,
     px: np.ndarray,
     py: np.ndarray,
     pz: np.ndarray,
     flat: np.ndarray,
 ) -> np.ndarray:
-    """chord^2 between per-PAIR point unit vectors (px/py/pz, already
-    expanded by the caller — np.repeat over segment counts is a
-    sequential fill, ~2x faster than the random fancy-gather this
-    kernel previously did per component) and city[flat] vectors."""
+    """Raw unit-vector dot products between per-PAIR point components
+    (px/py/pz, already expanded by the caller — np.repeat over segment
+    counts is a sequential fill, ~2x faster than a random fancy-gather
+    per component) and city[flat] vectors. The dot-space prefilters
+    consume this directly (chord^2 = 2 - 2*dot, monotone decreasing)."""
     dot = np.take(index.ux, flat)
     dot *= px
     t = np.take(index.uy, flat)
@@ -108,6 +90,18 @@ def _chord_sq_pairs(
     t = np.take(index.uz, flat)
     t *= pz
     dot += t
+    return dot
+
+
+def _chord_sq_pairs(
+    index: CityIndex,
+    px: np.ndarray,
+    py: np.ndarray,
+    pz: np.ndarray,
+    flat: np.ndarray,
+) -> np.ndarray:
+    """chord^2 for per-pair point/city unit vectors (see _dot_pairs)."""
+    dot = _dot_pairs(index, px, py, pz, flat)
     np.clip(dot, -1.0, 1.0, out=dot)
     dot *= -2.0
     dot += 2.0
@@ -446,14 +440,13 @@ def _solve_batch(
         # chord == max dot, and only the per-SEGMENT extrema pay the
         # chord/km conversions — three fewer full passes (scale, shift,
         # clip; the conversion helpers clamp their own inputs).
-        dot = np.take(index.ux, flat)
-        dot *= np.repeat(p_ux, counts)
-        t = np.take(index.uy, flat)
-        t *= np.repeat(p_uy, counts)
-        dot += t
-        t = np.take(index.uz, flat)
-        t *= np.repeat(p_uz, counts)
-        dot += t
+        dot = _dot_pairs(
+            index,
+            np.repeat(p_ux, counts),
+            np.repeat(p_uy, counts),
+            np.repeat(p_uz, counts),
+            flat,
+        )
         max_dot = np.maximum.reduceat(dot, red_at)
         min_c2 = 2.0 - 2.0 * np.minimum(max_dot, 1.0)
         margin_km = _chord_sq_to_km(min_c2) + 2.0 * slack
@@ -636,14 +629,13 @@ def _topk_batch(
             # instead of the full ring cover. Tie collapsing only
             # lowers the threshold (larger margin), never drops a
             # winner; segments with < k distinct values keep all.
-            dot = np.take(index.ux, flat)
-            dot *= np.repeat(p_ux, counts)
-            t = np.take(index.uy, flat)
-            t *= np.repeat(p_uy, counts)
-            dot += t
-            t = np.take(index.uz, flat)
-            t *= np.repeat(p_uz, counts)
-            dot += t
+            dot = _dot_pairs(
+                index,
+                np.repeat(p_ux, counts),
+                np.repeat(p_uy, counts),
+                np.repeat(p_uz, counts),
+                flat,
+            )
             work = dot.copy()
             kth_dot = np.full(npts, -np.inf)
             for _ in range(k):
@@ -823,7 +815,8 @@ def nearest_city_topk_arrow(
     # same key shape as the k=1 path: both build build_city_index(
     # cities, level, ring) with no cell-split knobs, so one cached
     # index serves nearest_city_join_arrow AND the top-k variant
-    full_key = None if cache_key is None else (*cache_key, level, ring, None, 2)
+    req_level = level  # unresolved form keys the shared index memo
+    full_key = None if cache_key is None else (*cache_key, req_level, ring, None, 2)
     index = _INDEX_CACHE.get(full_key) if full_key is not None else None
     if index is None:
         if level is None:
@@ -1049,18 +1042,16 @@ def build_tile_map(
         # proven center with no provable second place has d2_true >=
         # cert(center) (any in-ring runner-up that failed the proof
         # sits within 3*slack/2 of cert, hence the 2*slack guard).
-        rows1, pos1, dk1, _rank1 = _topk_batch(
-            index, clat, clon, 1, digits, ring_only=True
-        )
-        k1_d = np.full(len(idxs), np.inf)
-        k1_p = np.full(len(idxs), -1, np.int64)
-        k1_d[rows1] = dk1
-        k1_p[rows1] = pos1
-        only1 = (p1 < 0) & (k1_p >= 0)
-        cert = certainty_radius_np(clat, index.ring, index.level)
-        d1[only1] = k1_d[only1]
-        p1[only1] = k1_p[only1]
-        d2[only1] = cert[only1] - 2.0 * slack
+        unproven = np.flatnonzero(p1 < 0)
+        if len(unproven):
+            rows1, pos1, dk1, _rank1 = _topk_batch(
+                index, clat[unproven], clon[unproven], 1, digits, ring_only=True
+            )
+            hit = unproven[rows1]
+            cert = certainty_radius_np(clat[hit], index.ring, index.level)
+            d1[hit] = dk1
+            p1[hit] = pos1
+            d2[hit] = cert - 2.0 * slack
         lat_lo, lat_hi = clat - half_lat, clat + half_lat
         cosmax = np.maximum(
             np.cos(np.radians(lat_lo)), np.cos(np.radians(lat_hi))
@@ -1076,8 +1067,11 @@ def build_tile_map(
 
 def _tile_df(spark, full_key, index: CityIndex, tile_level: int, digits: int):
     """Broadcastable (cell -> winner city) DataFrame, memoized per
-    SparkContext + cities-dimension key like the index broadcast."""
-    ckey = None if full_key is None else (*full_key, "tiles", tile_level)
+    application + cities-dimension key like the index broadcast.
+    `digits` is part of the key: the certainty margin depends on the
+    rounding step, so a map certified at one step must never serve
+    another."""
+    ckey = None if full_key is None else (*full_key, "tiles", tile_level, digits)
     tiles = _TILE_CACHE.get(ckey) if ckey is not None else None
     if tiles is None:
         tiles = build_tile_map(index, tile_level, digits)
@@ -1086,7 +1080,10 @@ def _tile_df(spark, full_key, index: CityIndex, tile_level: int, digits: int):
     cells, pos = tiles
     if not len(cells):
         return None
-    dfkey = None if ckey is None else (id(spark.sparkContext), *ckey)
+    # applicationId, not id(sc): object ids recycle across sessions and
+    # would serve a DataFrame bound to a stopped context (same
+    # convention as bcast.memo_broadcast / memo_table)
+    dfkey = None if ckey is None else (spark.sparkContext.applicationId, *ckey)
     df = _TILE_DF_CACHE.get(dfkey) if dfkey is not None else None
     if df is None:
         pdf = pd.DataFrame(
@@ -1126,7 +1123,8 @@ def nearest_city_join_tiled(
     from cityfinder_spark.geo.distance import haversine_rounded_col
     from cityfinder_spark.operators.nearest import choose_level
 
-    full_key = None if cache_key is None else (*cache_key, level, ring, None, 2)
+    req_level = level  # unresolved form keys the shared index memo
+    full_key = None if cache_key is None else (*cache_key, req_level, ring, None, 2)
     index = _INDEX_CACHE.get(full_key) if full_key is not None else None
     if index is None:
         if level is None:
@@ -1140,7 +1138,7 @@ def nearest_city_join_tiled(
     tiles = _tile_df(spark, full_key, index, tile_level, digits)
     if tiles is None:
         return nearest_city_join_arrow(
-            points, cities, level=index.level, ring=ring, id_col=id_col,
+            points, cities, level=req_level, ring=ring, id_col=id_col,
             lat_col=lat_col, lon_col=lon_col, digits=digits,
             city_index=index, cache_key=cache_key,
         )
@@ -1162,7 +1160,7 @@ def nearest_city_join_tiled(
     )
     rest = j.where(F.col("__tcity").isNull()).select(*points.columns)
     rest_assigned = nearest_city_join_arrow(
-        rest, cities, level=index.level, ring=ring, id_col=id_col,
+        rest, cities, level=req_level, ring=ring, id_col=id_col,
         lat_col=lat_col, lon_col=lon_col, digits=digits,
         city_index=index, cache_key=cache_key,
     ).select(*points.columns, "city_id", "dist_km")

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from cityfinder_spark.bcast import memo_broadcast
 from cityfinder_spark.colutils import round6_col
-from cityfinder_spark.operators.nearest_arrow import _tune_malloc
+from cityfinder_spark.workerenv import tune_malloc as _tune_malloc
 
 COS_DIGITS = 6
 
