@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_resolve",
     "corpus_pipeline",
     "token_stats",
+    "pack_sequences",
     "lang_id",
     "cosine_topk",
     "ann_lsh",
@@ -88,6 +89,7 @@ _FACT_TABLE = {
     "dedup_resolve": "documents",
     "corpus_pipeline": "documents",
     "token_stats": "documents",
+    "pack_sequences": "documents",
     "lang_id": "documents",
     "cosine_topk": "embeddings",
     "ann_lsh": "embeddings",

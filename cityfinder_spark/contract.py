@@ -265,6 +265,18 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
 
+PACK_BUDGET = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in the
+    portable-hash order and chunk into fixed token-budget bins
+    (distributed prefix sum; see operators/packing.py)."""
+    from cityfinder_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
@@ -731,6 +743,27 @@ def _o_token_stats() -> str:
     """
 
 
+def _o_pack_sequences() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             (doc_id * 48271) % 100000 AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           cast(floor(start / {PACK_BUDGET}.0) as bigint) AS bin_id,
+           cast(start % {PACK_BUDGET} as bigint) AS bin_offset
+    FROM c
+    """
+
+
 def _o_text_quality() -> str:
     stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
     return f"""
@@ -985,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": q_point_in_polygon,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "pack_sequences": q_pack_sequences,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -1027,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "point_in_polygon": _o_point_in_polygon(),
         "dedup_exact": _o_dedup_exact(),
         "token_stats": _o_token_stats(),
+        "pack_sequences": _o_pack_sequences(),
         "text_quality": _o_text_quality(),
         "lang_id": _o_lang_id(),
         "doc_fingerprint": _o_fingerprint(),

@@ -1,0 +1,82 @@
+"""Sequence packing for training-data pipelines (driver mandate's
+training-pipeline extension family): concatenate documents in a
+deterministic pseudo-random order and chunk the token stream into
+fixed-budget bins — the standard LLM pretraining layout ("pack then
+split at the context boundary"; documents may straddle bins).
+
+Semantics (exactly SQL-expressible, DuckDB-oracled):
+  * order: (sample_hash(doc_id), doc_id) — the same portable
+    multiplicative hash as operators.sampling, giving a reproducible
+    shuffle of the corpus (desirable for training; deterministic for
+    the oracle);
+  * n_tokens: whitespace token count, identical to token_stats;
+  * start = exclusive prefix sum of n_tokens in that order;
+    bin_id = start div budget, bin_offset = start mod budget.
+
+Scale shape (100 TB): a single global running-sum window would funnel
+every row through ONE task. Instead the prefix sum is distributed the
+classic two-level way, with NO sampled range partitioner (sampling
+would make the two passes see different boundaries):
+  * chunk id = hash * n_chunks div HASH_M — an arithmetic, data-
+    independent range split of the hash domain, uniform because the
+    hash is uniform (no skew possible);
+  * per-chunk totals: one map-side-combined groupBy of n_chunks rows,
+    cumulated into exclusive offsets on the driver (tiny) and
+    broadcast-joined back;
+  * per-chunk running sum: one window partitioned by chunk id — every
+    window partition is bounded by HASH_M/n_chunks of the corpus and
+    they all run in parallel.
+Two exchanges total (the window's hash partition + the n_chunks-row
+aggregate), both on a uniform key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cityfinder_spark.operators.sampling import HASH_M, sample_hash
+
+DEFAULT_BUDGET = 512
+DEFAULT_CHUNKS = 64
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    n_chunks: int = DEFAULT_CHUNKS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, bin_id, bin_offset): position of every
+    document in the packed fixed-budget token stream."""
+    h = sample_hash(id_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        h.alias("__h"),
+        F.floor(h * F.lit(n_chunks) / F.lit(HASH_M)).cast("long").alias("__chunk"),
+    )
+    # exclusive prefix over the per-chunk totals: an n_chunks-row
+    # window (single partition of <= n_chunks rows — trivial at any
+    # data scale), kept INSIDE the lazy plan so the whole operator is
+    # one job with no driver-side action
+    tot = base.groupBy("__chunk").agg(F.sum("n_tokens").alias("__total"))
+    w0 = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = F.broadcast(
+        tot.select(
+            "__chunk",
+            F.coalesce(F.sum("__total").over(w0), F.lit(0)).alias("__offset"),
+        )
+    )
+    w = (
+        Window.partitionBy("__chunk")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.col("__offset") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        base.join(off_df, "__chunk")
+        .withColumn("bin_id", F.floor(start / F.lit(budget)).cast("long"))
+        .withColumn("bin_offset", (start % F.lit(budget)).cast("long"))
+        .select("doc_id", "n_tokens", "bin_id", "bin_offset")
+    )

@@ -1,0 +1,63 @@
+"""Sequence packing (operators/packing.py): concat-and-chunk layout."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cityfinder_spark.operators.packing import pack_sequences
+from cityfinder_spark.operators.sampling import HASH_A, HASH_M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, " ".join(f"w{rng.integers(0, 50)}" for _ in range(int(rng.integers(1, 40)))))
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _np_oracle(pdf, budget):
+    toks = pdf["text"].str.split(" ").str.len().to_numpy()
+    h = (pdf["doc_id"].to_numpy() * HASH_A) % HASH_M
+    order = np.lexsort((pdf["doc_id"].to_numpy(), h))
+    start = np.zeros(len(pdf), np.int64)
+    start[order] = np.concatenate([[0], np.cumsum(toks[order])[:-1]])
+    return dict(
+        zip(pdf["doc_id"], zip(toks, start // budget, start % budget))
+    )
+
+
+def test_pack_matches_serial_oracle(spark, docs):
+    out = pack_sequences(docs, budget=64, n_chunks=7).collect()
+    want = _np_oracle(docs.toPandas(), 64)
+    assert len(out) == len(want)
+    for r in out:
+        nt, b, o = want[r["doc_id"]]
+        assert (r["n_tokens"], r["bin_id"], r["bin_offset"]) == (nt, b, o)
+
+
+def test_pack_deterministic_across_partitionings(spark, docs):
+    a = sorted(map(tuple, pack_sequences(docs.repartition(11), budget=100).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(2), budget=100, n_chunks=3).collect()))
+    assert a == b
+
+
+def test_pack_stream_is_gapless(spark, docs):
+    """Consecutive docs in packed order tile the token stream exactly:
+    global starts are 0, t0, t0+t1, ... — no gaps, no overlaps."""
+    rows = pack_sequences(docs, budget=64).collect()
+    pos = sorted(64 * r["bin_id"] + r["bin_offset"] for r in rows)
+    toks_total = 0
+    for r in rows:
+        toks_total += r["n_tokens"]
+    starts = sorted(
+        (64 * r["bin_id"] + r["bin_offset"], r["n_tokens"]) for r in rows
+    )
+    expect = 0
+    for s, nt in starts:
+        assert s == expect
+        expect += nt
+    assert expect == toks_total
