@@ -58,6 +58,8 @@ HEADLINE = [
     "corpus_pipeline",
     "token_stats",
     "pack_sequences",
+    "bin_manifest",
+    "corpus_split",
     "lang_id",
     "cosine_topk",
     "ann_lsh",
@@ -90,6 +92,8 @@ _FACT_TABLE = {
     "corpus_pipeline": "documents",
     "token_stats": "documents",
     "pack_sequences": "documents",
+    "bin_manifest": "documents",
+    "corpus_split": "documents",
     "lang_id": "documents",
     "cosine_topk": "embeddings",
     "ann_lsh": "embeddings",

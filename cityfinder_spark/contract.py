@@ -277,6 +277,23 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
 
 
+def q_bin_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin segment manifest (the data-loader view of packing):
+    sequence+explode over each document's bin span, whole-stage
+    codegen end to end."""
+    from cityfinder_spark.operators.packing import bin_manifest
+
+    return bin_manifest(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test assignment by the
+    portable hash — a zero-shuffle codegen projection."""
+    from cityfinder_spark.operators.sampling import corpus_split
+
+    return corpus_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
@@ -764,6 +781,42 @@ def _o_pack_sequences() -> str:
     """
 
 
+def _o_bin_manifest() -> str:
+    b = PACK_BUDGET
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             (doc_id * 48271) % 100000 AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM t
+    )
+    SELECT u.b AS bin_id, doc_id,
+           greatest(start, u.b * {b}) - start AS doc_from,
+           greatest(start, u.b * {b}) - u.b * {b} AS bin_from,
+           least(start + n_tokens, (u.b + 1) * {b})
+             - greatest(start, u.b * {b}) AS seg_len
+    FROM c CROSS JOIN
+         unnest(generate_series(cast(start // {b} as bigint), cast((start + n_tokens - 1) // {b} as bigint))) AS u(b)
+    WHERE n_tokens > 0
+    """
+
+
+def _o_corpus_split() -> str:
+    return """
+    SELECT doc_id,
+           CASE WHEN (doc_id * 48271) % 100000 < 5000 THEN 'val'
+                WHEN (doc_id * 48271) % 100000 < 10000 THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """
+
+
 def _o_text_quality() -> str:
     stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
     return f"""
@@ -1019,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "pack_sequences": q_pack_sequences,
+        "bin_manifest": q_bin_manifest,
+        "corpus_split": q_corpus_split,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -1062,6 +1117,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _o_dedup_exact(),
         "token_stats": _o_token_stats(),
         "pack_sequences": _o_pack_sequences(),
+        "bin_manifest": _o_bin_manifest(),
+        "corpus_split": _o_corpus_split(),
         "text_quality": _o_text_quality(),
         "lang_id": _o_lang_id(),
         "doc_fingerprint": _o_fingerprint(),

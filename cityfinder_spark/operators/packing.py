@@ -80,3 +80,39 @@ def pack_sequences(
         .withColumn("bin_offset", (start % F.lit(budget)).cast("long"))
         .select("doc_id", "n_tokens", "bin_id", "bin_offset")
     )
+
+
+def bin_manifest(
+    docs: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    n_chunks: int = DEFAULT_CHUNKS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The data-loader view of pack_sequences: one row per (bin,
+    document segment) — (bin_id, doc_id, doc_from, bin_from, seg_len).
+    A document spanning several bins emits one segment per bin
+    (F.sequence + explode, all whole-stage codegen); concatenating a
+    bin's segments ordered by bin_from reconstructs its exact token
+    window. seg_len sums to `budget` for every bin but the last."""
+    packed = pack_sequences(docs, budget, n_chunks, id_col, text_col)
+    start = F.col("bin_id") * budget + F.col("bin_offset")
+    end = start + F.col("n_tokens")  # exclusive
+    bins = F.sequence(
+        F.col("bin_id"), F.floor((end - 1) / F.lit(budget)).cast("long")
+    )
+    b = F.col("bin")
+    seg_start = F.greatest(start, b * budget)
+    seg_end = F.least(end, (b + 1) * budget)
+    return (
+        packed.where(F.col("n_tokens") > 0)
+        .select("doc_id", "n_tokens", "bin_id", "bin_offset", F.explode(bins).alias("bin"))
+        .select(
+            b.alias("bin_id_out"),
+            "doc_id",
+            (seg_start - start).cast("long").alias("doc_from"),
+            (seg_start - b * budget).cast("long").alias("bin_from"),
+            (seg_end - seg_start).cast("long").alias("seg_len"),
+        )
+        .withColumnRenamed("bin_id_out", "bin_id")
+    )

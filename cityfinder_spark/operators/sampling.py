@@ -89,3 +89,26 @@ def quota_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def corpus_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_rate: float = 0.05,
+    test_rate: float = 0.05,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by the portable hash:
+    (*, split) with split in {train, val, test}. Zero shuffle, zero
+    data movement — a codegen'd projection, reproducible bit-for-bit
+    across engines and runs (the leakage-safe way to split a corpus:
+    membership is a pure function of the id, so re-runs and increments
+    never move a document across the boundary)."""
+    h = sample_hash(id_col)
+    val_hi = int(val_rate * HASH_M)
+    test_hi = val_hi + int(test_rate * HASH_M)
+    return df.withColumn(
+        "split",
+        F.when(h < val_hi, F.lit("val"))
+        .when(h < test_hi, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

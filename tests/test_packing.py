@@ -61,3 +61,46 @@ def test_pack_stream_is_gapless(spark, docs):
         assert s == expect
         expect += nt
     assert expect == toks_total
+
+
+def test_bin_manifest_tiles_bins_and_docs(spark, docs):
+    from cityfinder_spark.operators.packing import bin_manifest
+
+    B = 64
+    rows = bin_manifest(docs, budget=B).collect()
+    by_bin: dict = {}
+    by_doc: dict = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append((r["bin_from"], r["seg_len"]))
+        by_doc.setdefault(r["doc_id"], []).append((r["doc_from"], r["seg_len"]))
+    # every bin except the last is tiled gaplessly to exactly B tokens
+    last = max(by_bin)
+    for bid, segs in by_bin.items():
+        segs.sort()
+        pos = 0
+        for frm, ln in segs:
+            assert frm == pos and ln > 0
+            pos += ln
+        if bid != last:
+            assert pos == B, (bid, pos)
+    # every document's segments tile [0, n_tokens)
+    toks = {r["doc_id"]: len(r["text"].split(" ")) for r in docs.collect()}
+    for did, segs in by_doc.items():
+        segs.sort()
+        pos = 0
+        for frm, ln in segs:
+            assert frm == pos
+            pos += ln
+        assert pos == toks[did]
+
+
+def test_corpus_split_deterministic_and_leakage_safe(spark, docs):
+    from cityfinder_spark.operators.sampling import corpus_split
+
+    full = {r["doc_id"]: r["split"] for r in corpus_split(docs).collect()}
+    assert set(full.values()) == {"train", "val", "test"}
+    # membership is a pure function of the id: a subset sees the SAME
+    # assignments (no leakage across reruns / incremental loads)
+    sub = {r["doc_id"]: r["split"]
+           for r in corpus_split(docs.where("doc_id % 3 = 0")).collect()}
+    assert all(full[k] == v for k, v in sub.items())
