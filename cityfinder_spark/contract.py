@@ -279,8 +279,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bin_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin segment manifest (the data-loader view of packing):
-    sequence+explode over each document's bin span, whole-stage
-    codegen end to end."""
+    sequence+explode over each document's bin span — the manifold step
+    itself is whole-stage codegen on top of pack_sequences' two
+    exchanges."""
     from cityfinder_spark.operators.packing import bin_manifest
 
     return bin_manifest(_docs(spark, sf_dir), budget=PACK_BUDGET)
@@ -810,8 +811,8 @@ def _o_bin_manifest() -> str:
 def _o_corpus_split() -> str:
     return """
     SELECT doc_id,
-           CASE WHEN (doc_id * 48271) % 100000 < 5000 THEN 'val'
-                WHEN (doc_id * 48271) % 100000 < 10000 THEN 'test'
+           CASE WHEN (doc_id * 16807) % 100000 < 5000 THEN 'val'
+                WHEN (doc_id * 16807) % 100000 < 10000 THEN 'test'
                 ELSE 'train' END AS split
     FROM documents
     """

@@ -20,12 +20,15 @@ would make the two passes see different boundaries):
   * chunk id = hash * n_chunks div HASH_M — an arithmetic, data-
     independent range split of the hash domain, uniform because the
     hash is uniform (no skew possible);
-  * per-chunk totals: one map-side-combined groupBy of n_chunks rows,
-    cumulated into exclusive offsets on the driver (tiny) and
-    broadcast-joined back;
+  * per-chunk totals: one map-side-combined groupBy down to n_chunks
+    rows, cumulated into exclusive offsets by a single-partition
+    window over those n_chunks rows — kept INSIDE the lazy plan (no
+    driver action) and broadcast-joined back;
   * per-chunk running sum: one window partitioned by chunk id — every
-    window partition is bounded by HASH_M/n_chunks of the corpus and
-    they all run in parallel.
+    window partition is bounded by ~1/n_chunks of the corpus and they
+    all run in parallel. n_chunks defaults to max(64, 4x the
+    context's default parallelism) so per-window volume shrinks as
+    the cluster grows instead of being a fixed constant.
 Two exchanges total (the window's hash partition + the n_chunks-row
 aggregate), both on a uniform key.
 """
@@ -35,24 +38,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from cityfinder_spark.operators.sampling import HASH_M, sample_hash
+from cityfinder_spark.operators.textops import _words
 
 DEFAULT_BUDGET = 512
 DEFAULT_CHUNKS = 64
 
 
+def _resolve_chunks(docs: DataFrame, n_chunks: int | None) -> int:
+    if n_chunks is not None:
+        return n_chunks
+    return max(DEFAULT_CHUNKS, 4 * docs.sparkSession.sparkContext.defaultParallelism)
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = DEFAULT_BUDGET,
-    n_chunks: int = DEFAULT_CHUNKS,
+    n_chunks: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, n_tokens, bin_id, bin_offset): position of every
-    document in the packed fixed-budget token stream."""
+    document in the packed fixed-budget token stream. n_tokens reuses
+    textops._words so it stays identical to token_stats by
+    construction."""
+    n_chunks = _resolve_chunks(docs, n_chunks)
     h = sample_hash(id_col)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        F.size(_words(text_col)).alias("n_tokens"),
         h.alias("__h"),
         F.floor(h * F.lit(n_chunks) / F.lit(HASH_M)).cast("long").alias("__chunk"),
     )
@@ -85,14 +98,15 @@ def pack_sequences(
 def bin_manifest(
     docs: DataFrame,
     budget: int = DEFAULT_BUDGET,
-    n_chunks: int = DEFAULT_CHUNKS,
+    n_chunks: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """The data-loader view of pack_sequences: one row per (bin,
     document segment) — (bin_id, doc_id, doc_from, bin_from, seg_len).
     A document spanning several bins emits one segment per bin
-    (F.sequence + explode, all whole-stage codegen); concatenating a
+    (F.sequence + explode — the manifold step itself is whole-stage
+    codegen on top of pack_sequences' two exchanges); concatenating a
     bin's segments ordered by bin_from reconstructs its exact token
     window. seg_len sums to `budget` for every bin but the last."""
     packed = pack_sequences(docs, budget, n_chunks, id_col, text_col)
@@ -108,11 +122,10 @@ def bin_manifest(
         packed.where(F.col("n_tokens") > 0)
         .select("doc_id", "n_tokens", "bin_id", "bin_offset", F.explode(bins).alias("bin"))
         .select(
-            b.alias("bin_id_out"),
+            b.alias("bin_id"),
             "doc_id",
             (seg_start - start).cast("long").alias("doc_from"),
             (seg_start - b * budget).cast("long").alias("bin_from"),
             (seg_end - seg_start).cast("long").alias("seg_len"),
         )
-        .withColumnRenamed("bin_id_out", "bin_id")
     )

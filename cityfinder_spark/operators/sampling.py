@@ -91,19 +91,34 @@ def quota_sample(
     )
 
 
+SPLIT_A = 16807  # a DIFFERENT MINSTD multiplier than sample_hash's
+
+
+def split_hash(id_col: F.Column | str) -> F.Column:
+    """The split family's own hash — deliberately a different
+    multiplier than sample_hash: with the SAME hash, the val/test band
+    would coincide with rate_sample's kept band (rate_sample(0.05)
+    then corpus_split would label every survivor 'val'). A distinct
+    linear map scatters one hash's band across the other's range, so
+    sampling and splitting compose independently."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(c * F.lit(SPLIT_A), F.lit(HASH_M))
+
+
 def corpus_split(
     df: DataFrame,
     id_col: str = "doc_id",
     val_rate: float = 0.05,
     test_rate: float = 0.05,
 ) -> DataFrame:
-    """Deterministic train/val/test assignment by the portable hash:
+    """Deterministic train/val/test assignment by the split hash:
     (*, split) with split in {train, val, test}. Zero shuffle, zero
     data movement — a codegen'd projection, reproducible bit-for-bit
     across engines and runs (the leakage-safe way to split a corpus:
     membership is a pure function of the id, so re-runs and increments
-    never move a document across the boundary)."""
-    h = sample_hash(id_col)
+    never move a document across the boundary; see split_hash for why
+    the sampling operators use a different multiplier)."""
+    h = split_hash(id_col)
     val_hi = int(val_rate * HASH_M)
     test_hi = val_hi + int(test_rate * HASH_M)
     return df.withColumn(

@@ -49,10 +49,7 @@ def test_pack_stream_is_gapless(spark, docs):
     """Consecutive docs in packed order tile the token stream exactly:
     global starts are 0, t0, t0+t1, ... — no gaps, no overlaps."""
     rows = pack_sequences(docs, budget=64).collect()
-    pos = sorted(64 * r["bin_id"] + r["bin_offset"] for r in rows)
-    toks_total = 0
-    for r in rows:
-        toks_total += r["n_tokens"]
+    toks_total = sum(r["n_tokens"] for r in rows)
     starts = sorted(
         (64 * r["bin_id"] + r["bin_offset"], r["n_tokens"]) for r in rows
     )
@@ -104,3 +101,14 @@ def test_corpus_split_deterministic_and_leakage_safe(spark, docs):
     sub = {r["doc_id"]: r["split"]
            for r in corpus_split(docs.where("doc_id % 3 = 0")).collect()}
     assert all(full[k] == v for k, v in sub.items())
+
+
+def test_corpus_split_independent_of_rate_sample(spark, docs):
+    """The split hash uses a different multiplier than sample_hash:
+    a 5% rate-sample must still contain all three splits (with the
+    SAME hash the survivors would be exactly the 'val' band)."""
+    from cityfinder_spark.operators.sampling import corpus_split, rate_sample
+
+    kept = corpus_split(rate_sample(docs, "doc_id", 0.1))
+    splits = {r["split"] for r in kept.collect()}
+    assert splits == {"train", "val", "test"}
