@@ -119,7 +119,13 @@ def main() -> None:
         "pairs": pairs,
         "sf_dir": SF_DIR,
     }
-    with open(os.path.join(BENCH, "scaling.json"), "w") as f:
+    # partial runs (fewer than 3 levels) must not clobber the curated
+    # evidence files — they land in a side file instead
+    partial = len(args.levels) < 3
+    out_json = os.path.join(
+        BENCH, "scaling_partial.json" if partial else "scaling.json"
+    )
+    with open(out_json, "w") as f:
         json.dump(summary, f, indent=2)
 
     rows_tbl = "\n".join(
@@ -171,7 +177,10 @@ separately), so per-partition work is embarrassingly parallel.
 Reproduce: `python scripts/scaling_bench.py --rows {args.rows}`
 (input parquet cached under BENCH/data/, identical for all levels).
 """
-    with open(os.path.join(BENCH, "BASELINE.md"), "w") as f:
+    with open(
+        os.path.join(BENCH, "BASELINE_partial.md" if partial else "BASELINE.md"),
+        "w",
+    ) as f:
         f.write(md)
     print(json.dumps(summary))
 
