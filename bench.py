@@ -60,6 +60,7 @@ HEADLINE = [
     "pack_sequences",
     "bin_manifest",
     "corpus_split",
+    "decontaminate",
     "lang_id",
     "cosine_topk",
     "ann_lsh",
@@ -94,6 +95,7 @@ _FACT_TABLE = {
     "pack_sequences": "documents",
     "bin_manifest": "documents",
     "corpus_split": "documents",
+    "decontaminate": "documents",
     "lang_id": "documents",
     "cosine_topk": "embeddings",
     "ann_lsh": "embeddings",

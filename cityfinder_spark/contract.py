@@ -295,6 +295,15 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination gate: per TRAIN doc, the count of its
+    distinct 3-gram shingles occurring anywhere in the held-out
+    splits, and the disqualification flag."""
+    from cityfinder_spark.operators.dedup import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir), n=3)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
@@ -808,6 +817,33 @@ def _o_bin_manifest() -> str:
     """
 
 
+def _o_decontaminate() -> str:
+    return """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM idx),
+    sp AS (SELECT doc_id,
+                  CASE WHEN (doc_id * 16807) % 100000 < 10000
+                       THEN 'held' ELSE 'train' END AS split
+           FROM documents),
+    ev AS (SELECT DISTINCT shingle
+           FROM sh JOIN sp USING (doc_id) WHERE split = 'held'),
+    hits AS (SELECT sh.doc_id, count(*) AS n_shared
+             FROM sh JOIN sp USING (doc_id)
+             JOIN ev USING (shingle)
+             WHERE sp.split = 'train'
+             GROUP BY 1)
+    SELECT s.doc_id,
+           coalesce(n_shared, 0) AS n_shared,
+           coalesce(n_shared, 0) > 0 AS contaminated
+    FROM sp s LEFT JOIN hits USING (doc_id)
+    WHERE s.split = 'train'
+    """
+
+
 def _o_corpus_split() -> str:
     return """
     SELECT doc_id,
@@ -1075,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "bin_manifest": q_bin_manifest,
         "corpus_split": q_corpus_split,
+        "decontaminate": q_decontaminate,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -1120,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _o_pack_sequences(),
         "bin_manifest": _o_bin_manifest(),
         "corpus_split": _o_corpus_split(),
+        "decontaminate": _o_decontaminate(),
         "text_quality": _o_text_quality(),
         "lang_id": _o_lang_id(),
         "doc_fingerprint": _o_fingerprint(),

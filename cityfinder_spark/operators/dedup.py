@@ -484,3 +484,49 @@ def hamming_pairs(
     return cand.withColumn("hamming", hd).where(F.col("hamming") <= max_dist).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection for the training split: one
+    row per TRAIN document — (doc_id, n_shared, contaminated), where
+    n_shared counts the doc's distinct n-word shingles that also occur
+    anywhere in the held-out (val/test) splits and contaminated is
+    n_shared > 0. The standard pre-training decontamination gate:
+    n-gram overlap with the eval set disqualifies a training document.
+
+    Scale shape: the split is a zero-shuffle projection (sampling.
+    corpus_split); only (doc_id, shingle) rows enter the one exchange
+    on the shingle key (the same candidate-join shape as the n-gram
+    Jaccard path — text never shuffles), and the held-out shingle set
+    is DISTINCT'd before the join so hot shingles count once. With a
+    genuinely small benchmark set AQE broadcasts it at runtime."""
+    from cityfinder_spark.operators.sampling import corpus_split
+
+    split = corpus_split(docs, id_col=id_col).select(id_col, "split")
+    sh = word_shingles(docs, n, id_col, text_col)
+    with_split = sh.join(split, id_col)
+    ev = (
+        with_split.where(F.col("split") != "train")
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        with_split.where(F.col("split") == "train")
+        .join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    train = split.where(F.col("split") == "train").select(id_col)
+    return (
+        train.join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -186,3 +186,25 @@ def test_dedup_strategies_exactly_equal(spark):
         a = sorted(map(tuple, fn(docs, strategy="arrow").collect()))
         j = sorted(map(tuple, fn(docs, strategy="jvm").collect()))
         assert a == j, f"{fn.__name__} strategies diverge"
+
+
+def test_decontaminate_flags_exact_overlap(spark):
+    """A train doc copying a held-out doc's text must be contaminated;
+    a train doc with disjoint vocabulary must be clean."""
+    from cityfinder_spark.operators.dedup import decontaminate
+    from cityfinder_spark.operators.sampling import HASH_M, SPLIT_A
+
+    # find ids landing in train (h >= 10000) vs held (h < 10000)
+    train_ids = [i for i in range(1, 400) if (i * SPLIT_A) % HASH_M >= 10000]
+    held_ids = [i for i in range(1, 400) if (i * SPLIT_A) % HASH_M < 10000]
+    assert train_ids and held_ids
+    held_text = "alpha beta gamma delta epsilon"
+    rows = [(held_ids[0], held_text),
+            (train_ids[0], held_text),                      # verbatim copy
+            (train_ids[1], "zeta eta theta iota kappa")]    # disjoint
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_shared"], r["contaminated"])
+           for r in decontaminate(docs, n=3).collect()}
+    assert set(out) == {train_ids[0], train_ids[1]}
+    assert out[train_ids[0]] == (3, True)   # 5 words -> 3 shingles, all shared
+    assert out[train_ids[1]] == (0, False)
