@@ -56,3 +56,18 @@ def test_name_lookup_dictionary_joins_are_broadcast(spark):
     # every dictionary-side join (exact probe, fuzzy scan, payload
     # resolve) must be a broadcast hash join
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_pack_sequences_has_no_global_sort(spark):
+    """The packing prefix sum must stay distributed: the plan shuffles
+    on the arithmetic hash-chunk key and cumulates offsets over the
+    tiny n_chunks-row side — never a rangepartitioning/global sort of
+    the fact table (the single-window formulation this replaces)."""
+    C.load_views(spark, SF, ("documents",))
+    from cityfinder_spark.operators.packing import pack_sequences
+
+    plan = _plan(pack_sequences(spark.table("documents"), budget=128))
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(__chunk" in plan
+    # offset side reaches the fact side as a broadcast, not a shuffle
+    assert "BroadcastExchange" in plan
