@@ -75,7 +75,9 @@ def memo_table(
 
 
 def clear() -> None:
-    """Drop all cached entries (tests / dimension reload)."""
+    """Drop all cached entries (tests / dimension reload), including
+    the kNN operator's index/tile caches so a dimension reload can
+    never serve stale spatial state."""
     for _, ent in list(_CACHE.items()):
         df = ent[1]
         if hasattr(df, "unpersist"):
@@ -84,3 +86,11 @@ def clear() -> None:
             except Exception:
                 pass
     _CACHE.clear()
+    try:
+        from cityfinder_spark.operators import nearest_arrow as _na
+
+        _na._INDEX_CACHE.clear()
+        _na._TILE_CACHE.clear()
+        _na._TILE_DF_CACHE.clear()
+    except Exception:
+        pass
