@@ -113,3 +113,40 @@ def test_tiled_empty_cities(spark):
     )
     row = nearest_city_join(pts, cities, strategy="tiled").collect()[0]
     assert row["city_id"] is None and row["dist_km"] is None
+
+
+def test_tiled_parity_mixed_geometry(spark):
+    """Isolated towns (certifiable) + a tight cluster (ambiguous) + a
+    5-way co-located site (rounding ties -> must NOT certify) in one
+    world: the tiled output still matches arrow row-for-row, and the
+    duplicate site's cell is absent from the certain-tile map."""
+    import numpy as np
+    from cityfinder_spark.geo.cells import cell_of_np
+    from cityfinder_spark.operators.nearest import choose_level
+
+    rows = []
+    cid = 0
+    for la, lo in ((-50.0, -120.0), (40.0, 60.0), (10.0, -30.0)):  # isolated
+        rows.append((cid, f"t{cid}", la, lo, "XX")); cid += 1
+    for j in range(6):  # tight cluster, ~10 km spacing
+        rows.append((cid, f"t{cid}", -10.0 + j * 0.09, 100.0, "XX")); cid += 1
+    for _ in range(5):  # exact co-located 5-way duplicate
+        rows.append((cid, f"t{cid}", 55.0, -5.0, "XX")); cid += 1
+    cities = spark.createDataFrame(
+        rows, "city_id long, name string, lat double, lon double, country string"
+    )
+    rng = np.random.default_rng(17)
+    pts = []
+    for i, (_, _, la, lo, _) in enumerate(rows):
+        for k in range(8):
+            pts.append((i * 100 + k, float(np.clip(la + rng.uniform(-1, 1), -89, 89)),
+                        float(lo + rng.uniform(-1, 1))))
+    points = spark.createDataFrame(pts, "pt_id long, lat double, lon double")
+    tiled = _collect(nearest_city_join(points, cities, strategy="tiled"))
+    arrow = _collect(nearest_city_join(points, cities, strategy="arrow"))
+    assert tiled == arrow
+    # the duplicate site's tile must be uncertified (rounded tie)
+    idx = na.build_city_index(cities, choose_level(len(rows), 1), 1)
+    cells, pos = na.build_tile_map(idx, tile_level=9)
+    dup_cell = cell_of_np(np.array([55.0]), np.array([-5.0]), 9)[0]
+    assert dup_cell not in set(cells.tolist())
