@@ -806,11 +806,11 @@ def _o_bin_manifest() -> str:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
       FROM t
     )
-    SELECT u.b AS bin_id, doc_id,
-           greatest(start, u.b * {b}) - start AS doc_from,
-           greatest(start, u.b * {b}) - u.b * {b} AS bin_from,
-           least(start + n_tokens, (u.b + 1) * {b})
-             - greatest(start, u.b * {b}) AS seg_len
+    SELECT cast(u.b AS BIGINT) AS bin_id, doc_id,
+           cast(greatest(start, u.b * {b}) - start AS BIGINT) AS doc_from,
+           cast(greatest(start, u.b * {b}) - u.b * {b} AS BIGINT) AS bin_from,
+           cast(least(start + n_tokens, (u.b + 1) * {b})
+             - greatest(start, u.b * {b}) AS BIGINT) AS seg_len
     FROM c CROSS JOIN
          unnest(generate_series(cast(start // {b} as bigint), cast((start + n_tokens - 1) // {b} as bigint))) AS u(b)
     WHERE n_tokens > 0
@@ -943,8 +943,9 @@ def _o_corpus_pipeline() -> str:
             AND NOT is_dup
             AND (doc_id * 48271) % 100000 < {int(CURATE_RATE * 100000)})
     SELECT source, count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens,
-           sum(cast(floor((length(text) + 3) / 4.0) as bigint)) AS total_bpe
+           cast(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           cast(sum(cast(floor((length(text) + 3) / 4.0) as bigint)) AS BIGINT)
+             AS total_bpe
     FROM k GROUP BY source
     """
 
@@ -1008,7 +1009,7 @@ def _o_simhash() -> str:
                         sum(CASE WHEN (x % hi) >= lo THEN 1 ELSE -1 END) AS bal
                  FROM h CROSS JOIN bits GROUP BY 1, 2, 3)
     SELECT doc_id,
-           sum(CASE WHEN bal > 0 THEN lo ELSE 0 END) AS simhash
+           cast(sum(CASE WHEN bal > 0 THEN lo ELSE 0 END) AS BIGINT) AS simhash
     FROM bal GROUP BY 1
     """
 

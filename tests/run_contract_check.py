@@ -5,7 +5,14 @@ oracle_sql() on DuckDB over the same parquet tables, then compares
 row count, column names/sorted order, and exact values (rows sorted
 by all columns). Exit code != 0 on any mismatch.
 
-Usage: PYTHONPATH=/root/repo python tests/run_contract_check.py [sf_dir]
+Usage: PYTHONPATH=/root/repo python tests/run_contract_check.py [sf_dir] [query ...]
+
+Unlike the driver, comparison here normalizes integer widths — but the
+driver's value-hash is dtype-sensitive (DuckDB HUGEINT comes back as
+float64 from fetchdf and then hashes differently from Spark's int64).
+So we ALSO flag any oracle column whose raw fetchdf dtype is float
+while Spark's is integer (or vice versa): that would be a driver-side
+hash mismatch even with identical values.
 """
 
 from __future__ import annotations
@@ -43,6 +50,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(spark_pdf) != len(duck_pdf):
         errs.append(f"{name}: rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
         return errs
+    for c in sorted(spark_pdf.columns):
+        s_int = pd.api.types.is_integer_dtype(spark_pdf[c])
+        d_int = pd.api.types.is_integer_dtype(duck_pdf[c])
+        s_f = pd.api.types.is_float_dtype(spark_pdf[c])
+        d_f = pd.api.types.is_float_dtype(duck_pdf[c])
+        if (s_int and d_f) or (s_f and d_int):
+            errs.append(
+                f"{name}: DTYPE mismatch col={c} spark={spark_pdf[c].dtype} "
+                f"duck={duck_pdf[c].dtype} (driver hash gate would flag this;"
+                " cast the oracle column)"
+            )
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
@@ -59,7 +77,7 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return errs
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
     from cityfinder_spark.session import get_spark
@@ -72,6 +90,12 @@ def main(sf_dir: str) -> int:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     failures: list[str] = []
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir)
@@ -87,11 +111,12 @@ def main(sf_dir: str) -> int:
         print(f"  [{status}] {name}: spark={len(spark_pdf)} duck={len(duck_pdf)} rows")
         failures.extend(errs)
 
-    # smoke: entry()
-    n = entrymod.entry(spark).count()
-    print(f"  [entry] rows={n}")
-    if n <= 0:
-        failures.append("entry(): 0 rows")
+    # smoke: entry() (skip when checking a subset)
+    if not only:
+        n = entrymod.entry(spark).count()
+        print(f"  [entry] rows={n}")
+        if n <= 0:
+            failures.append("entry(): 0 rows")
 
     for e in failures:
         print("MISMATCH:", e)
@@ -101,4 +126,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    raise SystemExit(main(sf, only=sys.argv[2:] or None))
