@@ -74,6 +74,23 @@ def memo_table(
     return df
 
 
+def memo_value(
+    spark: SparkSession, key: tuple | None, build: Callable[[], Any]
+) -> Any:
+    """Plain-value memo (no broadcast, no persist): build once per
+    SparkContext per key. Used for cheap-but-job-triggering facts about
+    a static dimension (e.g. its row count for strategy selection)."""
+    if key is None:
+        return build()
+    app = spark.sparkContext.applicationId
+    ent = _CACHE.get(("__value__", *key))
+    if ent is not None and ent[0] == app:
+        return ent[1]
+    value = build()
+    _CACHE[("__value__", *key)] = (app, value, None)
+    return value
+
+
 def clear() -> None:
     """Drop all cached entries (tests / dimension reload), including
     the kNN operator's index/tile caches so a dimension reload can
@@ -83,6 +100,15 @@ def clear() -> None:
         if hasattr(df, "unpersist"):
             try:
                 df.unpersist()
+            except Exception:
+                pass
+        # drop the Broadcast blocks too — without this, repeated
+        # dimension reloads within one application leak broadcast
+        # storage for the app's lifetime
+        bc = ent[2]
+        if bc is not None and hasattr(bc, "unpersist"):
+            try:
+                bc.unpersist()
             except Exception:
                 pass
     _CACHE.clear()

@@ -402,12 +402,14 @@ def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (rows-only check; recall vs brute force in tests)."""
+    """Approximate in recall (gated vs brute force in tests), exact in
+    mechanism — oracled by _o_ann_lsh's full DuckDB replay."""
     return lsh_bucket_topk(_embs(spark, sf_dir), k=5, cache_key=("embs", sf_dir))
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (rows-only check; recall vs brute force in tests)."""
+    """Approximate in recall (gated vs brute force in tests), exact in
+    mechanism — oracled by _o_ann_ivf's full DuckDB replay."""
     return ivf_topk(_embs(spark, sf_dir), k=5, cache_key=("embs", sf_dir))
 
 
@@ -1053,6 +1055,110 @@ def _o_cosine_dedup() -> str:
     """
 
 
+def _o_ann_lsh() -> str:
+    """Exact DuckDB replay of lsh_bucket_topk(k=5, n_planes=4,
+    n_tables=8): the md5-derived ±1 sign family (parity of
+    int(md5[:4],16) == parity of the 4th hex digit), per-table bucket
+    signatures via the SAME left fold over dimensions as
+    LSHIndex.signatures (list_sum is 0.0 + v1 + v2 + ... — identical
+    IEEE add sequence), candidate pairs sharing any (table, bucket),
+    exact rounded-cosine refinement and rank<=k. Dim is 64 on every
+    driver sf (static oracle strings can't introspect)."""
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    planes AS (
+      SELECT t.t, p.p, t.t * 1000 + p.p AS pid
+      FROM generate_series(0, 7) t(t) CROSS JOIN generate_series(0, 3) p(p)),
+    signs AS (
+      SELECT pid, t, p,
+             list(CASE WHEN strpos('13579bdf',
+                    substr(md5(concat('plane', pid, '_', i)), 4, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+      FROM planes CROSS JOIN generate_series(1, 64) d(i)
+      GROUP BY pid, t, p),
+    proj AS (
+      SELECT n.vec_id, s.t, s.p,
+             list_sum(list_transform(generate_series(1, len(n.v)),
+                                     i -> n.v[i] * s.sv[i])) AS pr
+      FROM n CROSS JOIN signs s),
+    sigs AS (
+      SELECT vec_id, t,
+             cast(sum(CASE WHEN pr > 0 THEN (1 << p) ELSE 0 END) AS int) AS bkt
+      FROM proj GROUP BY vec_id, t),
+    cand AS (
+      SELECT DISTINCT s1.vec_id AS vec_id, s2.vec_id AS neighbor_id
+      FROM sigs s1 JOIN sigs s2 ON s1.t = s2.t AND s1.bkt = s2.bkt
+      WHERE s1.vec_id <> s2.vec_id),
+    pairs AS (
+      SELECT c.vec_id, c.neighbor_id,
+             {sc.round6_sql(f"{_DUCK_DOT} / (a.nrm * b.nrm)")} AS cos_sim
+      FROM cand c
+      JOIN n a ON a.vec_id = c.vec_id
+      JOIN n b ON b.vec_id = c.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _o_ann_ivf() -> str:
+    """Exact DuckDB replay of ivf_topk(k=5, n_probe=2): per-label
+    centroids as the id-ascending left-fold mean (list(v ORDER BY
+    vec_id) then per-dimension list_sum == np.bincount's input-order
+    accumulation), ROUNDED centroid cosine for both probe selection
+    (top n_probe, ties label asc) and top-1 list membership, exact
+    rounded-cosine refinement and rank<=k."""
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    memb AS (
+      SELECT n.vec_id, n.v, n.nrm, emb.label
+      FROM n JOIN embeddings emb ON emb.vec_id = n.vec_id),
+    cents AS (
+      SELECT label, list(v ORDER BY vec_id) AS vs,
+             cast(count(*) AS double) AS cnt
+      FROM memb GROUP BY label),
+    cvec AS (
+      SELECT label,
+             list_transform(generate_series(1, 64),
+                d -> list_sum(list_transform(vs, w -> w[d])) / cnt) AS cv
+      FROM cents),
+    cn AS (
+      SELECT label, cv,
+             sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+      FROM cvec),
+    assign AS (
+      SELECT m.vec_id, c.label AS list_id,
+             {sc.round6_sql(
+                 "list_sum(list_transform(generate_series(1, len(m.v)),"
+                 " i -> m.v[i] * c.cv[i])) / (m.nrm * c.cnrm)"
+             )} AS csim
+      FROM memb m CROSS JOIN cn c),
+    rankedp AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY csim DESC, list_id ASC) AS pr
+      FROM assign),
+    probes AS (SELECT vec_id, list_id FROM rankedp WHERE pr <= 2),
+    lists AS (SELECT vec_id AS neighbor_id, list_id FROM rankedp WHERE pr = 1),
+    cand AS (
+      SELECT p.vec_id, l.neighbor_id
+      FROM probes p JOIN lists l USING (list_id)
+      WHERE p.vec_id <> l.neighbor_id),
+    pairs AS (
+      SELECT c.vec_id, c.neighbor_id,
+             {sc.round6_sql(f"{_DUCK_DOT} / (a.nrm * b.nrm)")} AS cos_sim
+      FROM cand c
+      JOIN n a ON a.vec_id = c.vec_id
+      JOIN n b ON b.vec_id = c.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
 def _o_events_windowed() -> str:
     return """
     SELECT cast(epoch(date_trunc('hour', ts)) as bigint) AS window_start,
@@ -1174,7 +1280,12 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _o_events_windowed(),
         "events_sessionize": _o_events_sessionize(),
         "events_props": _o_events_props(),
-        # ann_lsh / ann_ivf: approximate -> rows-only (recall in tests)
+        # ann_lsh / ann_ivf are APPROXIMATE in recall but fully
+        # deterministic in mechanism (md5 sign family, exact folds,
+        # rounded probe choice) -> exactly oracle-able; recall@k vs
+        # cosine_topk is additionally gated in tests/test_dedup_text.py
+        "ann_lsh": _o_ann_lsh(),
+        "ann_ivf": _o_ann_ivf(),
     }
 
 

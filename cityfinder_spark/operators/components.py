@@ -119,6 +119,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation needs O(component diameter) rounds; a
+        # silent fall-through here would return WRONG labels for
+        # chain-shaped components deeper than max_iter
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — the "
+            "graph contains a component with diameter > max_iter"
+        )
     return labels
 
 

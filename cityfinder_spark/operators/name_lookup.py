@@ -505,22 +505,6 @@ class NameIndex:
             out[i] = self.memo[k]
         return out
 
-    def resolve_compact(self, q_name: str, q_country: str, fuzzy: bool):
-        """Memoized primitives-only resolve: (city_id, rank, edit_dist)
-        with rank 0=exact / 1=fuzzy, or None on miss — string payloads
-        stay JVM-side (attached by broadcast join on city_id)."""
-        k = (q_country, q_name)
-        try:
-            return self.memo[k]
-        except KeyError:
-            pass
-        r = self.resolve(q_name, q_country, fuzzy)
-        out = None if r is None else (r[0], 0 if r[4] == "exact" else 1, r[5])
-        if len(self.memo) >= self.MEMO_CAP:
-            self.memo.clear()
-        self.memo[k] = out
-        return out
-
 
 def _resolve_arrow(
     q_all: DataFrame,

@@ -34,11 +34,35 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from cityfinder_spark.bcast import memo_broadcast
+from cityfinder_spark.bcast import memo_broadcast, memo_value
 from cityfinder_spark.colutils import round6_col
 from cityfinder_spark.workerenv import tune_malloc as _tune_malloc
 
 COS_DIGITS = 6
+
+# strategy="auto" (the ANN default) broadcasts a driver-built index only
+# while the base side fits a sane broadcast budget; above it the fully
+# relational jvm plan runs instead (bucket/list equi-joins, no driver
+# collect). 1M rows x dim-64 float64 ~ 0.5 GB of index — the same
+# size-adaptive philosophy as components.connected_components'
+# driver_max_edges.
+ANN_AUTO_MAX_BASE_ROWS = 1_000_000
+
+
+def _resolve_ann_strategy(
+    emb: DataFrame,
+    strategy: str,
+    cache_key: tuple | None,
+    max_rows: int = ANN_AUTO_MAX_BASE_ROWS,
+) -> str:
+    if strategy != "auto":
+        return strategy
+    n = memo_value(
+        emb.sparkSession,
+        None if cache_key is None else ("baserows", *cache_key),
+        emb.count,
+    )
+    return "arrow" if n <= max_rows else "jvm"
 
 
 def _as_double(col: str) -> F.Column:
@@ -332,16 +356,23 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = COS_DIGITS,
-    strategy: str = "arrow",
+    strategy: str = "auto",
     cache_key: tuple | None = None,
 ) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH: n_tables independent
     sign-signatures of n_planes bits each; candidates = pairs sharing
     any (table, bucket); exact cosine ranks the union.
     Recall for neighbors at angle θ: 1-(1-(1-θ/π)^n_planes)^n_tables.
-    Approximate — recall vs cosine_topk tested statistically.
+    Candidate generation + refinement are fully deterministic (md5
+    sign family, exact summation folds), so the whole operator is
+    DuckDB-oracled exactly, plus recall-vs-cosine_topk tests.
 
-    strategy="arrow" (default, the scale path): base signatures and
+    strategy="auto" (default): broadcast-index arrow path while the
+    base side is under ANN_AUTO_MAX_BASE_ROWS, the fully relational
+    jvm path (no driver collect anywhere) above — the base-side count
+    is memoized per cache_key so steady-state queries pay no extra job.
+
+    strategy="arrow" (the broadcast-size fast path): base signatures and
     per-table CSR bucket lists live in a broadcast LSHIndex; each query
     batch computes its own signatures with one matmul, gathers bucket
     candidates ragged, dedups per query, refines with the exact-fold
@@ -350,11 +381,14 @@ def lsh_bucket_topk(
     Both strategies produce the same candidate set (union of shared
     buckets) and the same deterministic ranking, asserted by test.
 
-    strategy="jvm": relational pipeline; signatures are one
-    Arrow-batched matmul per batch: (rows x dim) @ (dim x
-    tables*planes) sign matrix (deterministic md5-derived ±1, same
-    family as _LSH_SIGN), instead of per-row interpreted
-    zip_with/aggregate folds with md5 inside the element lambda."""
+    strategy="jvm" (the 100 TB shape): fully relational pipeline —
+    signature UDF per batch (exact-fold projections against the
+    deterministic md5-derived ±1 sign matrix), bucket equi-self-join,
+    and RELATIONAL exact refinement (two hash joins back to the
+    embeddings table + the zip_with/aggregate fold); only ids and the
+    candidate pairs' vectors ever shuffle, and nothing is collected to
+    the driver."""
+    strategy = _resolve_ann_strategy(emb, strategy, cache_key)
     if strategy == "arrow":
         return _lsh_topk_arrow(
             emb, k, n_planes, n_tables, id_col, vec_col, digits, cache_key
@@ -369,7 +403,10 @@ def lsh_bucket_topk(
     def buckets_udf(v: pd.Series) -> pd.Series:
         M = np.vstack(v.to_numpy())
         S = _sign_matrix(M.shape[1], n_planes, n_tables)
-        proj = M @ S  # (rows, tables*planes)
+        # exact left fold over dims (not BLAS matmul): bit-identical to
+        # LSHIndex.signatures and to the DuckDB oracle's list_sum fold,
+        # so the >0 sign bits can never diverge by summation order
+        proj = _fold_dots(M, S.T)  # (rows, tables*planes)
         bits = (proj > 0).astype(np.int32)
         weights = np.tile(1 << np.arange(n_planes, dtype=np.int32), n_tables)
         weighted = bits * weights
@@ -397,7 +434,7 @@ def lsh_bucket_topk(
         .select("vec_id", "neighbor_id")
         .distinct()
     )
-    pairs = _refine_pairs(cand, emb, id_col, vec_col, digits)
+    pairs = _refine_pairs_relational(cand, emb, id_col, vec_col, digits)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -482,7 +519,9 @@ class LSHIndex(EmbIndex):
         to buckets_udf (bit p of table t = sign of plane t*1000+p)."""
         if not len(V):
             return np.zeros((0, self.n_tables), np.int32)
-        proj = V @ self.S
+        # exact left fold over dims — see buckets_udf: keeps sign bits
+        # bit-identical across strategies and vs the DuckDB oracle
+        proj = _fold_dots(V, self.S.T)
         bits = (proj > 0).astype(np.int32)
         weights = np.tile(
             1 << np.arange(self.n_planes, dtype=np.int32), self.n_tables
@@ -575,47 +614,31 @@ def _lsh_topk_arrow(
     return emb.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
-def _refine_pairs(
-    cand: DataFrame,
-    emb: DataFrame,
-    id_col: str,
-    vec_col: str,
-    digits: int,
-    cache_key: tuple | None = None,
+def _refine_pairs_relational(
+    cand: DataFrame, emb: DataFrame, id_col: str, vec_col: str, digits: int
 ) -> DataFrame:
-    """Exact cosine for candidate (vec_id, neighbor_id) pairs via the
-    broadcast EmbIndex: a row-wise exact-fold kernel in one mapInPandas
-    pass — replaces two hash joins + an interpreted zip_with/aggregate
-    lambda per pair. Scale shape: only two id columns shuffle; the
-    vectors never leave the broadcast index."""
-    index, bc = _emb_index_bc(emb, id_col, vec_col, cache_key)
-    schema = T.StructType(
-        [
-            _id_field(emb, id_col, "vec_id"),
-            _id_field(emb, id_col, "neighbor_id"),
-            T.StructField("cos_sim", T.DoubleType(), True),
-        ]
+    """Exact cosine for candidate pairs WITHOUT any driver-built index:
+    two hash joins back to the embeddings table and the interpreted
+    zip_with/aggregate fold. This is the 100 TB refinement shape — the
+    candidate set (post-LSH/IVF, orders of magnitude smaller than
+    all-pairs) is what shuffles, and the fold order matches
+    _fold_dots_pairs bit-for-bit so strategies stay value-identical."""
+    a = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("__v").alias("va"), F.col("__norm").alias("na"),
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _tune_malloc()
-        idx: EmbIndex = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pa = idx.positions(pdf["vec_id"].to_numpy())
-            pb = idx.positions(pdf["neighbor_id"].to_numpy())
-            cos = _fold_dots_pairs(idx.M, pa, idx.M, pb)
-            cos /= idx.norms[pa] * idx.norms[pb]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    "cos_sim": _round_np(cos, digits),
-                }
-            )
-
-    return cand.select("vec_id", "neighbor_id").mapInPandas(gen, schema)
+    b = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("vb"), F.col("__norm").alias("nb"),
+    )
+    return (
+        cand.join(a, "vec_id")
+        .join(b, "neighbor_id")
+        .withColumn(
+            "cos_sim", round6_col(_dot("va", "vb") / (F.col("na") * F.col("nb")))
+        )
+        .select("vec_id", "neighbor_id", "cos_sim")
+    )
 
 
 class IVFIndex(EmbIndex):
@@ -642,7 +665,11 @@ class IVFIndex(EmbIndex):
         if len(self.ids):
             csim = _fold_dots(self.M, self.C)
             csim /= self.norms[:, None] * self.cnorms[None, :]
-            top1 = np.argmax(csim, axis=1)  # first max == list asc tie-break
+            # rounded before the argmax so list assignment is oracle-
+            # reproducible (sub-1e-6 summation-order noise can't flip
+            # it); first max == list asc tie-break
+            csim = _round_np(csim, COS_DIGITS)
+            top1 = np.argmax(csim, axis=1)
         else:
             top1 = np.zeros(0, np.int64)
         cnts = np.bincount(top1, minlength=L)
@@ -705,6 +732,9 @@ def _ivf_topk_arrow(
             qn = _fold_norms(Q)
             csim = _fold_dots(Q, idx.C)
             csim /= qn[:, None] * idx.cnorms[None, :]
+            # rounded like the IVFIndex assignment: probe choice is
+            # oracle-reproducible; ties -> lower list index (label asc)
+            csim = _round_np(csim, COS_DIGITS)
             npb = min(n_probe, L)
             probes = np.argsort(-csim, axis=1, kind="stable")[:, :npb]
             rows = np.arange(q, dtype=np.int64)
@@ -749,21 +779,27 @@ def ivf_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     digits: int = COS_DIGITS,
-    strategy: str = "arrow",
+    strategy: str = "auto",
     cache_key: tuple | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse centroids (per label group), search only
-    the n_probe nearest inverted lists. Approximate; recall-tested.
+    the n_probe nearest inverted lists. Candidate choice ranks by
+    ROUNDED list cosine (ties: label asc), so it is DuckDB-oracled
+    exactly (ordered centroid sums reproduce the bincount fold) on top
+    of the recall-vs-cosine_topk tests.
 
-    strategy="arrow" (default, the scale path): broadcast IVFIndex +
-    one mapInPandas pass, zero shuffles. strategy="jvm": the
-    relational plan-shape reference — centroid groupBy agg, cross join
-    vs broadcast centroids with interpreted zip_with/aggregate dot
-    products, two row_number windows, candidate equi-join. Candidate
-    semantics are identical (n_probe nearest lists by cosine, tie list
-    asc; members = top-1 assignment); centroid arithmetic differs only
-    in fold order (bincount id-ascending vs F.avg partition order), so
-    results can differ by ulps for near-equidistant vectors."""
+    strategy="auto" (default): broadcast IVFIndex + one mapInPandas
+    pass (zero shuffles) while the base side is under
+    ANN_AUTO_MAX_BASE_ROWS; above it the fully relational jvm path —
+    centroid groupBy agg, broadcast-centroid join with interpreted
+    zip_with/aggregate dot products, two row_number windows, candidate
+    equi-join, RELATIONAL exact refinement (no driver collect
+    anywhere). Candidate semantics are identical (n_probe nearest
+    lists by rounded cosine, tie list asc; members = top-1
+    assignment); centroid arithmetic differs only in fold order
+    (bincount id-ascending vs F.avg partition order) — invisible below
+    the 1e-6 rounding except for exact boundary values."""
+    strategy = _resolve_ann_strategy(emb, strategy, cache_key)
     if strategy == "arrow":
         return _ivf_topk_arrow(
             emb, k, n_probe, id_col, vec_col, label_col, digits, cache_key
@@ -780,7 +816,9 @@ def ivf_topk(
     # assign each vector to its n_probe nearest centroids
     assign = (
         base.crossJoin(F.broadcast(cents.select(F.col(label_col).alias("list_id"), "cv", "cnorm")))
-        .withColumn("csim", _dot("__v", "cv") / (F.col("__norm") * F.col("cnorm")))
+        .withColumn(
+            "csim", round6_col(_dot("__v", "cv") / (F.col("__norm") * F.col("cnorm")))
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("list_id"))
     probes = (
@@ -799,10 +837,10 @@ def ivf_topk(
         .where(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
     )
-    # exact refinement via the broadcast EmbIndex (row-wise exact-fold
-    # kernel) — same values as the inline zip_with/aggregate fold, but
-    # only id pairs shuffle and no interpreted lambda per pair
-    pairs = _refine_pairs(cand, emb, id_col, vec_col, digits, cache_key)
+    # relational exact refinement — the jvm strategy never collects the
+    # base side to the driver (that is the point of the strategy); the
+    # fold order still matches the arrow kernels bit-for-bit
+    pairs = _refine_pairs_relational(cand, emb, id_col, vec_col, digits)
     w2 = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w2))
