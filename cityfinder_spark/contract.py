@@ -240,6 +240,47 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------- reference TSV scans (S1/S3) ----------------
+
+# The reference's own 1,000-row GeoNames samples (read-only). The scan
+# queries ignore sf_dir by design: they gate the PARSER semantics
+# (field projection, malformed-row skip, zero-fill), not data volume.
+_REF_TESTDATA = "/root/reference/testdata"
+
+
+def q_geonames_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + P1/P2/P3: GeoNames cities TSV scan — project name/lat/lon/
+    country, comma-split alt names (emitted as n_alt so the driver's
+    column sort never sees an array), skip rows with <19 fields or
+    unparseable lat/lon (reference lib/dataLoader/cityCoordinate.go:
+    24-48 `continue`s on parse errors)."""
+    from cityfinder_spark.sources.geonames import load_geonames_cities
+
+    df = load_geonames_cities(spark, f"{_REF_TESTDATA}/allCountries.txt")
+    return df.select(
+        "city_id",
+        "name",
+        F.size("alt_names").alias("n_alt"),
+        "lat",
+        "lon",
+        "country",
+    )
+
+
+def q_postal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + P5's input: postal-code TSV scan — 12 positional fields,
+    numeric parse failures become ZERO values, not dropped rows
+    (reference lib/dataLoader/zipCodes.go:41-58 ignores strconv
+    errors). line_no is excluded: it exists for the last-write-wins
+    dedup (J5, gated by postal_dedup) and is partition-layout-
+    dependent, not part of the parse contract."""
+    from cityfinder_spark.sources.geonames import load_postal_codes
+
+    return load_postal_codes(spark, f"{_REF_TESTDATA}/zipCodes.txt").drop(
+        "line_no"
+    )
+
+
 # ---------------- training-data pipeline queries ----------------
 
 JACCARD_T = 0.2
@@ -1055,6 +1096,48 @@ def _o_cosine_dedup() -> str:
     """
 
 
+_DUCK_LINES = """
+      SELECT string_split(line, chr(9)) AS f
+      FROM read_csv('{path}', delim=chr(1), header=false,
+                    quote='', escape='', columns={{'line': 'VARCHAR'}})
+"""
+
+
+def _o_geonames_scan() -> str:
+    """Whole-line read + the SAME split/filter sequence as the Spark
+    scan (chr(1) never occurs, so each line is one column; string_split
+    mirrors F.split exactly, including ['']-for-empty). lat/lon are
+    parsed from identical text by both engines' correctly-rounded
+    strtod, so raw doubles hash-match with no rounding."""
+    lines = _DUCK_LINES.format(path=f"{_REF_TESTDATA}/allCountries.txt")
+    return f"""
+    WITH raw AS ({lines})
+    SELECT try_cast(f[1] AS BIGINT) AS city_id, f[2] AS name,
+           cast(len(string_split(f[4], ',')) AS INT) AS n_alt,
+           try_cast(f[5] AS DOUBLE) AS lat,
+           try_cast(f[6] AS DOUBLE) AS lon,
+           f[9] AS country
+    FROM raw
+    WHERE len(f) >= 19 AND try_cast(f[5] AS DOUBLE) IS NOT NULL
+      AND try_cast(f[6] AS DOUBLE) IS NOT NULL
+    """
+
+
+def _o_postal_scan() -> str:
+    lines = _DUCK_LINES.format(path=f"{_REF_TESTDATA}/zipCodes.txt")
+    return f"""
+    WITH raw AS ({lines})
+    SELECT f[1] AS country_code, f[2] AS postal_code, f[3] AS place_name,
+           f[4] AS admin_name1, f[5] AS admin_code1,
+           f[6] AS admin_name2, f[7] AS admin_code2,
+           f[8] AS admin_name3, f[9] AS admin_code3,
+           coalesce(try_cast(f[10] AS DOUBLE), 0.0) AS lat,
+           coalesce(try_cast(f[11] AS DOUBLE), 0.0) AS lon,
+           coalesce(try_cast(f[12] AS INT), 0) AS accuracy
+    FROM raw
+    """
+
+
 def _o_ann_lsh() -> str:
     """Exact DuckDB replay of lsh_bucket_topk(k=5, n_planes=4,
     n_tables=8): the md5-derived ±1 sign family (parity of
@@ -1213,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postal_dedup": q_postal_dedup,
         "raster_tiles": q_raster_tiles,
         "point_in_polygon": q_point_in_polygon,
+        "geonames_scan": q_geonames_scan,
+        "postal_scan": q_postal_scan,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "pack_sequences": q_pack_sequences,
@@ -1259,6 +1344,8 @@ def oracle_sql() -> dict[str, str]:
         "postal_dedup": _o_postal_dedup(),
         "raster_tiles": _o_raster_tiles(),
         "point_in_polygon": _o_point_in_polygon(),
+        "geonames_scan": _o_geonames_scan(),
+        "postal_scan": _o_postal_scan(),
         "dedup_exact": _o_dedup_exact(),
         "token_stats": _o_token_stats(),
         "pack_sequences": _o_pack_sequences(),
