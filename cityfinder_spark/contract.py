@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cityfinder_spark import sqlcompat as sc
-from cityfinder_spark.colutils import spread
+from cityfinder_spark.colutils import round_digits_col, spread
 from cityfinder_spark.geo.cells import cell_col, make_cell_udf
 from cityfinder_spark.operators.name_lookup import city_by_name
 from cityfinder_spark.operators.nearest import nearest_city_join, nearest_city_topk
@@ -455,12 +455,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal flagship (rows-only: binary payloads are
-    not SQL-expressible): deterministic image+caption table -> nearest-
-    city broadcast join with bytes riding along (no shuffle) -> per-row
-    payload invariant verdicts (PSNR>=40 lossy / byte-exact captions /
-    phash). pytest asserts all-ok; here the verdict columns are data.
-    """
+    """End-to-end multimodal flagship: deterministic image+caption
+    table -> nearest-city broadcast join with bytes riding along (no
+    shuffle) -> per-row payload invariant verdicts (PSNR>=40 lossy /
+    byte-exact captions / phash). Oracled exactly: lossy PSNR is
+    closed-form (pixel quantization error is exactly byte & 3), so the
+    DuckDB splitmix64 replay recomputes every verdict + psnr_db value
+    independently; pytest additionally asserts all-ok."""
     from cityfinder_spark.operators.images_ops import check_payload_invariants
 
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 10)
@@ -470,28 +471,49 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         imgs, cities, cache_key=("cities", sf_dir)
     ).withColumnRenamed("pt_id", "image_id")
     verdicts = check_payload_invariants(joined.drop("name").withColumnRenamed("city_id", "_cid"))
-    return verdicts
+    # psnr_db's terminal log10 is libm (ulp-divergent across engines):
+    # floor-round it like every other computed double in the contract
+    return verdicts.select(
+        "image_id",
+        round_digits_col(F.col("psnr_db"), sc.ROUND_DIGITS).alias("psnr_db"),
+        "psnr_ok",
+        "caption_ok",
+        "phash_ok",
+    )
 
 
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode every payload -> shape/stat/phash (rows-only: binary in,
-    per-row decode via mapInPandas; pytest pins exact values)."""
+    """Decode every payload -> shape/stats. Oracled exactly: the fake
+    codec's pixel stream is splitmix64(2*id + j), replayed in DuckDB
+    with 128-bit modular arithmetic; mean_pixel is an exact integer
+    sum / count in both engines (no summation-order risk). phash stays
+    out of the contract projection — its float64 block means are
+    ulp-order-sensitive — and is pytest-pinned instead."""
     from cityfinder_spark.operators.images_ops import decode_stats
 
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
-    return decode_stats(_media_table(spark, "images", n))
+    return decode_stats(_media_table(spark, "images", n)).select(
+        "image_id", "fmt", "w", "h", "mean_pixel"
+    )
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2x box-downsample + re-encode (rows-only; invariants in pytest)."""
-    from cityfinder_spark.operators.images_ops import resize_half
+    """2x box-downsample + re-encode, then decode back: gates the full
+    resample kernel end-to-end (decode -> 2x2 exact-integer box mean
+    with uint8 truncation -> re-quantize lossy -> re-encode -> decode
+    -> stats), all replayed closed-form in the DuckDB oracle."""
+    from cityfinder_spark.operators.images_ops import decode_stats, resize_half
 
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
-    return resize_half(_media_table(spark, "images", n)).select("image_id", "w", "h")
+    return decode_stats(resize_half(_media_table(spark, "images", n))).select(
+        "image_id", "fmt", "w", "h", "mean_pixel"
+    )
 
 
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample FVID payloads -> one row per kept frame (rows-only)."""
+    """Frame-sample FVID payloads -> one row per kept frame; the kept
+    (video_id, frame_idx) set is closed-form in the row id (n_frames =
+    3 + id % 4, stride 2) and oracled exactly."""
     from cityfinder_spark.operators.images_ops import frame_sample
 
     n = max(100, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 50)
@@ -501,22 +523,34 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Acoustic features (RMS/ZCR/spectral centroid) per clip via
-    Arrow-batched decode (rows-only: binary payload + FFT are not
-    SQL-expressible; exact values pinned in pytest)."""
+    """Acoustic features per clip via Arrow-batched decode. RMS and ZCR
+    are exact (integer sums scaled by powers of two -> bit-identical
+    across engines) and oracled via the DuckDB splitmix64 replay;
+    spectral_centroid (rfft) stays out of the contract projection —
+    an FFT is not SQL-expressible — and is pytest-pinned instead."""
     from cityfinder_spark.operators.audio_ops import audio_features
 
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
-    return audio_features(_media_table(spark, "audio", n))
+    return audio_features(_media_table(spark, "audio", n)).select(
+        "audio_id", "fmt", "sr", "n_samples", "duration_s", "rms", "zcr"
+    )
 
 
 def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio payload-invariant verdicts (SNR>=40 dB lossy / byte-exact
-    lossless + captions), mirroring image_pipeline (rows-only)."""
+    lossless + captions), mirroring image_pipeline. The lossy SNR is
+    closed-form (quantization error of sample u is exactly u & 15), so
+    the oracle replays it; the terminal log10 is floor-rounded on both
+    sides like every computed double."""
     from cityfinder_spark.operators.audio_ops import check_audio_invariants
 
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
-    return check_audio_invariants(_media_table(spark, "audio", n))
+    return check_audio_invariants(_media_table(spark, "audio", n)).select(
+        "audio_id",
+        round_digits_col(F.col("snr_db"), sc.ROUND_DIGITS).alias("snr_db"),
+        "snr_ok",
+        "caption_ok",
+    )
 
 
 # ---------------- event-stream queries (batch twins) ----------------
@@ -1138,6 +1172,216 @@ def _o_postal_scan() -> str:
     """
 
 
+# ---------------- media oracles: DuckDB splitmix64 replay ----------------
+#
+# The fake codecs' payloads are pure functions of the row id: pixel j of
+# image i is splitmix64(2*i + j) & 0xFF, sample t of clip i is
+# splitmix64(4*i + t) & 0xFFFF (codecs/fakeimage.py:_mix64, gen_pixels /
+# codecs/fakeaudio.py:gen_samples). splitmix64 is replayed bit-exactly in
+# DuckDB with HUGEINT modular arithmetic (64x64-bit multiply decomposed
+# into 32-bit halves so no intermediate exceeds 2^97), which makes every
+# media stat with exact integer arithmetic independently recomputable —
+# the oracle never sees the binary payloads at all.
+
+
+def _duck_mix64(src: str) -> str:
+    """CTE chain: splitmix64 over every row of `src` (must expose a
+    HUGEINT column x0); terminal CTE `mx` = all columns of src + z."""
+
+    def mul64(m: int) -> str:
+        return (
+            f"((z % 4294967296) * {m} + (((z // 4294967296) * {m})"
+            f" % 4294967296) * 4294967296) % 18446744073709551616"
+        )
+
+    return f"""
+    m1 AS (SELECT *, (x0 + 11400714819323198485) % 18446744073709551616 AS z
+           FROM {src}),
+    m2 AS (SELECT * EXCLUDE (z), xor(z, z // 1073741824) AS z FROM m1),
+    m3 AS (SELECT * EXCLUDE (z), {mul64(13787848793156543929)} AS z FROM m2),
+    m4 AS (SELECT * EXCLUDE (z), xor(z, z // 134217728) AS z FROM m3),
+    m5 AS (SELECT * EXCLUDE (z), {mul64(10723151780598845931)} AS z FROM m4),
+    mx AS (SELECT * EXCLUDE (z), xor(z, z // 2147483648) AS z FROM m5)
+    """
+
+
+def _duck_images_cte(divisor: int) -> str:
+    """imgs CTE: one row per generated image (datagen/images.py:_row —
+    w = 8+(i*13)%57, h = 8+(i*7)%57, fmt alternates), n = max(200,
+    orders/divisor), plus the flat pixel CTE px with x0 = 2*i + j."""
+    return f"""
+    imgs AS (
+      SELECT cast(i AS HUGEINT) AS i,
+             8 + (i * 13) % 57 AS w, 8 + (i * 7) % 57 AS h,
+             CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
+      FROM generate_series(0, 999999) g(i)
+      WHERE i < greatest(200, (SELECT count(*) FROM orders) // {divisor})),
+    pj AS (SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS j FROM imgs),
+    px AS (SELECT *, cast(2 * i + j AS HUGEINT) AS x0 FROM pj)
+    """
+
+
+# decoded byte value of pixel j: raw for png, low-2-bits-dropped for jpeg
+_DUCK_IMG_BYTE = (
+    "CASE WHEN fmt = 'png' THEN cast(z % 256 AS BIGINT)"
+    " ELSE cast(z % 256 AS BIGINT) & 252 END"
+)
+
+_DUCK_IMG_ID = "'img' || lpad(cast(i AS VARCHAR), 12, '0')"
+
+
+def _o_image_decode_stats() -> str:
+    return f"""
+    WITH {_duck_images_cte(20)},
+    {_duck_mix64("px")}
+    SELECT {_DUCK_IMG_ID} AS image_id, fmt,
+           cast(w AS INT) AS w, cast(h AS INT) AS h,
+           cast(sum({_DUCK_IMG_BYTE}) AS DOUBLE) / (w * h * 3) AS mean_pixel
+    FROM mx GROUP BY i, fmt, w, h
+    """
+
+
+def _o_image_resize() -> str:
+    """Replays resize_half + re-encode + decode_stats: crop to even
+    dims, 2x2 box mean with uint8 truncation (= exact integer sum//4),
+    re-quantize for jpeg, then mean over the resized pixels."""
+    return f"""
+    WITH {_duck_images_cte(20)},
+    {_duck_mix64("px")},
+    coords AS (
+      SELECT i, fmt, w // 2 AS w2, h // 2 AS h2,
+             (j // 3) % w AS x, j // (3 * w) AS y, j % 3 AS c,
+             {_DUCK_IMG_BYTE} AS b
+      FROM mx),
+    blocks AS (
+      SELECT i, fmt, w2, h2, y // 2 AS y2, x // 2 AS x2, c,
+             sum(b) // 4 AS ds
+      FROM coords WHERE y < 2 * h2 AND x < 2 * w2
+      GROUP BY i, fmt, w2, h2, y // 2, x // 2, c)
+    SELECT {_DUCK_IMG_ID} AS image_id, fmt,
+           cast(w2 AS INT) AS w, cast(h2 AS INT) AS h,
+           cast(sum(CASE WHEN fmt = 'png' THEN ds ELSE ds & 252 END) AS DOUBLE)
+             / (w2 * h2 * 3) AS mean_pixel
+    FROM blocks GROUP BY i, fmt, w2, h2
+    """
+
+
+def _o_image_pipeline() -> str:
+    """Verdict replay (datagen is valid by construction, so the ok
+    flags are all true and the oracle proves the engine AGREES): png
+    psnr = 999 (byte-exact, inf capped); jpeg psnr from the exact
+    quantization error (byte & 3), floor-rounded after the libm
+    log10 on both sides."""
+    return f"""
+    WITH {_duck_images_cte(10)},
+    {_duck_mix64("px")},
+    errs AS (
+      SELECT i, fmt,
+             cast(sum((cast(z % 256 AS BIGINT) % 4)
+                      * (cast(z % 256 AS BIGINT) % 4)) AS DOUBLE)
+               / (w * h * 3) AS mse
+      FROM mx GROUP BY i, fmt, w, h)
+    SELECT {_DUCK_IMG_ID} AS image_id,
+           CASE WHEN fmt = 'png' THEN 999.0
+                ELSE {sc.round_sql("10.0 * log10(65025.0 / mse)", sc.ROUND_DIGITS)}
+           END AS psnr_db,
+           true AS psnr_ok, true AS caption_ok, true AS phash_ok
+    FROM errs
+    """
+
+
+def _o_video_frame_sample() -> str:
+    return """
+    WITH vids AS (
+      SELECT i, 3 + i % 4 AS nf
+      FROM generate_series(0, 999999) g(i)
+      WHERE i < greatest(100, (SELECT count(*) FROM orders) // 50)),
+    frames AS (
+      SELECT 'vid' || lpad(cast(i AS VARCHAR), 8, '0') AS video_id,
+             unnest(generate_series(0, nf - 1, 2)) AS f
+      FROM vids)
+    SELECT video_id, cast(f AS INT) AS frame_idx FROM frames
+    """
+
+
+def _duck_audio_cte(divisor: int) -> str:
+    """auds CTE (datagen/audio.py:_row — sr cycles 8000/16000/22050,
+    n = 256+(i*37)%1792, fmt alternates) + flat sample CTE with
+    x0 = 4*i + t, then decoded int16 value s (u = z & 0xFFFF; ogg
+    drops the 4 low bits; int16 = u - 65536 when the sign bit is set)
+    and the lossy quantization error e = u & 15."""
+    return f"""
+    auds AS (
+      SELECT cast(i AS HUGEINT) AS i,
+             CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 22050 END AS sr,
+             256 + (i * 37) % 1792 AS n,
+             CASE WHEN i % 2 = 0 THEN 'wav' ELSE 'ogg' END AS fmt
+      FROM generate_series(0, 999999) g(i)
+      WHERE i < greatest(200, (SELECT count(*) FROM orders) // {divisor})),
+    pt AS (SELECT *, unnest(generate_series(0, n - 1)) AS t FROM auds),
+    px AS (SELECT *, cast(4 * i + t AS HUGEINT) AS x0 FROM pt),
+    {_duck_mix64("px")},
+    samp AS (
+      SELECT i, sr, n, fmt, t,
+             CASE WHEN fmt = 'wav' THEN cast(z % 65536 AS BIGINT)
+                  ELSE cast(z % 65536 AS BIGINT) & 65520 END AS u,
+             cast(z % 65536 AS BIGINT) AS ru,
+             cast(z % 65536 AS BIGINT) & 15 AS e
+      FROM mx),
+    vals AS (
+      SELECT i, sr, n, fmt, t, e,
+             u - 65536 * cast(u >= 32768 AS BIGINT) AS s,
+             ru - 65536 * cast(ru >= 32768 AS BIGINT) AS rs
+      FROM samp)
+    """
+
+
+_DUCK_AUD_ID = "'aud' || lpad(cast(i AS VARCHAR), 12, '0')"
+
+
+def _o_audio_features() -> str:
+    """RMS/ZCR replay: pcm/32768 squares and their sums are exact
+    multiples of 2^-30 (< 2^53), so sum-then-divide is bit-identical
+    to NumPy's pairwise mean; ZCR = sign-flip count / (n-1) with
+    lag() reproducing the x[1:] vs x[:-1] comparison (s = 0 counts as
+    non-negative, matching np.signbit)."""
+    return f"""
+    WITH {_duck_audio_cte(20)},
+    flips AS (
+      SELECT *, cast((s < 0) !=
+               (lag(s) OVER (PARTITION BY i ORDER BY t) < 0) AS INT) AS flip
+      FROM vals)
+    SELECT {_DUCK_AUD_ID} AS audio_id, fmt,
+           cast(sr AS INT) AS sr, cast(n AS INT) AS n_samples,
+           cast(n AS DOUBLE) / sr AS duration_s,
+           sqrt((cast(sum(s * s) AS DOUBLE) / 1073741824.0) / n) AS rms,
+           cast(sum(flip) AS DOUBLE) / (n - 1) AS zcr
+    FROM flips GROUP BY i, sr, n, fmt
+    """
+
+
+def _o_audio_pipeline() -> str:
+    """SNR verdict replay: wav is byte-exact (999.0 cap); ogg SNR =
+    10*log10(mean(s^2)/mean(e^2)) with both means exact integer sums
+    over n, floor-rounded after the libm log10 on both sides."""
+    return f"""
+    WITH {_duck_audio_cte(20)},
+    sums AS (
+      -- numerator is the UNQUANTIZED reference power (snr_db compares
+      -- the regenerated reference against the decoded samples)
+      SELECT i, fmt,
+             cast(sum(rs * rs) AS DOUBLE) / n AS ms,
+             cast(sum(e * e) AS DOUBLE) / n AS me
+      FROM vals GROUP BY i, fmt, n)
+    SELECT {_DUCK_AUD_ID} AS audio_id,
+           CASE WHEN fmt = 'wav' THEN 999.0
+                ELSE {sc.round_sql("10.0 * log10(ms / me)", sc.ROUND_DIGITS)}
+           END AS snr_db,
+           true AS snr_ok, true AS caption_ok
+    FROM sums
+    """
+
+
 def _o_ann_lsh() -> str:
     """Exact DuckDB replay of lsh_bucket_topk(k=5, n_planes=4,
     n_tables=8): the md5-derived ±1 sign family (parity of
@@ -1373,6 +1617,15 @@ def oracle_sql() -> dict[str, str]:
         # cosine_topk is additionally gated in tests/test_dedup_text.py
         "ann_lsh": _o_ann_lsh(),
         "ann_ivf": _o_ann_ivf(),
+        # media queries: DuckDB splitmix64 replay — the oracle
+        # recomputes pixels/samples closed-form from row ids and never
+        # touches the binary payloads (see _duck_mix64)
+        "image_pipeline": _o_image_pipeline(),
+        "image_decode_stats": _o_image_decode_stats(),
+        "image_resize": _o_image_resize(),
+        "video_frame_sample": _o_video_frame_sample(),
+        "audio_features": _o_audio_features(),
+        "audio_pipeline": _o_audio_pipeline(),
     }
 
 

@@ -30,6 +30,14 @@ def round6_sql(expr: str) -> str:
     return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
 
 
+def round_sql(expr: str, digits: int) -> str:
+    """Floor-form half-up rounding at `digits` decimal places — the
+    generic form of round6_sql (same cross-engine bit-identity
+    rationale); pairs with colutils.round_digits_col."""
+    scale = float(10 ** digits)
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
 def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """Great-circle km, atan2 form — matches the reference's formula
     (lib/city/city.go:69-81); identical text runs in Spark SQL + DuckDB."""
