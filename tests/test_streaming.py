@@ -104,6 +104,85 @@ def test_stateful_running_totals(spark, events_stream_dir):
     assert got == want and len(got) > 0
 
 
+def test_stateful_checkpoint_recovery(spark, tmp_path):
+    """Kill-and-resume: run the stateful query over batch A with a
+    checkpoint dir, STOP, add batch B to the source, start a FRESH
+    query on the same checkpoint. The resumed query must (a) skip the
+    already-committed A files (source offset recovery) and (b) resume
+    the per-user state store, so users in B emit totals spanning A+B."""
+    import glob as _glob
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    # event_id split: most users appear in BOTH halves, so B's
+    # emissions can only be right if A's state survived the restart
+    med = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    part_a = events.where(F.col("event_id") <= med)
+    part_b = events.where(F.col("event_id") > med)
+    src = tmp_path / "src"
+    src.mkdir()
+    cp = str(tmp_path / "cp")
+
+    def add_batch(df, name):
+        out = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(out))
+        (f,) = _glob.glob(f"{out}/part-*.parquet")
+        shutil.copy(f, src / f"{name}.parquet")
+
+    def run(qname):
+        # memory sink refuses checkpoint recovery; foreachBatch is the
+        # fault-tolerant sink shape (same as a real table write)
+        rows = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        stream = running_user_totals(_read_stream(spark, str(src)))
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+            for r in rows
+        }
+
+    add_batch(part_a, "a")
+    got_a = run("t_rec1")
+    want_a = _totals(part_a)
+    assert got_a == want_a and len(got_a) > 0
+
+    add_batch(part_b, "b")
+    got_b = run("t_rec2")
+    b_users = {r["user_id"] for r in part_b.select("user_id").distinct().collect()}
+    # (a) offsets recovered: only users touched by batch B re-emit —
+    # the A file was not reprocessed
+    assert set(got_b) == b_users and len(got_b) > 0
+    # (b) state recovered: B emissions carry the FULL per-user history
+    # (A + B), which is impossible without the restored state store
+    want_full = _totals(events)
+    assert got_b == {u: want_full[u] for u in b_users}
+    overlap = set(got_a) & b_users
+    assert overlap, "split produced disjoint users; state not exercised"
+
+
+def _totals(df):
+    return {
+        r["user_id"]: (r["n"], r["s"], r["m"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+
+
 def test_streaming_nearest_city_enrichment(spark, tmp_path):
     """The flagship kNN operator runs unchanged on a STREAM of
     geotagged rows (scalar pandas UDF + broadcast joins are all
