@@ -499,17 +499,21 @@ def decontaminate(
     n_shared > 0. The standard pre-training decontamination gate:
     n-gram overlap with the eval set disqualifies a training document.
 
-    Scale shape: the split is a zero-shuffle projection (sampling.
-    corpus_split); only (doc_id, shingle) rows enter the one exchange
-    on the shingle key (the same candidate-join shape as the n-gram
-    Jaccard path — text never shuffles), and the held-out shingle set
-    is DISTINCT'd before the join so hot shingles count once. With a
-    genuinely small benchmark set AQE broadcasts it at runtime."""
+    Scale shape: the split is a pure function of the id (sampling.
+    split_hash), so it is stamped DIRECTLY onto the shingle stream as a
+    codegen'd projection — no (doc_id, shingle)-vs-doc-split join, which
+    at fact scale would shuffle the entire shingle stream on doc_id
+    before the real work starts. Only (doc_id, shingle) rows enter the
+    one exchange on the shingle key (the same candidate-join shape as
+    the n-gram Jaccard path — text never shuffles), and the held-out
+    shingle set is DISTINCT'd before the join so hot shingles count
+    once. With a genuinely small benchmark set AQE broadcasts it at
+    runtime."""
     from cityfinder_spark.operators.sampling import corpus_split
 
-    split = corpus_split(docs, id_col=id_col).select(id_col, "split")
-    sh = word_shingles(docs, n, id_col, text_col)
-    with_split = sh.join(split, id_col)
+    with_split = corpus_split(
+        word_shingles(docs, n, id_col, text_col), id_col=id_col
+    )
     ev = (
         with_split.where(F.col("split") != "train")
         .select("shingle")
@@ -521,7 +525,11 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    train = split.where(F.col("split") == "train").select(id_col)
+    train = (
+        corpus_split(docs.select(id_col), id_col=id_col)
+        .where(F.col("split") == "train")
+        .select(id_col)
+    )
     return (
         train.join(hits, id_col, "left")
         .select(
