@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from cityfinder_spark.bcast import memo_broadcast, memo_value
-from cityfinder_spark.colutils import round6_col
+from cityfinder_spark.colutils import round6_col, spread
 from cityfinder_spark.workerenv import tune_malloc as _tune_malloc
 
 COS_DIGITS = 6
@@ -268,7 +268,10 @@ def cosine_topk(
                 }
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
+    # spread() the query side: tiny-sf scans are one parquet file ->
+    # one task would run the whole NumPy kernel single-threaded; at
+    # fact scale the scan is already wide and this is a no-op
+    return spread(emb.select(id_col, vec_col)).mapInPandas(gen, schema)
 
 
 def cosine_dedup_pairs(
@@ -336,7 +339,10 @@ def cosine_dedup_pairs(
                 }
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
+    # spread() the query side: tiny-sf scans are one parquet file ->
+    # one task would run the whole NumPy kernel single-threaded; at
+    # fact scale the scan is already wide and this is a no-op
+    return spread(emb.select(id_col, vec_col)).mapInPandas(gen, schema)
 
 
 # ---- scale paths (approximate; verified by recall tests, not oracle) ----
@@ -611,7 +617,10 @@ def _lsh_topk_arrow(
                 }
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
+    # spread() the query side: tiny-sf scans are one parquet file ->
+    # one task would run the whole NumPy kernel single-threaded; at
+    # fact scale the scan is already wide and this is a no-op
+    return spread(emb.select(id_col, vec_col)).mapInPandas(gen, schema)
 
 
 def _refine_pairs_relational(
@@ -768,7 +777,10 @@ def _ivf_topk_arrow(
                 }
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
+    # spread() the query side: tiny-sf scans are one parquet file ->
+    # one task would run the whole NumPy kernel single-threaded; at
+    # fact scale the scan is already wide and this is a no-op
+    return spread(emb.select(id_col, vec_col)).mapInPandas(gen, schema)
 
 
 def ivf_topk(
