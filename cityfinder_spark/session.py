@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64k-row Arrow batches (default 10k): the pandas-UDF kernels are
+        # vectorized NumPy whose per-call overhead amortizes with batch
+        # size; 6.5x fewer Python<->JVM roundtrips on the 10M-row flagship
+        # (measured ~7% wall there). Payload rows stay bounded: the widest
+        # bytes rows are ~3 KB -> ~200 MB per batch per worker.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # broadcast threshold: the cities cover table is the build side of
