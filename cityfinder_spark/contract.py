@@ -79,9 +79,28 @@ def _media_table(spark: SparkSession, kind: str, n: int) -> DataFrame:
     return memo_table(spark, ("media", kind, n), build)
 
 
-def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spread_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Register `__orders_spread`: the narrow orders scan repartitioned
+    to default parallelism BEFORE any derived projection. The sandbox
+    sf tables are single-file parquet, so a plain scan yields ONE
+    partition and `spread(projection)` puts the exchange ABOVE the
+    projection — all the per-row string/arithmetic derivation work then
+    runs in that one scan task. Exchanging the two raw id columns first
+    parallelizes the projection itself (measured: fuzzy name_lookup
+    1.80s -> 1.32s at sf0.1). At real scale the scan has thousands of
+    splits and spread() is a no-op, so the shape is unchanged."""
+    name = "__orders_spread"
     load_views(spark, sf_dir, ("orders",))
-    return spread(spark.sql(sc.points_from_orders_sql()))
+    spread(
+        spark.table("orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    ).createOrReplaceTempView(name)
+    return name
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        sc.points_from_orders_sql(orders=_spread_orders(spark, sf_dir))
+    )
 
 
 def _cities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,12 +165,12 @@ def q_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_name_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + fuzzy city-by-name lookup (SURVEY §2.3 J2/J3/J6).
 
-    spread() on the query side matters: AQE coalesces the small
-    query-build join to ~1 partition, and the per-country dictionary
-    fan-out (~300x) would then run single-threaded."""
-    load_views(spark, sf_dir, ("orders", "customer", "nation"))
+    The query side is spread at the SCAN (see _spread_orders), so the
+    string-heavy mutation CASE and the customer/nation broadcast joins
+    run partition-parallel instead of in the single scan task."""
+    load_views(spark, sf_dir, ("customer", "nation"))
     dim = spark.sql(sc.names_dim_sql())
-    q = spread(spark.sql(sc.name_queries_sql()))
+    q = spark.sql(sc.name_queries_sql(orders=_spread_orders(spark, sf_dir)))
     # arrow: in-process NameIndex probe (the reference's own structure,
     # inverted index + pruning map) with build-once memoized broadcast;
     # parity with the symspell relational plan is test-asserted
@@ -162,17 +181,17 @@ def q_name_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_name_lookup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-only variant (fuzzy disabled -> NULL on miss)."""
-    load_views(spark, sf_dir, ("orders", "customer", "nation"))
+    load_views(spark, sf_dir, ("customer", "nation"))
     dim = spark.sql(sc.names_dim_sql())
-    q = spread(spark.sql(sc.name_queries_sql()))
+    q = spark.sql(sc.name_queries_sql(orders=_spread_orders(spark, sf_dir)))
     return city_by_name(q, dim, fuzzy=False)
 
 
 def q_postal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Postal-code lookup with last-write-wins build dedup (J4/J5)."""
-    load_views(spark, sf_dir, ("orders", "customer", "nation"))
+    load_views(spark, sf_dir, ("customer", "nation"))
     dim = spark.sql(sc.postal_dim_sql())
-    q = spread(spark.sql(sc.postal_queries_sql()))
+    q = spark.sql(sc.postal_queries_sql(orders=_spread_orders(spark, sf_dir)))
     return city_by_postal(q, dim)
 
 
@@ -211,8 +230,9 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-tile -> vector-cell mapping (north rule; SURVEY §7.1.8)."""
-    load_views(spark, sf_dir, ("orders",))
-    imgs = spread(spark.sql(sc.images_from_orders_sql()))
+    imgs = spark.sql(
+        sc.images_from_orders_sql(orders=_spread_orders(spark, sf_dir))
+    )
     return map_raster_tiles(imgs, level=CELL_LEVEL, tile_px=16, deg_per_px=0.001).select(
         "pt_id", "tx", "ty", "tile_lat", "tile_lon", "cell_id"
     )
