@@ -58,6 +58,22 @@ def test_name_lookup_dictionary_joins_are_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def test_query_sides_spread_at_the_scan(spark):
+    """Single-file sandbox scans yield ONE partition; the contract
+    queries must exchange the narrow raw columns BEFORE the derived
+    projection so per-row string/geo derivation runs partition-parallel
+    (spread-above-the-projection ran it all in the lone scan task)."""
+    target = spark.sparkContext.defaultParallelism
+    pts = C._points(spark, SF)
+    assert pts.rdd.getNumPartitions() == target
+    # the exchange must sit BELOW the projection: the repartition's
+    # child is the raw scan selection, so the optimized plan shows the
+    # derived aliases only above the exchange
+    plan = pts._jdf.queryExecution().optimizedPlan().toString()
+    scan_side = plan.split("Repartition")[-1]
+    assert "pt_id" not in scan_side  # derivation not pushed into the scan task
+
+
 def test_pack_sequences_has_no_global_sort(spark):
     """The packing prefix sum must stay distributed: the plan shuffles
     on the arithmetic hash-chunk key and cumulates offsets over the
