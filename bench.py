@@ -31,7 +31,10 @@ if _HERE not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-MEASURE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# best-of-5 (was 3): this sandbox's bursty CPU steal can stall any
+# single run 3-5x; two extra timed runs per query cost ~1 min total
+# and materially raise the odds each query catches a quiet slice.
+MEASURE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 # headline set: one per operator family (SURVEY.md §2), in rough order
 # of importance. nearest_city is the BASELINE.json flagship.
