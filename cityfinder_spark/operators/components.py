@@ -6,13 +6,17 @@ cluster and drop the rest. Pairs form a graph whose connected
 components are the clusters; the canonical member is the minimum id
 (deterministic, order-independent).
 
-Spark-first algorithm: iterative min-label propagation —
-    label(v) <- min(label(v), min over neighbors' label)
-repeated to fixpoint. Each round is one join + one map-side-combinable
-min aggregation; rounds needed = graph diameter (dup clusters are
-near-cliques, so 2-3 rounds in practice). This is the standard
-MapReduce-CC shape (Kiveris et al. "Connected Components in MapReduce
-and Beyond" simplifies to exactly this for small-diameter graphs).
+Spark-first algorithm: iterative min-label propagation with pointer
+jumping —
+    label(v) <- min(label(v), min over neighbors' label)   (propagate)
+    label(v) <- label(label(v))                            (jump)
+repeated to fixpoint. Each round is one edge join + one map-side-
+combinable min aggregation + one (node,label)-only self-join; the
+jump step halves the remaining label-chain depth, so rounds needed =
+O(log diameter) (Kiveris et al. "Connected Components in MapReduce
+and Beyond" — the jump is their pointer-doubling step; dup clusters
+are near-cliques, so 1-3 rounds in practice, and a 10^6-long chain
+converges in ~20).
 
 Scale notes:
   * `localCheckpoint` truncates lineage each round — without it the
@@ -104,10 +108,24 @@ def connected_components(
         nbr = und.join(labels, und["v"] == labels["node"], "inner").select(
             F.col("u").alias("node"), "label"
         )
-        new_labels = (
+        prop = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # pointer jump: follow the freshly-propagated label one more
+        # hop through the mapping itself (label(v) <- label(label(v))).
+        # Labels are node ids, so the self-join is on (node,label)
+        # longs only; this is what turns O(diameter) rounds into
+        # O(log diameter) for chain-shaped components.
+        m = prop.select(F.col("node").alias("ln"), F.col("label").alias("ll"))
+        new_labels = (
+            prop.join(m, prop["label"] == m["ln"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -120,13 +138,13 @@ def connected_components(
         if changed == 0:
             break
     else:
-        # min-label propagation needs O(component diameter) rounds; a
-        # silent fall-through here would return WRONG labels for
-        # chain-shaped components deeper than max_iter
+        # even with pointer jumping a fall-through would mean WRONG
+        # labels (would need a component of diameter > ~2^max_iter);
+        # refuse rather than silently return unconverged results
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter — the "
-            "graph contains a component with diameter > max_iter"
+            "graph contains a component with diameter > ~2^max_iter"
         )
     return labels
 

@@ -123,6 +123,15 @@ def test_cc_direction_independent(spark, kw):
     )
 
 
+def test_cc_deep_chain_converges_in_log_rounds(spark):
+    """Diameter-63 chain on the distributed path with max_iter=10:
+    plain min-label propagation would need 63 rounds and raise;
+    pointer jumping must converge in ~log2(63) ~ 6-8 rounds."""
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_dict(spark, edges, driver_max_edges=0, max_iter=10)
+    assert got == {n: 0 for n in range(64)}
+
+
 def test_dedup_resolve_isolated_docs_self_canonical(spark):
     docs = spark.createDataFrame([(1,), (2,), (3,), (9,)], "doc_id long")
     pairs = spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
