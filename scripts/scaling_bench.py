@@ -9,7 +9,7 @@ scaling efficiency is reported.
 
     python scripts/scaling_bench.py [--rows 1000000] [--runs 2]
 
-Writes BENCH/scaling.json and BENCH/BASELINE.md.
+Writes BENCH/scaling_last_run.json + BENCH/BASELINE_last_run.md (the curated BENCH/BASELINE.md is updated by hand from these).
 """
 
 from __future__ import annotations
@@ -119,11 +119,14 @@ def main() -> None:
         "pairs": pairs,
         "sf_dir": SF_DIR,
     }
-    # partial runs (fewer than 3 levels) must not clobber the curated
-    # evidence files — they land in a side file instead
-    partial = len(args.levels) < 3
+    # BENCH/scaling.json + BENCH/BASELINE.md are CURATED evidence files
+    # (session log, cross-session bests, bandwidth-probe notes appended
+    # by hand); every run now lands in the *_last_run side files and the
+    # curated ones are updated deliberately. Partial runs (fewer than 3
+    # levels) were always side-filed.
+    partial = True
     out_json = os.path.join(
-        BENCH, "scaling_partial.json" if partial else "scaling.json"
+        BENCH, "scaling_last_run.json" if partial else "scaling.json"
     )
     with open(out_json, "w") as f:
         json.dump(summary, f, indent=2)
@@ -178,7 +181,7 @@ Reproduce: `python scripts/scaling_bench.py --rows {args.rows}`
 (input parquet cached under BENCH/data/, identical for all levels).
 """
     with open(
-        os.path.join(BENCH, "BASELINE_partial.md" if partial else "BASELINE.md"),
+        os.path.join(BENCH, "BASELINE_last_run.md" if partial else "BASELINE.md"),
         "w",
     ) as f:
         f.write(md)
