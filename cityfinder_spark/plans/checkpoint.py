@@ -66,6 +66,7 @@ def run_resumable(
     id_col: str,
     n_buckets: int = 8,
     fail_after: int | None = None,
+    stage_input: bool = True,
 ) -> list[int]:
     """Process `source` bucket-by-bucket with checkpointing.
 
@@ -75,12 +76,31 @@ def run_resumable(
     skips completed buckets. `fail_after` aborts after N buckets (test
     hook simulating a mid-job crash).
 
+    stage_input (default): the bucketed source is first written ONCE,
+    partitioned by bucket, to out_dir/staged/. The per-bucket loop then
+    reads `staged/bucket=<b>` with partition pruning, so total input
+    reads are 2x the source regardless of n_buckets. Without staging,
+    `where(bucket == b)` on a hash-derived column cannot prune files
+    and the loop scans the FULL source once per bucket — O(n_buckets x
+    input), a non-starter at fact scale. stage_input=False remains for
+    sources already partitioned/bucketed on the id (Iceberg bucket
+    transform), where the filter does prune. The staging write itself
+    is atomic (_SUCCESS marker), not resumable: a crash mid-staging
+    redoes only the staging pass.
+
     Returns the list of buckets processed in THIS run.
     """
     manifest_path = os.path.join(out_dir, "manifest")
     data_dir = os.path.join(out_dir, "data")
     done = completed_buckets(spark, manifest_path, stage)
     bucketed = with_bucket(source, id_col, n_buckets)
+    if stage_input and len(done) < n_buckets:
+        staged_dir = os.path.join(out_dir, "staged")
+        if not os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
+            bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+                staged_dir
+            )
+        bucketed = spark.read.parquet(staged_dir)
     processed: list[int] = []
     for b in range(n_buckets):
         if b in done:

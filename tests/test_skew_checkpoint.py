@@ -133,6 +133,36 @@ def test_resumable_rerun_skips_completed(spark, tmp_path):
     assert man.agg(F.sum("rows")).collect()[0][0] == 2000
     # third run: nothing left to do
     assert run_resumable(spark, src, process, out, stage="s1", id_col="pt_id", n_buckets=8) == []
+    # the staged copy exists and per-bucket reads are partition-PRUNED
+    # (without staging, where(bucket==b) on a hash column scans the
+    # full source once per bucket — O(n_buckets x input) at fact scale)
+    import os
+
+    assert os.path.exists(f"{out}/staged/_SUCCESS")
+    staged = spark.read.parquet(f"{out}/staged")
+    plan = staged.where(F.col("bucket") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_resumable_unstaged_matches_staged(spark, tmp_path):
+    """stage_input=False (for sources already bucketed in storage)
+    must produce identical data + manifest totals."""
+    src = spark.range(0, 500, 1, 4).withColumnRenamed("id", "pt_id")
+
+    def process(df):
+        return df.withColumn("double", F.col("pt_id") * 2)
+
+    outs = {}
+    for label, staged in (("a", True), ("b", False)):
+        out = str(tmp_path / f"ckpt_{label}")
+        run_resumable(
+            spark, src, process, out, stage="s", id_col="pt_id",
+            n_buckets=4, stage_input=staged,
+        )
+        outs[label] = sorted(
+            (r["pt_id"], r["double"]) for r in read_result(spark, out).collect()
+        )
+    assert outs["a"] == outs["b"] and len(outs["a"]) == 500
 
 
 def test_adaptive_strategies_agree(spark):
