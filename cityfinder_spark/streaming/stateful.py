@@ -13,7 +13,7 @@ from __future__ import annotations
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, max_value double"
@@ -48,6 +48,62 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+DEDUP_OUTPUT_SCHEMA = "doc_id long, canonical_id long, is_dup boolean"
+DEDUP_STATE_SCHEMA = "canon long"
+
+
+def _dedup_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    canon = state.get[0] if state.exists else int(pdf["doc_id"].min())
+    state.update((canon,))
+    yield pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "canonical_id": canon,
+            "is_dup": pdf["doc_id"] != canon,
+        }
+    )
+
+
+def streaming_dedup_exact(
+    docs: DataFrame,
+    key_expr: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of operators.dedup.dedup_exact: every streamed
+    row gets (doc_id, canonical_id, is_dup) where the canonical is the
+    FIRST-SEEN minimum id for its dedup key — state is one long per
+    distinct key, surviving across micro-batches (the cross-batch
+    ingestion-dedup shape a training pipeline needs: drop re-crawled
+    duplicates without re-reading the corpus).
+
+    Equals the batch operator exactly when ids arrive in nondecreasing
+    order (normal ingestion); under arbitrary arrival order the
+    canonical is the first arrival's batch-minimum id — streaming
+    first-occurrence semantics, deterministic given the batch
+    sequence. State never stores text, only (key-hash -> long), so
+    state size is bounded by |distinct keys|, not corpus bytes.
+    """
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.expr(key_expr).alias("__key"),
+        )
+        .groupBy("__key")
+        .applyInPandasWithState(
+            _dedup_update,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

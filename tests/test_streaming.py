@@ -104,6 +104,54 @@ def test_stateful_running_totals(spark, events_stream_dir):
     assert got == want and len(got) > 0
 
 
+def test_streaming_dedup_exact_multi_batch_equals_batch(spark, tmp_path):
+    """Cross-batch ingestion dedup: the documents table split into 3
+    id-ordered files, streamed one file per micro-batch. Every row's
+    (canonical_id, is_dup) must equal the batch dedup_exact result —
+    the first-seen key state survives across micro-batches."""
+    import os
+
+    import pandas as pd
+
+    from cityfinder_spark.operators.dedup import dedup_exact
+    from cityfinder_spark.streaming.stateful import streaming_dedup_exact
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    # id-range splits: each key's global-min id is in the first file
+    # containing the key, so streaming first-seen == batch min
+    for i, chunk in enumerate([pdf.iloc[:150], pdf.iloc[150:350], pdf.iloc[350:]]):
+        p = str(src / f"{i:02d}.parquet")
+        chunk.to_parquet(p)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))  # force file order
+
+    key = "substr(text, 1, 80)"
+    want = sorted(
+        tuple(r) for r in dedup_exact(docs, key_expr=key).collect()
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_dedup_exact(stream_in, key_expr=key)
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None and len(q.recentProgress) >= 3  # really multi-batch
+    got = sorted(tuple(r) for r in spark.table("t_stream_dedup").collect())
+    assert got == want and len(got) == 500
+
+
 def test_stateful_checkpoint_recovery(spark, tmp_path):
     """Kill-and-resume: run the stateful query over batch A with a
     checkpoint dir, STOP, add batch B to the source, start a FRESH
