@@ -260,6 +260,56 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------- index persistence roundtrip (S5/S6/S7) ----------------
+
+# session-scoped memo of the save->load roundtrip: persistence happens
+# once per (session, sf_dir); repeated driver runs query the LOADED
+# finder (the reference's build-if-missing gob cache shape,
+# lib/initializer/initializer.go:198-259)
+_ROUNDTRIP_CACHE: dict = {}
+
+
+def _roundtrip_finder(spark: SparkSession, sf_dir: str):
+    from cityfinder_spark.finder import CityFinder
+
+    key = (id(spark.sparkContext), sf_dir)
+    f = _ROUNDTRIP_CACHE.get(key)
+    if f is None:
+        import tempfile
+
+        load_views(spark, sf_dir, ("customer", "nation"))
+        src = CityFinder(
+            _cities(spark, sf_dir), spark.sql(sc.postal_dim_sql())
+        )
+        path = tempfile.mkdtemp(prefix="cf_index_roundtrip_")
+        src.save_index(path)
+        f = CityFinder.load_index(spark, path)
+        _ROUNDTRIP_CACHE.clear()
+        _ROUNDTRIP_CACHE[key] = f
+    return f
+
+
+def q_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 driver gate: save_index -> load_index -> the flagship
+    nearest query THROUGH THE LOADED index. Oracle = the same
+    brute-force nearest SQL as `nearest_city`, so any persistence bug
+    (dropped column, truncated rows, meta mismatch, wrong level/ring
+    rebuild) surfaces as a driver-red row (reference lifecycle:
+    SerializeIndex/DeserializeIndex, s2.go:77-129)."""
+    f = _roundtrip_finder(spark, sf_dir)
+    return f.nearest_city_df(_points(spark, sf_dir)).select(
+        "pt_id", "caption", "city_id", "name", "country", "dist_km"
+    )
+
+
+def q_index_roundtrip_postal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 driver gate: postal lookup through the save->load roundtrip
+    (reference postalCode.go:76-115); oracle = the postal_lookup SQL."""
+    f = _roundtrip_finder(spark, sf_dir)
+    q = spark.sql(sc.postal_queries_sql(orders=_spread_orders(spark, sf_dir)))
+    return f.city_by_postal_df(q)
+
+
 # ---------------- reference TSV scans (S1/S3) ----------------
 
 # The reference's own 1,000-row GeoNames samples (read-only). The scan
@@ -1562,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": q_point_in_polygon,
         "geonames_scan": q_geonames_scan,
         "postal_scan": q_postal_scan,
+        "index_roundtrip": q_index_roundtrip,
+        "index_roundtrip_postal": q_index_roundtrip_postal,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "pack_sequences": q_pack_sequences,
@@ -1610,6 +1662,8 @@ def oracle_sql() -> dict[str, str]:
         "point_in_polygon": _o_point_in_polygon(),
         "geonames_scan": _o_geonames_scan(),
         "postal_scan": _o_postal_scan(),
+        "index_roundtrip": _o_nearest_city(),
+        "index_roundtrip_postal": _o_postal_lookup(),
         "dedup_exact": _o_dedup_exact(),
         "token_stats": _o_token_stats(),
         "pack_sequences": _o_pack_sequences(),
