@@ -162,16 +162,22 @@ def run(names: list[str]) -> dict:
             images_table(spark, 10_000_000, partitions=250).write.mode(
                 "overwrite"
             ).parquet(BIG_TABLE)
+            regenerated = True
+        except Exception as exc:  # noqa: BLE001 - bench must still run
+            regenerated = False
+            print(f"flagship datagen failed ({exc}); skipping", file=sys.stderr)
+        if regenerated:
             # recycle the JVM: measuring in the session that just wrote
             # 26 GB is contaminated (heap/allocator pressure measured
-            # 2-8x on early queries vs a fresh session on this host)
+            # 2-8x on early queries vs a fresh session on this host).
+            # Outside the datagen try/except: a failure HERE must crash
+            # loudly, not leave a stopped session masquerading as a
+            # datagen skip.
             from cityfinder_spark import bcast
 
             bcast.clear()
             spark.stop()
             spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
-        except Exception as exc:  # noqa: BLE001 - bench must still run
-            print(f"flagship datagen failed ({exc}); skipping", file=sys.stderr)
     if os.path.exists(os.path.join(BIG_TABLE, "_SUCCESS")):
         qs["nearest_city_10m"] = _q_nearest_city_10m
     else:

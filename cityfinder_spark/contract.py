@@ -262,19 +262,16 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------- index persistence roundtrip (S5/S6/S7) ----------------
 
-# session-scoped memo of the save->load roundtrip: persistence happens
-# once per (session, sf_dir); repeated driver runs query the LOADED
-# finder (the reference's build-if-missing gob cache shape,
-# lib/initializer/initializer.go:198-259)
-_ROUNDTRIP_CACHE: dict = {}
-
-
 def _roundtrip_finder(spark: SparkSession, sf_dir: str):
+    """Save->load roundtrip, once per (SparkContext, sf_dir) via
+    bcast.memo_value (cleared by bcast.clear() with every other
+    dimension cache): persistence happens once, repeated driver runs
+    query the LOADED finder — the reference's build-if-missing gob
+    cache shape (lib/initializer/initializer.go:198-259)."""
+    from cityfinder_spark.bcast import memo_value
     from cityfinder_spark.finder import CityFinder
 
-    key = (id(spark.sparkContext), sf_dir)
-    f = _ROUNDTRIP_CACHE.get(key)
-    if f is None:
+    def build() -> CityFinder:
         import tempfile
 
         load_views(spark, sf_dir, ("customer", "nation"))
@@ -283,10 +280,9 @@ def _roundtrip_finder(spark: SparkSession, sf_dir: str):
         )
         path = tempfile.mkdtemp(prefix="cf_index_roundtrip_")
         src.save_index(path)
-        f = CityFinder.load_index(spark, path)
-        _ROUNDTRIP_CACHE.clear()
-        _ROUNDTRIP_CACHE[key] = f
-    return f
+        return CityFinder.load_index(spark, path)
+
+    return memo_value(spark, ("index-roundtrip", sf_dir), build)
 
 
 def q_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +302,10 @@ def q_index_roundtrip_postal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 driver gate: postal lookup through the save->load roundtrip
     (reference postalCode.go:76-115); oracle = the postal_lookup SQL."""
     f = _roundtrip_finder(spark, sf_dir)
+    # re-register the query-side views on EVERY call (not only on the
+    # finder-cache miss): another query may have pointed these temp
+    # views at a different sf_dir in the same session
+    load_views(spark, sf_dir, ("customer", "nation"))
     q = spark.sql(sc.postal_queries_sql(orders=_spread_orders(spark, sf_dir)))
     return f.city_by_postal_df(q)
 

@@ -79,14 +79,21 @@ def run_resumable(
     stage_input (default): the bucketed source is first written ONCE,
     partitioned by bucket, to out_dir/staged/. The per-bucket loop then
     reads `staged/bucket=<b>` with partition pruning, so total input
-    reads are 2x the source regardless of n_buckets. Without staging,
-    `where(bucket == b)` on a hash-derived column cannot prune files
-    and the loop scans the FULL source once per bucket — O(n_buckets x
-    input), a non-starter at fact scale. stage_input=False remains for
-    sources already partitioned/bucketed on the id (Iceberg bucket
-    transform), where the filter does prune. The staging write itself
-    is atomic (_SUCCESS marker), not resumable: a crash mid-staging
-    redoes only the staging pass.
+    reads are bounded at a constant (~1x source for staging + ~2x the
+    staged copy for the fingerprint pass and the processing pass)
+    regardless of n_buckets. Without staging, `where(bucket == b)` on
+    a hash-derived column cannot prune files and the loop scans the
+    FULL source once per bucket — O(n_buckets x input), a non-starter
+    at fact scale. stage_input=False remains for sources already
+    partitioned/bucketed on the id (Iceberg bucket transform), where
+    the filter does prune. The staging write itself is atomic
+    (_SUCCESS marker), not resumable: a crash mid-staging redoes only
+    the staging pass. On every resume the source's global fingerprint
+    is re-checked against the staged copy's (one narrow scan of each);
+    a mismatch means the source CHANGED under the run — the staged
+    copy is refused with an error rather than silently processing
+    stale data against a half-complete manifest. The staged copy is
+    deleted once every bucket is in the manifest.
 
     Returns the list of buckets processed in THIS run.
     """
@@ -94,13 +101,31 @@ def run_resumable(
     data_dir = os.path.join(out_dir, "data")
     done = completed_buckets(spark, manifest_path, stage)
     bucketed = with_bucket(source, id_col, n_buckets)
+    staged_dir = os.path.join(out_dir, "staged")
     if stage_input and len(done) < n_buckets:
-        staged_dir = os.path.join(out_dir, "staged")
-        if not os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
+        staged_schema = bucketed.schema
+        if os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
+            src_fp = (
+                bucketed.agg(input_fingerprint_col(id_col)).collect()[0][0] or 0
+            )
+            staged = spark.read.schema(staged_schema).parquet(staged_dir)
+            staged_fp = (
+                staged.agg(input_fingerprint_col(id_col)).collect()[0][0] or 0
+            )
+            if staged_fp != src_fp:
+                raise RuntimeError(
+                    f"staged input at {staged_dir} does not match the "
+                    "current source (fingerprint mismatch): the source "
+                    "changed mid-run. Use a fresh out_dir (completed "
+                    "buckets in the manifest came from the OLD input)."
+                )
+        else:
             bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
                 staged_dir
             )
-        bucketed = spark.read.parquet(staged_dir)
+        # explicit schema: an empty source stages to zero data files and
+        # schema inference would fail on the bare _SUCCESS marker
+        bucketed = spark.read.schema(staged_schema).parquet(staged_dir)
     processed: list[int] = []
     for b in range(n_buckets):
         if b in done:
@@ -119,6 +144,12 @@ def run_resumable(
         processed.append(b)
         if fail_after is not None and len(processed) >= fail_after:
             break
+    if stage_input and len(done) + len(processed) >= n_buckets:
+        # every bucket is in the manifest: the staged working copy has
+        # served its purpose — don't leave a full input copy on disk
+        import shutil
+
+        shutil.rmtree(staged_dir, ignore_errors=True)
     return processed
 
 

@@ -90,13 +90,15 @@ def streaming_dedup_exact(
     order (normal ingestion); under arbitrary arrival order the
     canonical is the first arrival's batch-minimum id — streaming
     first-occurrence semantics, deterministic given the batch
-    sequence. State never stores text, only (key-hash -> long), so
-    state size is bounded by |distinct keys|, not corpus bytes.
+    sequence. The group key is xxhash64(key), NOT the raw key, so the
+    state store holds (64-bit hash -> long) and never scales with
+    corpus bytes; a hash collision (~2^-64 per pair) would merge two
+    distinct keys — the standard dedup-at-scale tradeoff.
     """
     return (
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.expr(key_expr).alias("__key"),
+            F.xxhash64(F.expr(key_expr)).alias("__key"),
         )
         .groupBy("__key")
         .applyInPandasWithState(

@@ -121,13 +121,9 @@ def main() -> None:
     }
     # BENCH/scaling.json + BENCH/BASELINE.md are CURATED evidence files
     # (session log, cross-session bests, bandwidth-probe notes appended
-    # by hand); every run now lands in the *_last_run side files and the
-    # curated ones are updated deliberately. Partial runs (fewer than 3
-    # levels) were always side-filed.
-    partial = True
-    out_json = os.path.join(
-        BENCH, "scaling_last_run.json" if partial else "scaling.json"
-    )
+    # by hand); every run lands in the *_last_run side files and the
+    # curated ones are updated deliberately.
+    out_json = os.path.join(BENCH, "scaling_last_run.json")
     with open(out_json, "w") as f:
         json.dump(summary, f, indent=2)
 
@@ -180,10 +176,7 @@ separately), so per-partition work is embarrassingly parallel.
 Reproduce: `python scripts/scaling_bench.py --rows {args.rows}`
 (input parquet cached under BENCH/data/, identical for all levels).
 """
-    with open(
-        os.path.join(BENCH, "BASELINE_last_run.md" if partial else "BASELINE.md"),
-        "w",
-    ) as f:
+    with open(os.path.join(BENCH, "BASELINE_last_run.md"), "w") as f:
         f.write(md)
     print(json.dumps(summary))
 

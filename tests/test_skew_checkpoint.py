@@ -118,6 +118,15 @@ def test_resumable_rerun_skips_completed(spark, tmp_path):
         spark, src, process, out, stage="s1", id_col="pt_id", n_buckets=8, fail_after=3
     )
     assert len(first) == 3
+    # mid-run the staged copy exists and per-bucket reads are partition-
+    # PRUNED (without staging, where(bucket==b) on a hash column scans
+    # the full source once per bucket — O(n_buckets x input) at scale)
+    import os
+
+    assert os.path.exists(f"{out}/staged/_SUCCESS")
+    staged = spark.read.parquet(f"{out}/staged")
+    plan = staged.where(F.col("bucket") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
     # rerun resumes: only the remaining 5 buckets are processed
     second = run_resumable(
         spark, src, process, out, stage="s1", id_col="pt_id", n_buckets=8
@@ -131,17 +140,46 @@ def test_resumable_rerun_skips_completed(spark, tmp_path):
     # manifest lineage: rows per bucket sum to the input size
     man = spark.read.parquet(f"{out}/manifest")
     assert man.agg(F.sum("rows")).collect()[0][0] == 2000
+    # completion deletes the staged working copy (no duplicate of the
+    # input left on disk)
+    assert not os.path.exists(f"{out}/staged")
     # third run: nothing left to do
     assert run_resumable(spark, src, process, out, stage="s1", id_col="pt_id", n_buckets=8) == []
-    # the staged copy exists and per-bucket reads are partition-PRUNED
-    # (without staging, where(bucket==b) on a hash column scans the
-    # full source once per bucket — O(n_buckets x input) at fact scale)
-    import os
 
-    assert os.path.exists(f"{out}/staged/_SUCCESS")
-    staged = spark.read.parquet(f"{out}/staged")
-    plan = staged.where(F.col("bucket") == 3)._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+def test_resumable_refuses_changed_source(spark, tmp_path):
+    """If the source changes between crash and resume, the staged-copy
+    fingerprint check must refuse rather than silently process stale
+    data against a half-complete manifest."""
+    import pytest
+
+    out = str(tmp_path / "ckpt")
+    src = spark.range(0, 800, 1, 4).withColumnRenamed("id", "pt_id")
+
+    def process(df):
+        return df
+
+    run_resumable(
+        spark, src, process, out, stage="s", id_col="pt_id", n_buckets=4, fail_after=2
+    )
+    changed = spark.range(0, 801, 1, 4).withColumnRenamed("id", "pt_id")
+    with pytest.raises(RuntimeError, match="fingerprint mismatch"):
+        run_resumable(
+            spark, changed, process, out, stage="s", id_col="pt_id", n_buckets=4
+        )
+
+
+def test_resumable_empty_source(spark, tmp_path):
+    """A 0-row source must complete (empty staged dir reads back via
+    the explicit schema, no inference failure)."""
+    out = str(tmp_path / "ckpt")
+    src = spark.range(0, 0, 1, 2).withColumnRenamed("id", "pt_id")
+
+    done = run_resumable(
+        spark, src, process_fn=lambda df: df, out_dir=out, stage="s",
+        id_col="pt_id", n_buckets=4,
+    )
+    assert done == [0, 1, 2, 3]
 
 
 def test_resumable_unstaged_matches_staged(spark, tmp_path):
