@@ -357,8 +357,8 @@ _LSH_SIGN = (
 def lsh_bucket_topk(
     emb: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
-    n_tables: int = 8,
+    n_planes: int = 3,
+    n_tables: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = COS_DIGITS,
@@ -369,6 +369,11 @@ def lsh_bucket_topk(
     sign-signatures of n_planes bits each; candidates = pairs sharing
     any (table, bucket); exact cosine ranks the union.
     Recall for neighbors at angle θ: 1-(1-(1-θ/π)^n_planes)^n_tables.
+    The shipped defaults (3 planes x 16 tables) hit recall@5 >= 0.98
+    on the contract embeddings (asserted in tests/test_dedup_text.py);
+    at corpus scale n_planes grows ~log2(N/target_bucket_size) to keep
+    buckets selective — candidate volume per table is sum over buckets
+    of |bucket|^2, so selectivity, not table count, is the scale knob.
     Candidate generation + refinement are fully deterministic (md5
     sign family, exact summation folds), so the whole operator is
     DuckDB-oracled exactly, plus recall-vs-cosine_topk tests.
@@ -786,7 +791,7 @@ def _ivf_topk_arrow(
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
-    n_probe: int = 2,
+    n_probe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -798,7 +803,12 @@ def ivf_topk(
     the n_probe nearest inverted lists. Candidate choice ranks by
     ROUNDED list cosine (ties: label asc), so it is DuckDB-oracled
     exactly (ordered centroid sums reproduce the bincount fold) on top
-    of the recall-vs-cosine_topk tests.
+    of the recall-vs-cosine_topk tests. The shipped default n_probe=8
+    hits recall@5 >= 0.9 on the contract embeddings (10 lists —
+    asserted in tests); recall is governed by the n_probe/n_list
+    RATIO, so at corpus scale n_list grows ~sqrt(N) and the same
+    fraction of lists keeps both recall and the per-query candidate
+    count (~ n_probe * N / n_list) bounded.
 
     strategy="auto" (default): broadcast IVFIndex + one mapInPandas
     pass (zero shuffles) while the base side is under

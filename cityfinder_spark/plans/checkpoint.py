@@ -37,6 +37,18 @@ def input_fingerprint_col(id_col: str) -> F.Column:
     return F.bit_xor(F.xxhash64(F.col(id_col))).alias("input_fingerprint")
 
 
+def full_fingerprint_col(cols: list[str]) -> F.Column:
+    """Order-insensitive fingerprint over ALL columns (not just the id):
+    XOR of xxhash64(struct(c1..cn)). Used by the staged-vs-source resume
+    guard so a source whose non-id payload changed (same ids — e.g.
+    re-crawled docs with new text) is refused, not silently mixed with a
+    half-complete manifest. Always paired with a row-count compare,
+    because XOR alone cancels even-count duplicate additions."""
+    return F.bit_xor(
+        F.xxhash64(F.struct(*[F.col(c) for c in cols]))
+    ).alias("full_fingerprint")
+
+
 def partition_metrics(df: DataFrame) -> DataFrame:
     """Per-(Spark-)partition row counts — the runtime metrics table."""
     return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
@@ -54,6 +66,22 @@ def completed_buckets(spark: SparkSession, manifest_path: str, stage: str) -> se
         .collect()
     )
     return {r["bucket"] for r in rows}
+
+
+def _manifest_n_buckets(
+    spark: SparkSession, manifest_path: str, meta_stage: str
+) -> int | None:
+    """n_buckets persisted by the first run (manifest `__meta__` row),
+    or None if the manifest doesn't exist / predates the meta row."""
+    if not os.path.exists(manifest_path):
+        return None
+    rows = (
+        spark.read.parquet(manifest_path)
+        .where(F.col("stage") == meta_stage)
+        .select("rows")
+        .collect()
+    )
+    return int(rows[0]["rows"]) if rows else None
 
 
 def run_resumable(
@@ -88,36 +116,58 @@ def run_resumable(
     partitioned/bucketed on the id (Iceberg bucket transform), where
     the filter does prune. The staging write itself is atomic
     (_SUCCESS marker), not resumable: a crash mid-staging redoes only
-    the staging pass. On every resume the source's global fingerprint
-    is re-checked against the staged copy's (one narrow scan of each);
-    a mismatch means the source CHANGED under the run — the staged
-    copy is refused with an error rather than silently processing
-    stale data against a half-complete manifest. The staged copy is
-    deleted once every bucket is in the manifest.
+    the staging pass. On every resume the source is re-checked against
+    the staged copy (one narrow scan of each): row count plus an
+    all-columns fingerprint (XOR of xxhash64(struct(*cols))), so a
+    source whose ids OR payload columns changed is refused with an
+    error rather than silently processed against a half-complete
+    manifest. n_buckets is persisted in the manifest (a `__meta__`
+    row) on the first run and a resume with a different n_buckets is
+    refused — a smaller value would otherwise silently skip the
+    staged buckets beyond the new range. The staged copy is deleted
+    once every bucket is in the manifest.
 
     Returns the list of buckets processed in THIS run.
     """
     manifest_path = os.path.join(out_dir, "manifest")
     data_dir = os.path.join(out_dir, "data")
+    meta_stage = f"__meta__:{stage}"
     done = completed_buckets(spark, manifest_path, stage)
+    persisted_n = _manifest_n_buckets(spark, manifest_path, meta_stage)
+    if persisted_n is not None and persisted_n != n_buckets:
+        raise RuntimeError(
+            f"n_buckets mismatch: out_dir {out_dir} was started with "
+            f"n_buckets={persisted_n}, resume requested {n_buckets}. "
+            "Resuming with a different bucket count would skip or "
+            "re-split completed buckets; use the original value or a "
+            "fresh out_dir."
+        )
     bucketed = with_bucket(source, id_col, n_buckets)
     staged_dir = os.path.join(out_dir, "staged")
     if stage_input and len(done) < n_buckets:
         staged_schema = bucketed.schema
+        src_cols = sorted(source.columns)
         if os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
-            src_fp = (
-                bucketed.agg(input_fingerprint_col(id_col)).collect()[0][0] or 0
-            )
+            src_row = bucketed.agg(
+                F.count(F.lit(1)).alias("rows"), full_fingerprint_col(src_cols)
+            ).collect()[0]
             staged = spark.read.schema(staged_schema).parquet(staged_dir)
-            staged_fp = (
-                staged.agg(input_fingerprint_col(id_col)).collect()[0][0] or 0
-            )
-            if staged_fp != src_fp:
+            staged_row = staged.agg(
+                F.count(F.lit(1)).alias("rows"), full_fingerprint_col(src_cols)
+            ).collect()[0]
+            if (
+                staged_row["rows"] != src_row["rows"]
+                or (staged_row["full_fingerprint"] or 0)
+                != (src_row["full_fingerprint"] or 0)
+            ):
                 raise RuntimeError(
                     f"staged input at {staged_dir} does not match the "
-                    "current source (fingerprint mismatch): the source "
-                    "changed mid-run. Use a fresh out_dir (completed "
-                    "buckets in the manifest came from the OLD input)."
+                    "current source (fingerprint mismatch: rows "
+                    f"{staged_row['rows']} vs {src_row['rows']}, "
+                    "all-columns hash differs or counts differ): the "
+                    "source changed mid-run. Use a fresh out_dir "
+                    "(completed buckets in the manifest came from the "
+                    "OLD input)."
                 )
         else:
             bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
@@ -126,6 +176,12 @@ def run_resumable(
         # explicit schema: an empty source stages to zero data files and
         # schema inference would fail on the bare _SUCCESS marker
         bucketed = spark.read.schema(staged_schema).parquet(staged_dir)
+    if persisted_n is None:
+        # persist n_buckets before any bucket completes, so even a
+        # first-run crash leaves the value a resume must match
+        spark.createDataFrame(
+            [(meta_stage, -1, n_buckets, 0)], MANIFEST_SCHEMA
+        ).write.mode("append").parquet(manifest_path)
     processed: list[int] = []
     for b in range(n_buckets):
         if b in done:

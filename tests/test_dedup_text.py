@@ -111,54 +111,62 @@ def emb(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
 
-def test_ann_lsh_recall(spark, emb):
+def test_ann_lsh_default_recall(spark, emb):
+    """The SHIPPED defaults must be practically strong, not just
+    mechanically correct: recall@5 >= 0.9 for lsh_bucket_topk(k=5)
+    with no tuning (measured 0.99-1.00 on sf0.001/sf0.1 with the
+    3-plane x 16-table defaults)."""
     truth = {
         (r["vec_id"], r["neighbor_id"])
         for r in cosine_topk(emb, k=5).collect()
     }
     approx = {
         (r["vec_id"], r["neighbor_id"])
-        for r in lsh_bucket_topk(emb, k=5, n_planes=4, n_tables=8).collect()
+        for r in lsh_bucket_topk(emb, k=5).collect()
     }
     recall = len(truth & approx) / len(truth)
-    assert recall > 0.4, f"LSH recall too low: {recall}"
+    assert recall >= 0.9, f"LSH default recall too low: {recall}"
 
 
 @pytest.mark.parametrize("strategy", ["arrow", "jvm"])
-def test_ann_ivf_recall(spark, emb, strategy):
+def test_ann_ivf_default_recall(spark, emb, strategy):
+    """ivf_topk(k=5) shipped default (n_probe=8 of the 10 lists) must
+    hit recall@5 >= 0.9 on the contract embeddings, on BOTH physical
+    strategies (measured 0.93-0.94)."""
     truth = {
         (r["vec_id"], r["neighbor_id"])
         for r in cosine_topk(emb, k=5).collect()
     }
     approx = {
         (r["vec_id"], r["neighbor_id"])
-        for r in ivf_topk(emb, k=5, n_probe=3, strategy=strategy).collect()
+        for r in ivf_topk(emb, k=5, strategy=strategy).collect()
     }
     recall = len(truth & approx) / len(truth)
-    assert recall > 0.5, f"IVF recall too low: {recall}"
+    assert recall >= 0.9, f"IVF default recall too low: {recall}"
 
 
-def test_ann_high_recall_configs(spark, emb):
-    """Recall@5 >= 0.9 gate: the approximation error is a CONTROLLABLE
-    function of the family parameters, not a property of the operator.
-    Measured on this table: LSH(2 planes, 16 tables) = 1.00,
-    IVF(n_probe=8) = 0.93; the contract defaults (4x8 / probe-2) trade
-    recall (0.68 / 0.40 here) for candidate-set size — at corpus scale
-    n_planes grows with log N to keep buckets selective."""
+def test_ann_recall_is_parameter_controlled(spark, emb):
+    """The approximation error is a CONTROLLABLE function of the
+    family parameters, not a property of the operator: deliberately
+    under-provisioned configs (LSH 6 planes x 2 tables, IVF probe-1)
+    must lose recall vs the shipped defaults — the economics knob
+    works in both directions. At corpus scale the knobs move the
+    OTHER way for the same recall: LSH n_planes grows ~log N (bucket
+    selectivity), IVF n_list grows ~sqrt(N) at fixed probe ratio."""
     truth = {
         (r["vec_id"], r["neighbor_id"])
         for r in cosine_topk(emb, k=5).collect()
     }
-    hi_lsh = {
+    lo_lsh = {
         (r["vec_id"], r["neighbor_id"])
-        for r in lsh_bucket_topk(emb, k=5, n_planes=2, n_tables=16).collect()
+        for r in lsh_bucket_topk(emb, k=5, n_planes=6, n_tables=2).collect()
     }
-    assert len(truth & hi_lsh) / len(truth) >= 0.9
-    hi_ivf = {
+    lo_ivf = {
         (r["vec_id"], r["neighbor_id"])
-        for r in ivf_topk(emb, k=5, n_probe=8).collect()
+        for r in ivf_topk(emb, k=5, n_probe=1).collect()
     }
-    assert len(truth & hi_ivf) / len(truth) >= 0.9
+    assert len(truth & lo_lsh) / len(truth) < 0.9
+    assert len(truth & lo_ivf) / len(truth) < 0.9
 
 
 def test_ann_auto_strategy_size_adaptive(spark, emb):

@@ -137,9 +137,12 @@ def test_resumable_rerun_skips_completed(spark, tmp_path):
     total = read_result(spark, out)
     assert total.count() == 2000
     assert total.agg(F.sum("double")).collect()[0][0] == 2 * sum(range(2000))
-    # manifest lineage: rows per bucket sum to the input size
+    # manifest lineage: rows per bucket sum to the input size (the
+    # __meta__ row carrying n_buckets is excluded via bucket == -1)
     man = spark.read.parquet(f"{out}/manifest")
-    assert man.agg(F.sum("rows")).collect()[0][0] == 2000
+    assert man.where(F.col("bucket") >= 0).agg(F.sum("rows")).collect()[0][0] == 2000
+    meta = man.where(F.col("stage") == "__meta__:s1").collect()
+    assert len(meta) == 1 and meta[0]["rows"] == 8
     # completion deletes the staged working copy (no duplicate of the
     # input left on disk)
     assert not os.path.exists(f"{out}/staged")
@@ -167,6 +170,79 @@ def test_resumable_refuses_changed_source(spark, tmp_path):
         run_resumable(
             spark, changed, process, out, stage="s", id_col="pt_id", n_buckets=4
         )
+
+
+def test_resumable_refuses_changed_payload_same_ids(spark, tmp_path):
+    """The resume guard fingerprints ALL columns, not just the id: a
+    re-crawled source with the same ids but new payload must be
+    refused (id-only XOR would pass it straight through)."""
+    import pytest
+
+    out = str(tmp_path / "ckpt")
+    src = (
+        spark.range(0, 800, 1, 4)
+        .withColumnRenamed("id", "pt_id")
+        .withColumn("payload", F.col("pt_id") * 10)
+    )
+
+    run_resumable(
+        spark, src, lambda df: df, out, stage="s", id_col="pt_id",
+        n_buckets=4, fail_after=2,
+    )
+    same_ids_new_payload = (
+        spark.range(0, 800, 1, 4)
+        .withColumnRenamed("id", "pt_id")
+        .withColumn("payload", F.col("pt_id") * 11)
+    )
+    with pytest.raises(RuntimeError, match="fingerprint mismatch"):
+        run_resumable(
+            spark, same_ids_new_payload, lambda df: df, out, stage="s",
+            id_col="pt_id", n_buckets=4,
+        )
+
+
+def test_resumable_refuses_duplicated_rows_even_count(spark, tmp_path):
+    """XOR cancels even-count duplicate additions; the row-count compare
+    must catch a source that doubled every row."""
+    import pytest
+
+    out = str(tmp_path / "ckpt")
+    src = spark.range(0, 400, 1, 4).withColumnRenamed("id", "pt_id")
+    run_resumable(
+        spark, src, lambda df: df, out, stage="s", id_col="pt_id",
+        n_buckets=4, fail_after=1,
+    )
+    doubled = src.union(src)
+    with pytest.raises(RuntimeError, match="fingerprint mismatch"):
+        run_resumable(
+            spark, doubled, lambda df: df, out, stage="s",
+            id_col="pt_id", n_buckets=4,
+        )
+
+
+def test_resumable_refuses_n_buckets_change(spark, tmp_path):
+    """Resuming with a different n_buckets must refuse: a smaller value
+    would report completion while staged buckets beyond the new range
+    are never processed."""
+    import pytest
+
+    out = str(tmp_path / "ckpt")
+    src = spark.range(0, 800, 1, 4).withColumnRenamed("id", "pt_id")
+    run_resumable(
+        spark, src, lambda df: df, out, stage="s", id_col="pt_id",
+        n_buckets=8, fail_after=2,
+    )
+    with pytest.raises(RuntimeError, match="n_buckets mismatch"):
+        run_resumable(
+            spark, src, lambda df: df, out, stage="s", id_col="pt_id",
+            n_buckets=4,
+        )
+    # the original value still resumes to completion
+    rest = run_resumable(
+        spark, src, lambda df: df, out, stage="s", id_col="pt_id", n_buckets=8
+    )
+    assert len(rest) == 6
+    assert read_result(spark, out).count() == 800
 
 
 def test_resumable_empty_source(spark, tmp_path):
