@@ -44,35 +44,53 @@ HEADLINE = [
     "nearest_city",
     "nearest_city_topk",
     "nearest_city_adaptive",
+    "nearest_city_tiled",
     "nearest_city_10m",
     "cell_assign",
     "hot_cells",
     "name_lookup",
+    "name_lookup_exact",
     "postal_lookup",
+    "postal_dedup",
     "raster_tiles",
     "point_in_polygon",
+    "geonames_scan",
+    "postal_scan",
+    "index_roundtrip",
+    "index_roundtrip_postal",
+    "partitioned_read",
     "salted_agg",
     "dedup_exact",
     "minhash_lsh",
     "simhash",
+    "ngram_jaccard",
     "sample_rate",
     "sample_quota",
     "dedup_resolve",
     "corpus_pipeline",
     "token_stats",
+    "text_quality",
+    "doc_fingerprint",
     "pack_sequences",
     "bin_manifest",
     "corpus_split",
     "decontaminate",
     "lang_id",
     "cosine_topk",
+    "cosine_dedup",
     "ann_lsh",
     "ann_ivf",
     "image_pipeline",
+    "image_decode_stats",
+    "image_resize",
+    "video_frame_sample",
     "audio_features",
+    "audio_pipeline",
     "events_windowed",
     "events_sessionize",
     "events_props",
+    "streaming_dedup_exact",
+    "running_user_totals",
 ]
 
 # fact table each query scans (for rows/sec); keys absent -> no rate.
@@ -80,32 +98,43 @@ _FACT_TABLE = {
     "nearest_city": "orders",
     "nearest_city_topk": "orders",
     "nearest_city_adaptive": "orders",
+    "nearest_city_tiled": "orders",
     "cell_assign": "orders",
     "hot_cells": "orders",
     "name_lookup": "orders",
+    "name_lookup_exact": "orders",
     "postal_lookup": "orders",
     "raster_tiles": "orders",
     "point_in_polygon": "orders",
+    "index_roundtrip": "orders",
+    "index_roundtrip_postal": "orders",
+    "partitioned_read": "orders",
     "salted_agg": "orders",
     "dedup_exact": "documents",
     "minhash_lsh": "documents",
     "simhash": "documents",
+    "ngram_jaccard": "documents",
     "sample_rate": "documents",
     "sample_quota": "documents",
     "dedup_resolve": "documents",
     "corpus_pipeline": "documents",
     "token_stats": "documents",
+    "text_quality": "documents",
+    "doc_fingerprint": "documents",
     "pack_sequences": "documents",
     "bin_manifest": "documents",
     "corpus_split": "documents",
     "decontaminate": "documents",
     "lang_id": "documents",
+    "streaming_dedup_exact": "documents",
     "cosine_topk": "embeddings",
+    "cosine_dedup": "embeddings",
     "ann_lsh": "embeddings",
     "ann_ivf": "embeddings",
     "events_windowed": "events",
     "events_sessionize": "events",
     "events_props": "events",
+    "running_user_totals": "events",
 }
 
 

@@ -217,6 +217,58 @@ def q_nearest_city_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pt_id", "caption", "city_id", "name", "country", "dist_km")
 
 
+def q_nearest_city_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third J1 physical strategy: the raster->vector certain-tile fast
+    path (precomputed single-winner cells assign JVM-side; only
+    uncertain rows cross Arrow). Must equal the same brute-force oracle
+    as the other two strategies — the tiling changes the plan, never
+    the rows."""
+    pts = _points(spark, sf_dir)
+    cities = _cities(spark, sf_dir)
+    return nearest_city_join(
+        pts, cities, strategy="tiled", cache_key=("cities", sf_dir)
+    ).select("pt_id", "caption", "city_id", "name", "country", "dist_km")
+
+
+# ---------------- sink read-back gate (sinks.py) ----------------
+
+# Antimeridian-crossing Pacific box (lon 150..180 U -180..-150): the
+# cell-cover union path and the two-interval exact filter are both on
+# the gated path, not just the happy case.
+_REGION_BOX = (10.0, 45.0, 150.0, -150.0)
+
+
+def q_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 sink gate: WRITE the assignment table partitioned by its
+    coarse spatial cell (sinks.write_assignments), then READ BACK a
+    regional slice through the partition-pruned path
+    (sinks.read_assignments_region) and hash the rows vs an oracle
+    over the ORIGINAL source. A dropped partition dir, a wrong cell
+    cover (missed directory), or a bad exact filter all surface as a
+    red row — this proves the written bytes, not just the write plan
+    (which tests/test_sinks.py pins separately)."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.sinks import read_assignments_region, write_assignments
+
+    def build() -> str:
+        import hashlib
+        import tempfile
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(tempfile.gettempdir(), f"cf_assign_{tag}")
+        write_assignments(
+            _points(spark, sf_dir).select("pt_id", "lat", "lon", "caption"),
+            path,
+        )
+        return path
+
+    path = memo_value(spark, ("assign-dir", sf_dir), build)
+    lat_min, lat_max, lon_min, lon_max = _REGION_BOX
+    return read_assignments_region(
+        spark, path, lat_min, lat_max, lon_min, lon_max
+    ).select("pt_id", "lat", "lon", "caption")
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew pattern) over orders."""
     from cityfinder_spark.operators.skew import salted_agg
@@ -659,6 +711,143 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cityfinder_spark.streaming.windows import props_extract
 
     return props_extract(_events(spark, sf_dir))
+
+
+# ------------- stateful streaming gates (run a REAL stream) -------------
+
+_STREAM_SEQ = [0]  # unique memory-sink names across repeated calls
+
+
+def _stage_id_ordered(
+    spark: SparkSession, df: DataFrame, order_col: str, tag: str, n_files: int
+) -> str:
+    """Write df as n_files parquet files split by order_col ranges with
+    ascending mtimes, so maxFilesPerTrigger=1 streams them as id-ordered
+    micro-batches. Fixed per-tag temp dir, memoized per SparkContext
+    (overwritten on rebuild — no /tmp accumulation)."""
+    from cityfinder_spark.bcast import memo_value
+
+    def build() -> str:
+        import glob as _glob
+        import hashlib
+        import shutil
+        import tempfile
+
+        h = hashlib.sha1(tag.encode()).hexdigest()[:12]
+        base = os.path.join(tempfile.gettempdir(), f"cf_stream_src_{h}")
+        shutil.rmtree(base, ignore_errors=True)
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        qs = df.approxQuantile(
+            order_col, [i / n_files for i in range(1, n_files)], 0.0
+        )
+        bounds = [None, *qs, None]
+        for i in range(n_files):
+            part = df
+            if bounds[i] is not None:
+                part = part.where(F.col(order_col) > bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.where(F.col(order_col) <= bounds[i + 1])
+            stage = os.path.join(base, f"stage_{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            (f,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        return src
+
+    return memo_value(spark, ("stream-src", tag), build)
+
+
+def _run_stream_to_table(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion with
+    trigger(availableNow=True) into a memory sink; return the table.
+    This is a REAL multi-micro-batch Structured Streaming run (the
+    source is split into files and fed one per trigger), not a batch
+    rewrite — the gate proves cross-batch state survives."""
+    _STREAM_SEQ[0] += 1
+    name = f"cf_stream_gate_{_STREAM_SEQ[0]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if len(q.recentProgress) < 2:
+        raise RuntimeError(
+            f"stream gate expected multiple micro-batches, got "
+            f"{len(q.recentProgress)} — maxFilesPerTrigger staging broke"
+        )
+    return spark.table(name)
+
+
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 driver gate: cross-batch ingestion dedup as a REAL stream.
+    documents is staged into 3 doc_id-ordered files and streamed one
+    file per micro-batch through streaming_dedup_exact
+    (applyInPandasWithState — state is one long per distinct key hash).
+    With id-ordered arrival each key's first-seen id IS its global min,
+    so the emission equals batch dedup_exact and shares its oracle;
+    out-of-order arrival semantics (first-arrival canonical) are pinned
+    separately in tests/test_streaming.py."""
+    from cityfinder_spark.streaming.stateful import streaming_dedup_exact
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    src = _stage_id_ordered(
+        spark, docs, "doc_id", f"docs|{sf_dir}", n_files=3
+    )
+    schema = spark.read.parquet(src).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_table(
+        spark, streaming_dedup_exact(stream_in, key_expr="substr(text, 1, 80)"),
+        mode="append",
+    )
+    return out.select("doc_id", "canonical_id", "is_dup")
+
+
+def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 driver gate: per-user running totals as a REAL stream.
+    events is staged into 2 event_id-ordered halves (users overlap both
+    halves), streamed one file per micro-batch through
+    running_user_totals (update mode emits a row per user per batch);
+    the FINAL emission per user — selected by max n_events, which is
+    strictly increasing across a user's emissions — must equal the
+    plain batch GROUP BY. Only possible if the per-user state survived
+    the micro-batch boundary."""
+    from cityfinder_spark.streaming.stateful import running_user_totals
+
+    events = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    src = _stage_id_ordered(
+        spark, events, "event_id", f"events|{sf_dir}", n_files=2
+    )
+    schema = spark.read.parquet(src).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_table(
+        spark, running_user_totals(stream_in), mode="update"
+    )
+    final = F.max(
+        F.struct("n_events", "sum_value", "max_value")
+    ).alias("f")
+    return (
+        out.groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("f.n_events").alias("n_events"),
+            F.col("f.sum_value").alias("sum_value"),
+            F.col("f.max_value").alias("max_value"),
+        )
+    )
 
 
 # ---------------- DuckDB oracles ----------------
@@ -1606,6 +1795,28 @@ def _o_events_props() -> str:
     """
 
 
+def _o_running_user_totals() -> str:
+    # the stream's final per-user emission must equal the plain batch
+    # GROUP BY (sum rounded at emission, like the windowed oracles)
+    return """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """
+
+
+def _o_partitioned_read() -> str:
+    lat_min, lat_max, lon_min, lon_max = _REGION_BOX
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()})
+    SELECT pt_id, lat, lon, caption FROM pts
+    WHERE lat BETWEEN {lat_min} AND {lat_max}
+      AND (lon BETWEEN {lon_min} AND 180.0
+           OR lon BETWEEN -180.0 AND {lon_max})
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "nearest_city": q_nearest_city,
@@ -1653,6 +1864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_props": q_events_props,
+        "nearest_city_tiled": q_nearest_city_tiled,
+        "partitioned_read": q_partitioned_read,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
+        "running_user_totals": q_running_user_totals,
     }
 
 
@@ -1695,6 +1910,13 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _o_events_windowed(),
         "events_sessionize": _o_events_sessionize(),
         "events_props": _o_events_props(),
+        "nearest_city_tiled": _o_nearest_city(),
+        "partitioned_read": _o_partitioned_read(),
+        # streaming gates: REAL multi-micro-batch runs on the Spark
+        # side; id-ordered arrival makes the final emissions equal the
+        # batch semantics, so the batch SQL is an exact oracle
+        "streaming_dedup_exact": _o_dedup_exact(),
+        "running_user_totals": _o_running_user_totals(),
         # ann_lsh / ann_ivf are APPROXIMATE in recall but fully
         # deterministic in mechanism (md5 sign family, exact folds,
         # rounded probe choice) -> exactly oracle-able; recall@k vs
