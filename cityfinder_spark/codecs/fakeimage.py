@@ -16,15 +16,19 @@ so any row's reference pixels can be regenerated anywhere without
 carrying state — that is what makes the PSNR/caption invariants
 checkable per-row at any scale.
 
-Real-codec integration point: swap encode/decode for Pillow calls;
-everything above the codec (schemas, mapInPandas operators, invariant
-checks) is codec-agnostic. A real decode here raises
-NotImplementedError via `decode_real` to mark the boundary.
+Real-codec integration point: REAL PNG is implemented end-to-end with
+stdlib zlib (encode_png_real / decode_real) — `decode()` dispatches on
+the PNG signature, so operators are codec-agnostic and a real PNG
+payload flows through image_decode_stats unchanged (pytest-pinned).
+The fake formats remain the default datagen path (they make the PSNR
+oracle closed-form); real JPEG still needs libjpeg and raises
+NotImplementedError at the same boundary.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -64,10 +68,14 @@ def encode(pix: np.ndarray, fmt: str) -> bytes:
         return _HDR.pack(MAGIC_PNG, w, h, c) + pix.tobytes()
     if fmt == "jpeg":
         return _HDR.pack(MAGIC_JPG, w, h, c) + quantize_lossy(pix).tobytes()
+    if fmt == "png_real":
+        return encode_png_real(pix)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def decode(buf: bytes) -> tuple[str, np.ndarray]:
+    if buf[:8] == PNG_SIG:
+        return "png", decode_real(buf)
     magic, w, h, c = _HDR.unpack_from(buf, 0)
     fmt = {MAGIC_PNG: "png", MAGIC_JPG: "jpeg"}.get(magic)
     if fmt is None:
@@ -76,13 +84,117 @@ def decode(buf: bytes) -> tuple[str, np.ndarray]:
     return fmt, pix
 
 
-def decode_real(buf: bytes) -> np.ndarray:
-    """Boundary marker for real codecs (Pillow/libjpeg absent here)."""
-    raise NotImplementedError(
-        "real image decoding requires Pillow/libjpeg — not in this "
-        "container; the deterministic fake codec stands in (see module "
-        "docstring)"
+# ---- real PNG (stdlib zlib; no Pillow needed) ----
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_IHDR = struct.Struct(">IIBBBBB")  # w, h, depth, color, comp, filter, interlace
+_COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
     )
+
+
+def encode_png_real(pix: np.ndarray) -> bytes:
+    """Spec-compliant PNG: 8-bit RGB (or RGBA/gray by channel count),
+    filter 0 on every scanline, one zlib IDAT. Round-trips through any
+    real PNG decoder; decode_real reads it back byte-exact."""
+    h, w, c = pix.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = _IHDR.pack(w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + pix[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (all 5 filter types). Filter 0
+    (what encode_png_real emits) and 2 are vectorized; 1/3/4 fall back
+    to the per-byte spec recurrence."""
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[y] = line
+        elif ft == 2:  # Up
+            out[y] = line + prev  # uint8 wraparound == mod-256 add
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth (left-dependent)
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    cc = int(prev[x - c]) if x >= c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+    return out.reshape(h, w, c)
+
+
+def decode_real(buf: bytes) -> np.ndarray:
+    """Real PNG decode with stdlib zlib: parses IHDR/IDAT/IEND chunks
+    (CRC-checked), inflates, reverses scanline filtering -> (h, w, c)
+    uint8. Supports 8-bit gray/RGB/gray+alpha/RGBA, non-interlaced.
+    Real JPEG still requires libjpeg and raises NotImplementedError —
+    that is the remaining swap boundary."""
+    if buf[:8] != PNG_SIG:
+        if buf[:2] == b"\xff\xd8":
+            raise NotImplementedError(
+                "real JPEG decoding requires libjpeg — not in this "
+                "container; the deterministic fake codec stands in"
+            )
+        raise ValueError("not a PNG byte stream")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = _IHDR.unpack(data)
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color not in _COLOR_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            c = _COLOR_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + w * c):
+        raise ValueError("PNG IDAT length mismatch")
+    return _png_unfilter(raw, h, w, c)
 
 
 def encode_video(frames: list[np.ndarray]) -> bytes:

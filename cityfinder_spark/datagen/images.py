@@ -26,7 +26,7 @@ HOT_SPOTS = [(40.7128, -74.0060), (51.5074, -0.1278), (35.6895, 139.6917)]
 SKEW_FRACTION = 0.3
 
 
-def _row(i: int) -> dict:
+def _row(i: int, real_png: bool = False) -> dict:
     rng = np.random.default_rng(42 + i)  # per-row deterministic stream
     w = int(8 + (i * 13) % 57)
     h = int(8 + (i * 7) % 57)
@@ -39,9 +39,14 @@ def _row(i: int) -> dict:
     else:
         lat = float(rng.uniform(-89.9, 89.9))
         lon = float(rng.uniform(-180.0, 180.0))
+    # real_png: PNG rows carry SPEC-COMPLIANT PNG bytes (stdlib-zlib
+    # codec, codecs.fakeimage.encode_png_real) instead of the fake
+    # container — lossless, so every stat/phash/invariant is unchanged;
+    # decode() dispatches on the PNG signature
+    enc_fmt = "png_real" if (real_png and fmt == "png") else fmt
     return {
         "image_id": f"img{i:012d}",
-        "bytes": encode(pix, fmt),
+        "bytes": encode(pix, enc_fmt),
         "w": w,
         "h": h,
         "fmt": fmt,
@@ -88,12 +93,19 @@ def videos_table(spark: SparkSession, n: int, partitions: int | None = None) -> 
     )
 
 
-def images_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
-    """Generate n deterministic image rows, distributed."""
+def images_table(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    real_png: bool = False,
+) -> DataFrame:
+    """Generate n deterministic image rows, distributed. real_png=True
+    emits spec-compliant zlib PNG bytes for the png rows (same pixels,
+    stats, phash — only the container changes)."""
     base = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame([_row(int(i)) for i in pdf["id"]])
+            yield pd.DataFrame([_row(int(i), real_png=real_png) for i in pdf["id"]])
 
     return base.mapInPandas(gen, schema=IMAGES_SCHEMA)

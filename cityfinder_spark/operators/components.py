@@ -19,10 +19,13 @@ are near-cliques, so 1-3 rounds in practice, and a 10^6-long chain
 converges in ~20).
 
 Scale notes:
-  * `localCheckpoint` truncates lineage each round — without it the
-    plan doubles per iteration and the driver re-optimizes an
-    exponentially growing tree (on a cluster, use a checkpoint dir +
-    `checkpoint` for fault tolerance; the loop structure is the same).
+  * Lineage is truncated each round — without it the plan doubles per
+    iteration and the driver re-optimizes an exponentially growing
+    tree. When `spark.sparkContext.setCheckpointDir(...)` is set the
+    rounds use RELIABLE `checkpoint()` (HDFS/object-store blocks that
+    survive executor loss — the cluster-grade mode); otherwise
+    `localCheckpoint()` (executor-local blocks, faster, the right
+    default for local mode). Same loop either way; see `_ckpt`.
   * Each round shuffles only (node, label) longs — never document
     payloads.
   * The convergence check (count of changed labels) piggybacks on the
@@ -32,6 +35,17 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Truncate lineage for the iterative loop: RELIABLE checkpoint
+    (fault-tolerant — blocks live in the configured checkpoint dir and
+    survive executor loss, the cluster-grade mode) whenever a
+    checkpoint dir is set on the SparkContext; executor-local
+    localCheckpoint (faster, lost with the executor) otherwise."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
 
 
 def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -93,7 +107,7 @@ def connected_components(
     # an expensive candidate-pair plan (shingle self-join), and every
     # loop round + convergence check would otherwise recompute it from
     # scratch (measured 9.8s -> 1.9s on the ngram-Jaccard contract query)
-    und = und.localCheckpoint()
+    und = _ckpt(und)
     n_edges = und.count()
     if n_edges <= driver_max_edges:
         labels = _union_find([(r["u"], r["v"]) for r in und.collect()])
@@ -102,7 +116,7 @@ def connected_components(
             list(labels.items()) or [(None, None)], "node long, label long"
         ).where(F.col("node").isNotNull())
     nodes = und.select(F.col("u").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    labels = _ckpt(nodes.withColumn("label", F.col("node")))
 
     for _ in range(max_iter):
         nbr = und.join(labels, und["v"] == labels["node"], "inner").select(
@@ -112,8 +126,8 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
+        prop = _ckpt(prop)
         # pointer jump: follow the freshly-propagated label one more
         # hop through the mapping itself (label(v) <- label(label(v))).
         # Labels are node ids, so the self-join is on (node,label)
@@ -126,8 +140,8 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"),
             )
-            .localCheckpoint()
         )
+        new_labels = _ckpt(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

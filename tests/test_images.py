@@ -44,9 +44,95 @@ def test_codec_lossy_psnr_above_floor():
     assert (back == quantize_lossy(pix)).all()
 
 
-def test_decode_real_is_stubbed():
+def test_real_jpeg_is_still_stubbed():
+    """Real JPEG remains the (only) swap boundary — libjpeg absent."""
     with pytest.raises(NotImplementedError):
-        decode_real(b"\x89PNG...")
+        decode_real(b"\xff\xd8\xff\xe0 fake jfif")
+
+
+def test_real_png_roundtrip_byte_exact():
+    """Spec-compliant PNG via stdlib zlib: encode -> decode_real is
+    byte-exact, and decode() dispatches on the PNG signature."""
+    from cityfinder_spark.codecs.fakeimage import PNG_SIG, encode_png_real
+
+    for shape in ((10, 20, 3), (7, 5, 1), (6, 6, 4)):
+        pix = gen_pixels(11, shape[1], shape[0], channels=shape[2])
+        buf = encode_png_real(pix)
+        assert buf[:8] == PNG_SIG
+        assert (decode_real(buf) == pix).all()
+    pix = gen_pixels(12, 16, 9)
+    fmt, back = decode(encode(pix, "png_real"))
+    assert fmt == "png" and (back == pix).all()
+
+
+def test_real_png_all_filter_types_unfilter():
+    """decode_real must reverse every PNG scanline filter (0-4), not
+    just the filter-0 lines our encoder emits — forward-filter each
+    row per the spec, then decode."""
+    import struct
+    import zlib
+
+    from cityfinder_spark.codecs.fakeimage import (
+        PNG_SIG,
+        _chunk,
+        _IHDR,
+        decode_real as dreal,
+    )
+
+    pix = gen_pixels(13, 11, 7)  # (7, 11, 3)
+    h, w, c = pix.shape
+    rows = pix.reshape(h, w * c).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        ft = y % 5
+        line = rows[y]
+        prev = rows[y - 1] if y else np.zeros(w * c, dtype=np.int32)
+        left = np.concatenate([np.zeros(c, dtype=np.int32), line[:-c]])
+        upleft = np.concatenate([np.zeros(c, dtype=np.int32), prev[:-c]])
+        if ft == 0:
+            pred = np.zeros(w * c, dtype=np.int32)
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = prev
+        elif ft == 3:
+            pred = (left + prev) >> 1
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+        raw.append(ft)
+        raw.extend(((line - pred) % 256).astype(np.uint8).tobytes())
+    buf = (
+        PNG_SIG
+        + _chunk(b"IHDR", _IHDR.pack(w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert (dreal(buf) == pix).all()
+
+
+def test_real_png_flows_through_decode_stats(spark):
+    """The driver-mandated plumbing works on REAL PNG payloads: the
+    datagen's real_png mode emits spec PNG bytes for png rows; every
+    stat/phash from image_decode_stats equals the fake-container run
+    (the pixels are identical — only the container changed)."""
+    fake = {r["image_id"]: r for r in decode_stats(images_table(spark, 40, partitions=2)).collect()}
+    real_imgs = images_table(spark, 40, partitions=2, real_png=True)
+    # the png rows really are PNG byte streams
+    sigs = {
+        r["image_id"]: bytes(r["bytes"])[:8]
+        for r in real_imgs.select("image_id", "bytes", "fmt")
+        .where("fmt = 'png'")
+        .collect()
+    }
+    assert sigs and all(s == b"\x89PNG\r\n\x1a\n" for s in sigs.values())
+    real = {r["image_id"]: r for r in decode_stats(real_imgs).collect()}
+    assert fake.keys() == real.keys()
+    for k in fake:
+        assert tuple(fake[k]) == tuple(real[k]), k
 
 
 def test_video_roundtrip_and_sampling():

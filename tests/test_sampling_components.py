@@ -132,6 +132,35 @@ def test_cc_deep_chain_converges_in_log_rounds(spark):
     assert got == {n: 0 for n in range(64)}
 
 
+def test_cc_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """Cluster-grade fault tolerance knob: with a checkpoint dir set on
+    the SparkContext, the iterative rounds must use RELIABLE
+    checkpoint() (blocks written under the dir, surviving executor
+    loss) instead of localCheckpoint — same labels either way."""
+    import os
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # conftest sets none
+    ckpt = str(tmp_path / "cc_ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        edges = [(i, i + 1) for i in range(20)]
+        got = _cc_dict(spark, edges, driver_max_edges=0)
+        assert got == {n: 0 for n in range(21)}
+        # reliable checkpoint blocks actually landed under the dir
+        written = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(ckpt)
+            for f in fs
+        ]
+        assert written, "no reliable-checkpoint blocks written"
+    finally:
+        # unset (Scala Option(null) -> None) so other tests keep the
+        # localCheckpoint default
+        sc._jsc.sc().setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None
+
+
 def test_dedup_resolve_isolated_docs_self_canonical(spark):
     docs = spark.createDataFrame([(1,), (2,), (3,), (9,)], "doc_id long")
     pairs = spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
