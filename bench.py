@@ -59,6 +59,7 @@ HEADLINE = [
     "index_roundtrip",
     "index_roundtrip_postal",
     "partitioned_read",
+    "bucketed_join",
     "salted_agg",
     "dedup_exact",
     "minhash_lsh",
@@ -109,6 +110,7 @@ _FACT_TABLE = {
     "index_roundtrip": "orders",
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",
+    "bucketed_join": "documents",
     "salted_agg": "orders",
     "dedup_exact": "documents",
     "minhash_lsh": "documents",

@@ -269,6 +269,61 @@ def q_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pt_id", "lat", "lon", "caption")
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 sink gate: two tables bucketed+sorted on the join key
+    (sinks.write_bucketed_table — the pay-the-shuffle-once leg of the
+    100 TB plan), read back and sort-merge-joined with broadcast
+    disabled. The build asserts the plan has NO exchange (the bucketing
+    contract), and the returned rows hash against a DuckDB oracle over
+    the original documents — proving the bucketed bytes, not just the
+    plan shape."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.sinks import write_bucketed_table
+
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    t_docs, t_stats = f"cf_bdocs_{tag}", f"cf_bstats_{tag}"
+
+    def build() -> bool:
+        docs = _docs(spark, sf_dir)
+        base = os.path.join(tempfile.gettempdir(), f"cf_bucketed_{tag}")
+        write_bucketed_table(
+            docs.select("doc_id", "lang"), t_docs, "doc_id",
+            n_buckets=8, sort_col="doc_id", path=os.path.join(base, "docs"),
+        )
+        write_bucketed_table(
+            docs.select(
+                "doc_id", F.length("text").cast("long").alias("text_len")
+            ),
+            t_stats, "doc_id",
+            n_buckets=8, sort_col="doc_id", path=os.path.join(base, "stats"),
+        )
+        return True
+
+    memo_value(spark, ("bucketed-tables", sf_dir), build)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path while CHECKING the plan: at 10^12
+        # rows neither side broadcasts, and the whole point of the
+        # bucketed layout is that this join needs no exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table(t_docs)
+            .join(spark.table(t_stats), "doc_id")
+            .select("doc_id", "lang", "text_len")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange hashpartitioning" in plan:
+            raise RuntimeError(
+                "bucketed join regressed: Exchange in the physical plan"
+            )
+        return joined
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew pattern) over orders."""
     from cityfinder_spark.operators.skew import salted_agg
@@ -1806,6 +1861,13 @@ def _o_running_user_totals() -> str:
     """
 
 
+def _o_bucketed_join() -> str:
+    return """
+    SELECT doc_id, lang, cast(length(text) as bigint) AS text_len
+    FROM documents
+    """
+
+
 def _o_partitioned_read() -> str:
     lat_min, lat_max, lon_min, lon_max = _REGION_BOX
     return f"""
@@ -1866,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_events_props,
         "nearest_city_tiled": q_nearest_city_tiled,
         "partitioned_read": q_partitioned_read,
+        "bucketed_join": q_bucketed_join,
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "running_user_totals": q_running_user_totals,
     }
@@ -1912,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props": _o_events_props(),
         "nearest_city_tiled": _o_nearest_city(),
         "partitioned_read": _o_partitioned_read(),
+        "bucketed_join": _o_bucketed_join(),
         # streaming gates: REAL multi-micro-batch runs on the Spark
         # side; id-ordered arrival makes the final emissions equal the
         # batch semantics, so the batch SQL is an exact oracle

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Timing evidence for the ANN jvm (fully relational) path at ROUTING
+scale: strategy="auto" switches from the broadcast-index arrow plan to
+the jvm plan above ANN_AUTO_MAX_BASE_ROWS (1M). The plan shape is
+pinned by tests/test_plans.py; this script measures it on a >1M-row
+synthetic base so SCALE.md carries a number instead of a claim.
+
+    python scripts/ann_jvm_bench.py [--rows 1200000] [--runs 2]
+
+Corpus-scale LSH parameters (per the operator docstring, n_planes
+grows ~log2(N/target_bucket_size)): default n_planes=20, n_tables=2
+(~1 doc/bucket/table at 1.2M rows — the selective corpus shape);
+rows/s and the ranked-neighbor count are reported, since at this
+family the candidate volume IS the cost model.
+
+Writes BENCH/ann_jvm_last_run.json (curated numbers go to SCALE.md by
+hand, per the BENCH protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "BENCH")
+DIM = 64
+
+
+def generate_embeddings(spark, rows: int) -> str:
+    """Deterministic (vec_id, embedding float[64]) parquet, built once
+    (splitmix64 of (id, dim) — same counter-based recipe as the image
+    datagen, embarrassingly parallel, no driver materialization)."""
+    import numpy as np
+    import pandas as pd
+
+    data_dir = os.path.join(BENCH, "data", f"emb_{rows}")
+    if os.path.exists(os.path.join(data_dir, "_SUCCESS")):
+        return data_dir
+
+    def gen(batches):
+        from cityfinder_spark.codecs.fakeimage import _mix64
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.uint64)
+            idx = ids[:, None] * np.uint64(DIM) + np.arange(DIM, dtype=np.uint64)
+            # uniform in [-1, 1): honest worst case for LSH bucketing
+            # (no cluster structure -> near-uniform bucket occupancy)
+            vals = (
+                _mix64(idx.ravel()).astype(np.float64) / float(1 << 63) - 1.0
+            ).astype(np.float32).reshape(len(ids), DIM)
+            yield pd.DataFrame(
+                {"vec_id": ids.astype(np.int64), "embedding": list(vals)}
+            )
+
+    spark.range(0, rows, 1, 64).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(data_dir)
+    return data_dir
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_200_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--config", type=int, nargs=2, default=[20, 2],
+                    help="n_planes n_tables")
+    args = ap.parse_args()
+
+    import sys
+
+    sys.path.insert(0, REPO)
+    from cityfinder_spark.session import get_spark
+    from cityfinder_spark.operators.similarity import lsh_bucket_topk
+
+    spark = get_spark("ann_jvm_bench", cores=args.cpus, shuffle_partitions=args.cpus)
+    data_dir = generate_embeddings(spark, args.rows)
+    emb = spark.read.parquet(data_dir)
+
+    results: dict[str, dict] = {}
+    for n_planes, n_tables in (tuple(args.config),):
+        label = f"lsh_jvm_p{n_planes}_t{n_tables}"
+        df = lsh_bucket_topk(
+            emb, k=5, n_planes=n_planes, n_tables=n_tables, strategy="jvm"
+        )
+        # warmup absorbs codegen + Python worker spin-up
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        warm = time.perf_counter() - t0
+        out_rows = None
+        best = float("inf")
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        # candidate economics: neighbor rows actually ranked (cheap
+        # count; re-runs the plan once more, not timed)
+        out_rows = df.count()
+        results[label] = {
+            "base_rows": args.rows,
+            "dim": DIM,
+            "n_planes": n_planes,
+            "n_tables": n_tables,
+            "warmup_s": round(warm, 3),
+            "best_s": round(best, 3),
+            "rows_per_sec": round(args.rows / best, 1),
+            "topk_rows": out_rows,
+        }
+        print(label, results[label], flush=True)
+
+    os.makedirs(BENCH, exist_ok=True)
+    with open(os.path.join(BENCH, "ann_jvm_last_run.json"), "w") as f:
+        json.dump({"cpus": args.cpus, "results": results}, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
