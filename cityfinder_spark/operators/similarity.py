@@ -392,13 +392,16 @@ def lsh_bucket_topk(
     Both strategies produce the same candidate set (union of shared
     buckets) and the same deterministic ranking, asserted by test.
 
-    strategy="jvm" (the 100 TB shape): fully relational pipeline —
+    strategy="jvm" (the 100 TB shape): relational pipeline —
     signature UDF per batch (exact-fold projections against the
     deterministic md5-derived ±1 sign matrix), bucket equi-self-join,
-    and RELATIONAL exact refinement (two hash joins back to the
-    embeddings table + the zip_with/aggregate fold); only ids and the
-    candidate pairs' vectors ever shuffle, and nothing is collected to
-    the driver."""
+    and exact refinement via two hash joins back to the embeddings
+    table; only ids and the candidate pairs' vectors ever shuffle, and
+    nothing is collected to the driver. The per-pair cosine fold runs
+    vectorized in a scalar pandas UDF by default (bit-identical fold
+    order; measured 37.4s -> 26.0s on 1.2M rows, BENCH/ann_jvm) with
+    the pure-Catalyst zip_with/aggregate kernel retained as the
+    plan-reference (_refine_pairs_relational(kernel=...))."""
     strategy = _resolve_ann_strategy(emb, strategy, cache_key)
     if strategy == "arrow":
         return _lsh_topk_arrow(
@@ -629,14 +632,52 @@ def _lsh_topk_arrow(
 
 
 def _refine_pairs_relational(
-    cand: DataFrame, emb: DataFrame, id_col: str, vec_col: str, digits: int
+    cand: DataFrame,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    digits: int,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Exact cosine for candidate pairs WITHOUT any driver-built index:
-    two hash joins back to the embeddings table and the interpreted
-    zip_with/aggregate fold. This is the 100 TB refinement shape — the
-    candidate set (post-LSH/IVF, orders of magnitude smaller than
-    all-pairs) is what shuffles, and the fold order matches
-    _fold_dots_pairs bit-for-bit so strategies stay value-identical."""
+    two hash joins back to the embeddings table attach the vectors;
+    only the candidate set (post-LSH/IVF, orders of magnitude smaller
+    than all-pairs) ever shuffles. This is the 100 TB refinement shape.
+
+    kernel="arrow" (default): the per-pair fold runs in a vectorized
+    scalar pandas UDF (_fold_dots_rows — the EXACT left-fold add
+    sequence, so values are bit-identical to the Catalyst kernel and
+    the DuckDB oracle). Measured 7.9us/pair interpreted vs ~0.1us/pair
+    vectorized on this host (the zip_with/aggregate lambdas evaluate
+    outside whole-stage codegen); nothing is collected to the driver
+    either way. kernel="catalyst" keeps the pure-Column fold — the
+    plan-reference/debug shape, parity-pinned by test."""
+    if kernel == "arrow":
+
+        @F.pandas_udf(T.DoubleType())
+        def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+            A = np.vstack(va.to_numpy())
+            B = np.vstack(vb.to_numpy())
+            d = _fold_dots_rows(A, B)
+            # norms in the same exact fold (sqrt of self-dot), one per
+            # pair side — recomputed per pair rather than joined in, so
+            # the upstream joins ship ONLY the raw float32 vectors
+            na = np.sqrt(_fold_dots_rows(A, A))
+            nb = np.sqrt(_fold_dots_rows(B, B))
+            return pd.Series(_round_np(d / (na * nb), digits))
+
+        a = emb.select(
+            F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("va")
+        )
+        b = emb.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vb")
+        )
+        return (
+            cand.join(a, "vec_id")
+            .join(b, "neighbor_id")
+            .withColumn("cos_sim", pair_cos("va", "vb"))
+            .select("vec_id", "neighbor_id", "cos_sim")
+        )
     a = with_norm(emb, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col("__v").alias("va"), F.col("__norm").alias("na"),
@@ -815,8 +856,8 @@ def ivf_topk(
     ANN_AUTO_MAX_BASE_ROWS; above it the fully relational jvm path —
     centroid groupBy agg, broadcast-centroid join with interpreted
     zip_with/aggregate dot products, two row_number windows, candidate
-    equi-join, RELATIONAL exact refinement (no driver collect
-    anywhere). Candidate semantics are identical (n_probe nearest
+    equi-join, exact refinement via hash joins + the vectorized
+    exact-fold pair kernel (no driver collect anywhere). Candidate semantics are identical (n_probe nearest
     lists by rounded cosine, tie list asc; members = top-1
     assignment); centroid arithmetic differs only in fold order
     (bincount id-ascending vs F.avg partition order) — invisible below

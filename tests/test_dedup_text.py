@@ -169,6 +169,38 @@ def test_ann_recall_is_parameter_controlled(spark, emb):
     assert len(truth & lo_ivf) / len(truth) < 0.9
 
 
+def test_refine_kernels_bitwise_equal(spark, emb):
+    """_refine_pairs_relational's vectorized arrow kernel must equal
+    the pure-Catalyst zip_with/aggregate fold EXACTLY (same left-fold
+    add sequence, same rounding) — this is what keeps the jvm ANN path
+    oracle-green after the kernel swap."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.similarity import _refine_pairs_relational
+
+    ids = emb.select(F.col("vec_id")).limit(40)
+    cand = (
+        ids.alias("a")
+        .crossJoin(ids.alias("b"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .where("vec_id <> neighbor_id")
+    )
+    out = {}
+    for kernel in ("arrow", "catalyst"):
+        out[kernel] = sorted(
+            map(
+                tuple,
+                _refine_pairs_relational(
+                    cand, emb, "vec_id", "embedding", 6, kernel=kernel
+                ).collect(),
+            )
+        )
+    assert out["arrow"] == out["catalyst"] and len(out["arrow"]) == 40 * 39
+
+
 def test_ann_auto_strategy_size_adaptive(spark, emb):
     """Plan regression (100 TB mandate): strategy='auto' must route a
     base side above the broadcast budget to the fully relational jvm
