@@ -81,6 +81,8 @@ HEADLINE = [
     "cosine_dedup",
     "ann_lsh",
     "ann_ivf",
+    "cosine_search",
+    "ann_search",
     "image_pipeline",
     "image_decode_stats",
     "image_resize",
@@ -133,6 +135,8 @@ _FACT_TABLE = {
     "cosine_dedup": "embeddings",
     "ann_lsh": "embeddings",
     "ann_ivf": "embeddings",
+    "cosine_search": "embeddings",
+    "ann_search": "embeddings",
     "events_windowed": "events",
     "events_sessionize": "events",
     "events_props": "events",

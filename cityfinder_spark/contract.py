@@ -35,9 +35,11 @@ from cityfinder_spark.operators.postal_lookup import city_by_postal, dedup_posta
 from cityfinder_spark.operators.raster import map_raster_tiles
 from cityfinder_spark.operators.similarity import (
     cosine_dedup_pairs,
+    cosine_search,
     cosine_topk,
     ivf_topk,
     lsh_bucket_topk,
+    lsh_search,
 )
 from cityfinder_spark.operators.textops import (
     LANG_STOPWORDS,
@@ -637,6 +639,40 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate in recall (gated vs brute force in tests), exact in
     mechanism — oracled by _o_ann_ivf's full DuckDB replay."""
     return ivf_topk(_embs(spark, sf_dir), k=5, cache_key=("embs", sf_dir))
+
+
+def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-search query batch: every 5th embedding, renamed —
+    the 'fresh crawl batch' side."""
+    return (
+        _embs(spark, sf_dir)
+        .where("vec_id % 5 = 0")
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    )
+
+
+def _emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-search corpus side: the remaining embeddings."""
+    return _embs(spark, sf_dir).where("vec_id % 5 <> 0")
+
+
+def q_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric exact search: top-5 corpus neighbors per query row
+    (dedup-a-new-batch-against-the-corpus, the production ingestion
+    shape; self-join ops cover within-corpus dedup)."""
+    return cosine_search(
+        _emb_queries(spark, sf_dir), _emb_base(spark, sf_dir), k=5,
+        cache_key=("embbase", sf_dir),
+    )
+
+
+def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric LSH ANN search, exact-mechanism oracled like ann_lsh
+    (same md5 sign family; recall gated vs cosine_search in tests)."""
+    return lsh_search(
+        _emb_queries(spark, sf_dir), _emb_base(spark, sf_dir), k=5,
+        cache_key=("embbase", sf_dir),
+    )
 
 
 def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1753,6 +1789,71 @@ def _o_ann_lsh() -> str:
     """
 
 
+def _o_cosine_search() -> str:
+    """Asymmetric brute-force replay: queries = vec_id % 5 = 0 (id
+    renamed q_id), corpus = the rest; same fold/rounding/tie rules as
+    _o_cosine_topk."""
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id % 5 = 0),
+    b AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 5 <> 0),
+    pairs AS (
+      SELECT a.q_id, b.vec_id AS neighbor_id,
+             {sc.round6_sql(f"{_DUCK_DOT} / (a.nrm * b.nrm)")} AS cos_sim
+      FROM q a CROSS JOIN b),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+    SELECT q_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _o_ann_search() -> str:
+    """Asymmetric LSH replay (lsh_search(k=5) at shipped defaults
+    n_planes=3, n_tables=16): the same md5 sign family / left-fold
+    signatures as _o_ann_lsh, computed for BOTH sides; candidates =
+    (query, corpus) pairs sharing any (table, bucket); exact
+    rounded-cosine refinement, rank<=5 per q_id."""
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    planes AS (
+      SELECT t.t, p.p, t.t * 1000 + p.p AS pid
+      FROM generate_series(0, 15) t(t) CROSS JOIN generate_series(0, 2) p(p)),
+    signs AS (
+      SELECT pid, t, p,
+             list(CASE WHEN strpos('13579bdf',
+                    substr(md5(concat('plane', pid, '_', i)), 4, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+      FROM planes CROSS JOIN generate_series(1, 64) d(i)
+      GROUP BY pid, t, p),
+    proj AS (
+      SELECT n.vec_id, s.t, s.p,
+             list_sum(list_transform(generate_series(1, len(n.v)),
+                                     i -> n.v[i] * s.sv[i])) AS pr
+      FROM n CROSS JOIN signs s),
+    sigs AS (
+      SELECT vec_id, t,
+             cast(sum(CASE WHEN pr > 0 THEN (1 << p) ELSE 0 END) AS int) AS bkt
+      FROM proj GROUP BY vec_id, t),
+    cand AS (
+      SELECT DISTINCT sq.vec_id AS q_id, sb.vec_id AS neighbor_id
+      FROM sigs sq JOIN sigs sb ON sq.t = sb.t AND sq.bkt = sb.bkt
+      WHERE sq.vec_id % 5 = 0 AND sb.vec_id % 5 <> 0),
+    pairs AS (
+      SELECT c.q_id, c.neighbor_id,
+             {sc.round6_sql(f"{_DUCK_DOT} / (a.nrm * b.nrm)")} AS cos_sim
+      FROM cand c
+      JOIN n a ON a.vec_id = c.q_id
+      JOIN n b ON b.vec_id = c.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+    SELECT q_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
 def _o_ann_ivf() -> str:
     """Exact DuckDB replay of ivf_topk(k=5) at its shipped default
     (n_probe=8 — recall@5 >= 0.9 on the contract embeddings' 10
@@ -1917,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dedup": q_cosine_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "cosine_search": q_cosine_search,
+        "ann_search": q_ann_search,
         "image_pipeline": q_image_pipeline,
         "image_decode_stats": q_image_decode_stats,
         "image_resize": q_image_resize,
@@ -1987,6 +2090,9 @@ def oracle_sql() -> dict[str, str]:
         # cosine_topk is additionally gated in tests/test_dedup_text.py
         "ann_lsh": _o_ann_lsh(),
         "ann_ivf": _o_ann_ivf(),
+        "cosine_search": _o_cosine_search(),
+        # asymmetric ANN: same exact-mechanism determinism as ann_lsh
+        "ann_search": _o_ann_search(),
         # media queries: DuckDB splitmix64 replay — the oracle
         # recomputes pixels/samples closed-form from row ids and never
         # touches the binary payloads (see _duck_mix64)

@@ -910,3 +910,298 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---- asymmetric search: a query batch against a static corpus ----
+#
+# Every operator above is a SELF-join (dedup within one table). The
+# production ingestion shape is asymmetric: k nearest corpus neighbors
+# for each row of a NEW batch (dedup a fresh crawl against the existing
+# corpus, retrieval for dataset curation). Same kernels, two tables:
+# the corpus is the indexed/broadcast side, the query batch streams.
+
+
+def _refine_pairs_asym(
+    cand: DataFrame,
+    queries: DataFrame,
+    base: DataFrame,
+    q_id_col: str,
+    id_col: str,
+    vec_col: str,
+    digits: int,
+    kernel: str = "arrow",
+) -> DataFrame:
+    """_refine_pairs_relational generalized to two tables: cand carries
+    (q_id, neighbor_id); vectors join in from `queries` and `base`
+    respectively; the per-pair cosine runs in the vectorized exact-fold
+    pandas UDF (kernel="catalyst" keeps the pure-Column fold)."""
+    if kernel == "arrow":
+
+        @F.pandas_udf(T.DoubleType())
+        def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+            A = np.vstack(va.to_numpy())
+            B = np.vstack(vb.to_numpy())
+            d = _fold_dots_rows(A, B)
+            na = np.sqrt(_fold_dots_rows(A, A))
+            nb = np.sqrt(_fold_dots_rows(B, B))
+            return pd.Series(_round_np(d / (na * nb), digits))
+
+        a = queries.select(
+            F.col(q_id_col).alias("q_id"), _as_double(vec_col).alias("va")
+        )
+        b = base.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vb")
+        )
+        return (
+            cand.join(a, "q_id")
+            .join(b, "neighbor_id")
+            .withColumn("cos_sim", pair_cos("va", "vb"))
+            .select("q_id", "neighbor_id", "cos_sim")
+        )
+    a = with_norm(queries, vec_col).select(
+        F.col(q_id_col).alias("q_id"),
+        F.col("__v").alias("va"), F.col("__norm").alias("na"),
+    )
+    b = with_norm(base, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("vb"), F.col("__norm").alias("nb"),
+    )
+    return (
+        cand.join(a, "q_id")
+        .join(b, "neighbor_id")
+        .withColumn(
+            "cos_sim", round6_col(_dot("va", "vb") / (F.col("na") * F.col("nb")))
+        )
+        .select("q_id", "neighbor_id", "cos_sim")
+    )
+
+
+def cosine_search(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = COS_DIGITS,
+    strategy: str = "arrow",
+    cache_key: tuple | None = None,
+) -> DataFrame:
+    """Exact top-k corpus neighbors per QUERY row (the asymmetric twin
+    of cosine_topk): (q_id, neighbor_id, cos_sim, rank), ties cos desc
+    rounded then neighbor_id asc. No self-exclusion — queries and base
+    are distinct tables (overlapping ids are the caller's semantics).
+
+    strategy="arrow" (default): broadcast EmbIndex on the BASE side
+    (built once per cache_key), queries stream through one mapInPandas
+    — zero shuffles, O(batch x corpus) vectorized folds; the base must
+    fit the broadcast budget, which is the brute-force baseline's
+    contract. strategy="jvm": crossJoin vs the broadcast base + window
+    — the pure-Catalyst reference, value-identical."""
+    if strategy == "jvm":
+        left = with_norm(queries, vec_col).select(
+            F.col(q_id_col).alias("q_id"),
+            F.col("__v").alias("va"), F.col("__norm").alias("na"),
+        )
+        right = with_norm(base, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__v").alias("vb"), F.col("__norm").alias("nb"),
+        )
+        pairs = left.crossJoin(F.broadcast(right)).withColumn(
+            "cos_sim", round6_col(_dot("va", "vb") / (F.col("na") * F.col("nb")))
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "neighbor_id", "cos_sim", "rank")
+        )
+    index, bc = _emb_index_bc(base, id_col, vec_col, cache_key)
+    schema = T.StructType(
+        [
+            _id_field(queries, q_id_col, "q_id"),
+            _id_field(base, id_col, "neighbor_id"),
+            T.StructField("cos_sim", T.DoubleType(), True),
+            T.StructField("rank", T.IntegerType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _tune_malloc()
+        idx: EmbIndex = bc.value
+        n = len(idx.ids)
+        for pdf in batches:
+            q = len(pdf)
+            if q == 0 or n == 0:
+                continue
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q_ids = pdf[q_id_col].to_numpy()
+            qn = _fold_norms(Q)
+            cos = _fold_dots(Q, idx.M)
+            cos /= qn[:, None] * idx.norms[None, :]
+            cos = _round_np(cos, digits)
+            kk = min(k, n)
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            vals = np.take_along_axis(cos, top, axis=1)
+            keep = np.isfinite(vals)
+            rr, cc = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[rr],
+                    "neighbor_id": idx.ids[top[rr, cc]],
+                    "cos_sim": vals[rr, cc],
+                    "rank": (cc + 1).astype(np.int32),
+                }
+            )
+
+    return spread(queries.select(q_id_col, vec_col)).mapInPandas(gen, schema)
+
+
+def _lsh_bucket_rows(
+    emb: DataFrame,
+    id_col: str,
+    out_name: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """(out_name, t, bkt) — one row per (vector, table) with its bucket
+    signature, via the batch signature UDF (same md5 family / exact
+    fold as LSHIndex.signatures)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets_udf(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy())
+        S = _sign_matrix(M.shape[1], n_planes, n_tables)
+        proj = _fold_dots(M, S.T)
+        bits = (proj > 0).astype(np.int32)
+        weights = np.tile(1 << np.arange(n_planes, dtype=np.int32), n_tables)
+        bkts = (bits * weights).reshape(len(M), n_tables, n_planes).sum(axis=2)
+        return pd.Series(list(bkts.astype(np.int32)))
+
+    v = _as_double(vec_col)
+    buckets = F.transform(
+        F.col("__bkts"),
+        lambda b, t: F.struct(t.cast("int").alias("t"), b.alias("bkt")),
+    )
+    return (
+        emb.withColumn("__v", v)
+        .withColumn("__bkts", buckets_udf("__v"))
+        .withColumn("__b", F.explode(buckets))
+        .select(
+            F.col(id_col).alias(out_name),
+            F.col("__b.t").alias("t"), F.col("__b.bkt").alias("bkt"),
+        )
+    )
+
+
+def lsh_search(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    n_planes: int = 3,
+    n_tables: int = 16,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = COS_DIGITS,
+    strategy: str = "auto",
+    cache_key: tuple | None = None,
+) -> DataFrame:
+    """ANN corpus search per query row (the asymmetric twin of
+    lsh_bucket_topk): candidates = corpus vectors sharing any
+    (table, bucket) signature with the query; exact rounded cosine
+    ranks them, rank<=k. Fully deterministic (same md5 sign family),
+    so DuckDB-oracled exactly like the self-join variant.
+
+    strategy="auto": broadcast LSHIndex on the base while it is under
+    ANN_AUTO_MAX_BASE_ROWS — queries stream through ONE mapInPandas,
+    zero shuffles; above the budget the relational plan runs (bucket
+    signature UDF on BOTH tables, (t, bkt) equi-join, distinct,
+    vectorized exact-fold refinement — no driver collect; only the
+    query batch, its bucket keys, and the candidate pairs shuffle —
+    at 10^12 corpus rows the corpus-side signature pass is a scan,
+    not a shuffle)."""
+    strategy = _resolve_ann_strategy(base, strategy, cache_key)
+    if strategy == "arrow":
+
+        def build() -> LSHIndex:
+            b = build_emb_index(base, id_col, vec_col)
+            return LSHIndex(b.ids, b.M, n_planes, n_tables)
+
+        key = (
+            None
+            if cache_key is None
+            else ("lshidx", *cache_key, id_col, vec_col, n_planes, n_tables)
+        )
+        index, bc = memo_broadcast(base.sparkSession, key, build)
+        schema = T.StructType(
+            [
+                _id_field(queries, q_id_col, "q_id"),
+                _id_field(base, id_col, "neighbor_id"),
+                T.StructField("cos_sim", T.DoubleType(), True),
+                T.StructField("rank", T.IntegerType(), True),
+            ]
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            _tune_malloc()
+            idx: LSHIndex = bc.value
+            n = len(idx.ids)
+            for pdf in batches:
+                q = len(pdf)
+                if q == 0 or n == 0:
+                    continue
+                Q = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                q_ids = pdf[q_id_col].to_numpy()
+                sigs = idx.signatures(Q)
+                qi_parts, cd_parts = [], []
+                rows = np.arange(q, dtype=np.int64)
+                for t in range(idx.n_tables):
+                    got = _gather_lists(
+                        idx.offsets[t], idx.bucket_pos[t], sigs[:, t], rows
+                    )
+                    if got is None:
+                        continue
+                    qi_parts.append(got[0])
+                    cd_parts.append(got[1])
+                if not qi_parts:
+                    continue
+                qi = np.concatenate(qi_parts)
+                cd = np.concatenate(cd_parts)
+                keyed = np.unique(qi * n + cd)  # dedup across tables
+                qi, cd = keyed // n, keyed % n
+                if not len(qi):
+                    continue
+                qn = _fold_norms(Q)
+                cos = _fold_dots_pairs(Q, qi, idx.M, cd)
+                cos /= qn[qi] * idx.norms[cd]
+                cos = _round_np(cos, digits)
+                qi, cd, cos, rank = _rank_topk(qi, cd, cos, k)
+                yield pd.DataFrame(
+                    {
+                        "q_id": q_ids[qi],
+                        "neighbor_id": idx.ids[cd],
+                        "cos_sim": cos,
+                        "rank": rank,
+                    }
+                )
+
+        return spread(queries.select(q_id_col, vec_col)).mapInPandas(gen, schema)
+
+    qb = _lsh_bucket_rows(queries, q_id_col, "q_id", vec_col, n_planes, n_tables)
+    bb = _lsh_bucket_rows(base, id_col, "neighbor_id", vec_col, n_planes, n_tables)
+    cand = qb.join(bb, ["t", "bkt"]).select("q_id", "neighbor_id").distinct()
+    pairs = _refine_pairs_asym(
+        cand, queries, base, q_id_col, id_col, vec_col, digits
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )

