@@ -31,6 +31,10 @@ def spread(df, min_parts: int | None = None):
     the scan yields ONE partition and every downstream stage runs
     single-threaded on local[32]. At real scale inputs have thousands
     of files and this is a no-op (we never repartition *down*)."""
+    if df.isStreaming:
+        # micro-batch partitioning belongs to the source (maxFilesPer
+        # Trigger etc.); df.rdd is illegal on a streaming DataFrame
+        return df
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

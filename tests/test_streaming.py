@@ -231,6 +231,40 @@ def _totals(df):
     }
 
 
+def test_streaming_corpus_search(spark, tmp_path):
+    """Asymmetric similarity search runs unchanged on a STREAM of query
+    vectors (broadcast corpus index + mapInPandas are streaming-
+    compatible): availableNow result equals the batch result — the
+    streaming shape of dedup-new-crawl-against-corpus."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.similarity import lsh_search
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where("vec_id % 5 = 0").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    base = emb.where("vec_id % 5 <> 0")
+    src = tmp_path / "queries"
+    queries.write.parquet(str(src))
+
+    want = sorted(tuple(r) for r in lsh_search(queries, base, k=5).collect())
+
+    schema = spark.read.parquet(str(src)).schema
+    stream_q = spark.readStream.schema(schema).parquet(str(src))
+    out = lsh_search(stream_q, base, k=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_corpus_search")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("t_corpus_search").collect())
+    assert got == want and len(got) > 0
+
+
 def test_streaming_nearest_city_enrichment(spark, tmp_path):
     """The flagship kNN operator runs unchanged on a STREAM of
     geotagged rows (scalar pandas UDF + broadcast joins are all
