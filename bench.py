@@ -83,6 +83,7 @@ HEADLINE = [
     "ann_ivf",
     "cosine_search",
     "ann_search",
+    "ann_search_persisted",
     "image_pipeline",
     "image_decode_stats",
     "image_resize",
@@ -137,6 +138,7 @@ _FACT_TABLE = {
     "ann_ivf": "embeddings",
     "cosine_search": "embeddings",
     "ann_search": "embeddings",
+    "ann_search_persisted": "embeddings",
     "events_windowed": "events",
     "events_sessionize": "events",
     "events_props": "events",

@@ -675,6 +675,33 @@ def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingestion gate: the corpus LSH signature table is
+    WRITTEN to parquet once (lsh_signature_table), read back, and the
+    search runs against the persisted signatures (base_sigs=...) — no
+    corpus-side signature pass. Same oracle as ann_search: persisted
+    and recomputed signatures must be identical or the rows go red."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.operators.similarity import lsh_signature_table
+
+    def build() -> str:
+        import hashlib
+        import tempfile
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(tempfile.gettempdir(), f"cf_lsh_sigs_{tag}")
+        lsh_signature_table(_emb_base(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return path
+
+    path = memo_value(spark, ("lsh-sigs", sf_dir), build)
+    return lsh_search(
+        _emb_queries(spark, sf_dir), _emb_base(spark, sf_dir), k=5,
+        base_sigs=spark.read.parquet(path),
+    )
+
+
 def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal flagship: deterministic image+caption
     table -> nearest-city broadcast join with bytes riding along (no
@@ -2020,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "cosine_search": q_cosine_search,
         "ann_search": q_ann_search,
+        "ann_search_persisted": q_ann_search_persisted,
         "image_pipeline": q_image_pipeline,
         "image_decode_stats": q_image_decode_stats,
         "image_resize": q_image_resize,
@@ -2091,8 +2119,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _o_ann_lsh(),
         "ann_ivf": _o_ann_ivf(),
         "cosine_search": _o_cosine_search(),
-        # asymmetric ANN: same exact-mechanism determinism as ann_lsh
+        # asymmetric ANN: same exact-mechanism determinism as ann_lsh;
+        # the persisted variant shares the oracle (write->read->search
+        # must equal recompute->search)
         "ann_search": _o_ann_search(),
+        "ann_search_persisted": _o_ann_search(),
         # media queries: DuckDB splitmix64 replay — the oracle
         # recomputes pixels/samples closed-form from row ids and never
         # touches the binary payloads (see _duck_mix64)

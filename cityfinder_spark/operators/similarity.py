@@ -1097,6 +1097,25 @@ def _lsh_bucket_rows(
     )
 
 
+def lsh_signature_table(
+    base: DataFrame,
+    n_planes: int = 3,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable corpus-side LSH index: (vec_id, t, bkt) — one
+    row per (vector, table). Write it once (ideally bucketed on
+    (t, bkt) via sinks.write_bucketed_table) and pass it back to
+    lsh_search(base_sigs=...): the per-ingestion-batch cost drops to
+    the QUERY side only — at a 10^12-row corpus, recomputing corpus
+    signatures per batch is the difference between a scan of the world
+    and a scan of the batch. Same md5 sign family / exact fold as
+    every other signature site, so persisted and recomputed signatures
+    are identical."""
+    return _lsh_bucket_rows(base, id_col, id_col, vec_col, n_planes, n_tables)
+
+
 def lsh_search(
     queries: DataFrame,
     base: DataFrame,
@@ -1109,6 +1128,7 @@ def lsh_search(
     digits: int = COS_DIGITS,
     strategy: str = "auto",
     cache_key: tuple | None = None,
+    base_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """ANN corpus search per query row (the asymmetric twin of
     lsh_bucket_topk): candidates = corpus vectors sharing any
@@ -1123,8 +1143,18 @@ def lsh_search(
     vectorized exact-fold refinement — no driver collect; only the
     query batch, its bucket keys, and the candidate pairs shuffle —
     at 10^12 corpus rows the corpus-side signature pass is a scan,
-    not a shuffle)."""
-    strategy = _resolve_ann_strategy(base, strategy, cache_key)
+    not a shuffle).
+
+    base_sigs: a persisted corpus signature table from
+    lsh_signature_table (columns (id_col, t, bkt)) — forces the
+    relational plan and skips the corpus-side signature pass entirely
+    (steady-state ingestion: signatures written once, each new batch
+    pays only its own). Must have been built with the SAME n_planes /
+    n_tables."""
+    if base_sigs is not None:
+        strategy = "jvm"
+    else:
+        strategy = _resolve_ann_strategy(base, strategy, cache_key)
     if strategy == "arrow":
 
         def build() -> LSHIndex:
@@ -1194,7 +1224,14 @@ def lsh_search(
         return spread(queries.select(q_id_col, vec_col)).mapInPandas(gen, schema)
 
     qb = _lsh_bucket_rows(queries, q_id_col, "q_id", vec_col, n_planes, n_tables)
-    bb = _lsh_bucket_rows(base, id_col, "neighbor_id", vec_col, n_planes, n_tables)
+    if base_sigs is not None:
+        bb = base_sigs.select(
+            F.col(id_col).alias("neighbor_id"), "t", "bkt"
+        )
+    else:
+        bb = _lsh_bucket_rows(
+            base, id_col, "neighbor_id", vec_col, n_planes, n_tables
+        )
     cand = qb.join(bb, ["t", "bkt"]).select("q_id", "neighbor_id").distinct()
     pairs = _refine_pairs_asym(
         cand, queries, base, q_id_col, id_col, vec_col, digits
