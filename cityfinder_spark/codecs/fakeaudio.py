@@ -15,14 +15,23 @@ row's reference waveform can be regenerated anywhere without carrying
 state — the same property that makes the image PSNR invariant
 checkable per-row at any scale (see codecs/fakeimage.py).
 
-Real-codec integration point: swap encode_audio/decode_audio for
-soundfile/ffmpeg calls; everything above the codec is codec-agnostic.
-`decode_audio_real` raises NotImplementedError to mark the boundary.
+Real-codec integration point: REAL WAV (RIFF/WAVE PCM16) is
+implemented end-to-end — `encode_wav_real` builds the RIFF container
+by hand per the spec, `decode_audio_real` parses it back with the
+stdlib `wave` module (an independent parser, so the roundtrip proves
+spec compliance, mirroring codecs/fakeimage.py's real-PNG path), and
+`decode_audio` dispatches on the RIFF signature so a real WAV payload
+flows through audio_features unchanged (pytest-pinned). The fake
+formats remain the default datagen path (they make the SNR oracle
+closed-form); compressed audio (ogg/mp3) still needs soundfile/ffmpeg
+and raises NotImplementedError at the same boundary.
 """
 
 from __future__ import annotations
 
+import io
 import struct
+import wave
 
 import numpy as np
 
@@ -54,11 +63,16 @@ def encode_audio(pcm: np.ndarray, sample_rate: int, fmt: str) -> bytes:
             _HDR.pack(MAGIC_OGG, sample_rate, pcm.shape[0], 1)
             + quantize_lossy_pcm(pcm).tobytes()
         )
+    if fmt == "wav_real":
+        return encode_wav_real(pcm, sample_rate)
     raise ValueError(f"unknown audio fmt {fmt!r}")
 
 
 def decode_audio(buf: bytes) -> tuple[str, int, np.ndarray]:
     """-> (fmt, sample_rate, int16 samples)."""
+    if buf[:4] == RIFF_SIG and buf[8:12] == b"WAVE":
+        sr, pcm = decode_audio_real(buf)
+        return "wav", sr, pcm
     magic, sr, n, _c = _HDR.unpack_from(buf, 0)
     fmt = {MAGIC_WAV: "wav", MAGIC_OGG: "ogg"}.get(magic)
     if fmt is None:
@@ -77,9 +91,46 @@ def snr_db(ref: np.ndarray, got: np.ndarray) -> float:
     return 10.0 * np.log10(float((ref_f * ref_f).mean()) / p_err)
 
 
-def decode_audio_real(buf: bytes) -> np.ndarray:
-    """Boundary marker for real codecs (soundfile/ffmpeg absent)."""
-    raise NotImplementedError(
-        "real audio decode requires soundfile/ffmpeg; use decode_audio "
-        "(deterministic fake) in this sandbox"
+# ---- real WAV (RIFF/WAVE PCM16; stdlib only, no soundfile needed) ----
+
+RIFF_SIG = b"RIFF"
+_FMT_PCM16 = struct.Struct("<HHIIHH")  # tag, ch, sr, byterate, align, bits
+
+
+def encode_wav_real(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """Spec-compliant RIFF/WAVE: PCM16 mono, canonical 44-byte header,
+    built by hand per the spec (the decoder below parses it back with
+    the stdlib `wave` module — an INDEPENDENT parser, so the roundtrip
+    test proves the container is genuinely well-formed)."""
+    data = pcm.astype("<i2").tobytes()
+    fmt = _FMT_PCM16.pack(1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
     )
+    return RIFF_SIG + struct.pack("<I", len(body)) + body
+
+
+def decode_audio_real(buf: bytes) -> tuple[int, np.ndarray]:
+    """Real RIFF/WAVE decode via the stdlib `wave` module ->
+    (sample_rate, int16 mono samples). Compressed audio (ogg/mp3)
+    still requires soundfile/ffmpeg and raises NotImplementedError —
+    that is the remaining swap boundary."""
+    if buf[:4] == b"OggS" or buf[:3] == b"ID3" or buf[:2] == b"\xff\xfb":
+        raise NotImplementedError(
+            "compressed audio (ogg/mp3) requires soundfile/ffmpeg — not "
+            "in this container; the deterministic fake codec stands in"
+        )
+    with wave.open(io.BytesIO(buf), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported WAV sample width {wf.getsampwidth()} (want 16-bit)"
+            )
+        if wf.getnchannels() != 1:
+            raise ValueError(
+                f"unsupported WAV channel count {wf.getnchannels()} (want mono)"
+            )
+        sr = wf.getframerate()
+        pcm = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    return sr, pcm

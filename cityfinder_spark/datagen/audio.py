@@ -23,14 +23,17 @@ def expected_audio_caption(i: int, n: int, sr: int, fmt: str) -> str:
     return f"caption for audio {i}: {n} samples at {sr} Hz ({fmt})"
 
 
-def _row(i: int) -> dict:
+def _row(i: int, real_wav: bool = False) -> dict:
     sr = _RATES[i % len(_RATES)]
     n = 256 + (i * 37) % 1792
     fmt = "wav" if i % 2 == 0 else "ogg"
     pcm = gen_samples(i, n)
+    # real_wav: wav rows carry SPEC-COMPLIANT RIFF/WAVE bytes (stdlib
+    # `wave`-parsable) instead of the fake container — same samples.
+    enc_fmt = "wav_real" if (real_wav and fmt == "wav") else fmt
     return {
         "audio_id": f"aud{i:012d}",
-        "bytes": encode_audio(pcm, sr, fmt),
+        "bytes": encode_audio(pcm, sr, enc_fmt),
         "sr": sr,
         "n_samples": n,
         "fmt": fmt,
@@ -38,11 +41,16 @@ def _row(i: int) -> dict:
     }
 
 
-def audio_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+def audio_table(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    real_wav: bool = False,
+) -> DataFrame:
     base = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame([_row(int(i)) for i in pdf["id"]])
+            yield pd.DataFrame([_row(int(i), real_wav=real_wav) for i in pdf["id"]])
 
     return base.mapInPandas(gen, schema=AUDIO_SCHEMA)

@@ -40,9 +40,69 @@ def test_audio_codec_lossy_snr_above_floor():
     assert (back == quantize_lossy_pcm(pcm)).all()
 
 
-def test_audio_decode_real_is_stubbed():
+def test_real_wav_roundtrip_byte_exact():
+    """Hand-built RIFF/WAVE container parses back byte-exact through
+    the stdlib `wave` module (an independent parser), and decode_audio
+    dispatches on the RIFF signature."""
+    import io
+    import wave
+
+    from cityfinder_spark.codecs.fakeaudio import (
+        RIFF_SIG,
+        encode_wav_real,
+        encode_audio,
+    )
+
+    pcm = gen_samples(7, 1000)
+    buf = encode_wav_real(pcm, 16000)
+    assert buf[:4] == RIFF_SIG and buf[8:12] == b"WAVE"
+    sr, back = decode_audio_real(buf)
+    assert sr == 16000 and (back == pcm).all()
+    # dispatch path: a real WAV flows through the generic decode
+    fmt, sr2, back2 = decode_audio(encode_audio(pcm, 16000, "wav_real"))
+    assert fmt == "wav" and sr2 == 16000 and (back2 == pcm).all()
+
+
+def test_real_wav_decodes_stdlib_written_file():
+    """Decode a WAV written by the stdlib `wave` module itself — not
+    our encoder — so the decoder is proven against a third party."""
+    import io
+    import wave
+
+    pcm = gen_samples(9, 500)
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(pcm.astype("<i2").tobytes())
+    sr, back = decode_audio_real(bio.getvalue())
+    assert sr == 8000 and (back == pcm).all()
+
+
+def test_audio_decode_real_compressed_is_stubbed():
     with pytest.raises(NotImplementedError):
-        decode_audio_real(b"RIFF....WAVE")
+        decode_audio_real(b"OggS compressed stream")
+
+
+def test_real_wav_flows_through_audio_features(spark):
+    """The driver-mandated plumbing works on REAL WAV payloads: the
+    datagen's real_wav mode emits RIFF/WAVE bytes for wav rows; every
+    feature from audio_features equals the fake-container run (the
+    samples are identical — only the container changed)."""
+    fake = {r["audio_id"]: r for r in audio_features(audio_table(spark, 30, partitions=2)).collect()}
+    real_aud = audio_table(spark, 30, partitions=2, real_wav=True)
+    sigs = {
+        r["audio_id"]: bytes(r["bytes"])[:4]
+        for r in real_aud.select("audio_id", "bytes", "fmt")
+        .where("fmt = 'wav'")
+        .collect()
+    }
+    assert sigs and all(s == b"RIFF" for s in sigs.values())
+    real = {r["audio_id"]: r for r in audio_features(real_aud).collect()}
+    assert fake.keys() == real.keys()
+    for k in fake:
+        assert tuple(fake[k]) == tuple(real[k]), k
 
 
 def test_gen_samples_deterministic():
