@@ -84,6 +84,7 @@ HEADLINE = [
     "cosine_search",
     "ann_search",
     "ann_search_persisted",
+    "ann_search_ivf",
     "image_pipeline",
     "image_decode_stats",
     "image_resize",
@@ -139,6 +140,7 @@ _FACT_TABLE = {
     "cosine_search": "embeddings",
     "ann_search": "embeddings",
     "ann_search_persisted": "embeddings",
+    "ann_search_ivf": "embeddings",
     "events_windowed": "events",
     "events_sessionize": "events",
     "events_props": "events",

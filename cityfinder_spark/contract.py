@@ -37,6 +37,7 @@ from cityfinder_spark.operators.similarity import (
     cosine_dedup_pairs,
     cosine_search,
     cosine_topk,
+    ivf_search,
     ivf_topk,
     lsh_bucket_topk,
     lsh_search,
@@ -699,6 +700,17 @@ def q_ann_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_search(
         _emb_queries(spark, sf_dir), _emb_base(spark, sf_dir), k=5,
         base_sigs=spark.read.parquet(path),
+    )
+
+
+def q_ann_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric IVF ANN search (the coarse-quantizer shape for
+    bounded query sets against the corpus), exact-mechanism oracled
+    like ann_ivf: corpus inverted lists = top-1 centroid assignment,
+    probes = n_probe nearest lists by rounded centroid cosine."""
+    return ivf_search(
+        _emb_queries(spark, sf_dir), _emb_base(spark, sf_dir), k=5,
+        cache_key=("embbase", sf_dir),
     )
 
 
@@ -1938,6 +1950,74 @@ def _o_ann_ivf() -> str:
     """
 
 
+def _o_ann_search_ivf() -> str:
+    """Asymmetric IVF replay (ivf_search(k=5, n_probe=8)): centroids,
+    id-ascending fold means, and top-1 inverted lists come from the
+    CORPUS side only (vec_id % 5 <> 0); each QUERY row (vec_id % 5 = 0)
+    probes its 8 nearest lists by rounded centroid cosine (ties label
+    asc); exact rounded-cosine refinement, rank<=5 per q_id, no
+    self-exclusion."""
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    memb AS (
+      SELECT n.vec_id, n.v, n.nrm, emb.label
+      FROM n JOIN embeddings emb ON emb.vec_id = n.vec_id
+      WHERE n.vec_id % 5 <> 0),
+    q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id % 5 = 0),
+    cents AS (
+      SELECT label, list(v ORDER BY vec_id) AS vs,
+             cast(count(*) AS double) AS cnt
+      FROM memb GROUP BY label),
+    cvec AS (
+      SELECT label,
+             list_transform(generate_series(1, 64),
+                d -> list_sum(list_transform(vs, w -> w[d])) / cnt) AS cv
+      FROM cents),
+    cn AS (
+      SELECT label, cv,
+             sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+      FROM cvec),
+    assign_b AS (
+      SELECT m.vec_id, c.label AS list_id,
+             {sc.round6_sql(
+                 "list_sum(list_transform(generate_series(1, len(m.v)),"
+                 " i -> m.v[i] * c.cv[i])) / (m.nrm * c.cnrm)"
+             )} AS csim
+      FROM memb m CROSS JOIN cn c),
+    lists AS (
+      SELECT vec_id AS neighbor_id, list_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, list_id ASC) AS pr
+        FROM assign_b) WHERE pr = 1),
+    assign_q AS (
+      SELECT qq.q_id, c.label AS list_id,
+             {sc.round6_sql(
+                 "list_sum(list_transform(generate_series(1, len(qq.v)),"
+                 " i -> qq.v[i] * c.cv[i])) / (qq.nrm * c.cnrm)"
+             )} AS csim
+      FROM q qq CROSS JOIN cn c),
+    probes AS (
+      SELECT q_id, list_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY csim DESC, list_id ASC) AS pr
+        FROM assign_q) WHERE pr <= 8),
+    cand AS (
+      SELECT p.q_id, l.neighbor_id
+      FROM probes p JOIN lists l USING (list_id)),
+    pairs AS (
+      SELECT c.q_id, c.neighbor_id,
+             {sc.round6_sql(f"{_DUCK_DOT} / (a.nrm * b.nrm)")} AS cos_sim
+      FROM cand c
+      JOIN n a ON a.vec_id = c.q_id
+      JOIN n b ON b.vec_id = c.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+    SELECT q_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
 def _o_events_windowed() -> str:
     return """
     SELECT cast(epoch(date_trunc('hour', ts)) as bigint) AS window_start,
@@ -2048,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_search": q_cosine_search,
         "ann_search": q_ann_search,
         "ann_search_persisted": q_ann_search_persisted,
+        "ann_search_ivf": q_ann_search_ivf,
         "image_pipeline": q_image_pipeline,
         "image_decode_stats": q_image_decode_stats,
         "image_resize": q_image_resize,
@@ -2124,6 +2205,7 @@ def oracle_sql() -> dict[str, str]:
         # must equal recompute->search)
         "ann_search": _o_ann_search(),
         "ann_search_persisted": _o_ann_search(),
+        "ann_search_ivf": _o_ann_search_ivf(),
         # media queries: DuckDB splitmix64 replay — the oracle
         # recomputes pixels/samples closed-form from row ids and never
         # touches the binary payloads (see _duck_mix64)

@@ -1242,3 +1242,151 @@ def lsh_search(
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ivf_search(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    n_probe: int = 8,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    digits: int = COS_DIGITS,
+    strategy: str = "auto",
+    cache_key: tuple | None = None,
+) -> DataFrame:
+    """IVF ANN corpus search per QUERY row (the asymmetric twin of
+    ivf_topk, completing the search matrix: exact/LSH/IVF x self-join/
+    asymmetric — this is the "bounded query sets against the corpus"
+    shape the IVF coarse quantizer is right for, per SCALE.md). The
+    corpus's inverted lists are its top-1 centroid assignments; each
+    query probes its n_probe nearest lists by ROUNDED centroid cosine
+    (ties label asc), candidates rank by exact rounded cosine, rank<=k.
+    No self-exclusion — queries and base are distinct tables. Fully
+    deterministic, DuckDB-oracled exactly like ivf_topk.
+
+    strategy="auto": broadcast IVFIndex on the corpus while it is
+    under ANN_AUTO_MAX_BASE_ROWS — queries stream through ONE
+    mapInPandas, zero shuffles; above the budget the fully relational
+    plan runs (centroid groupBy agg on the corpus, broadcast-centroid
+    assignment of both sides, candidate equi-join on list_id,
+    vectorized exact-fold refinement — no driver collect; only the
+    query batch, its probe keys, and candidate pairs shuffle; at
+    10^12 corpus rows the corpus-side assignment is a scan + the
+    one-time centroid agg, not a per-batch recompute)."""
+    strategy = _resolve_ann_strategy(base, strategy, cache_key)
+    if strategy == "arrow":
+
+        def build() -> IVFIndex:
+            pdf = base.select(id_col, vec_col, label_col).toPandas()
+            if not len(pdf):
+                return IVFIndex(np.empty(0, np.int64), np.empty((0, 1)), np.empty(0))
+            ids = pdf[id_col].to_numpy()
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            return IVFIndex(ids, M, pdf[label_col].to_numpy())
+
+        key = (
+            None
+            if cache_key is None
+            else ("ivfidx", *cache_key, id_col, vec_col, label_col)
+        )
+        index, bc = memo_broadcast(base.sparkSession, key, build)
+        schema = T.StructType(
+            [
+                _id_field(queries, q_id_col, "q_id"),
+                _id_field(base, id_col, "neighbor_id"),
+                T.StructField("cos_sim", T.DoubleType(), True),
+                T.StructField("rank", T.IntegerType(), True),
+            ]
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            _tune_malloc()
+            idx: IVFIndex = bc.value
+            n = len(idx.ids)
+            L = len(idx.list_labels)
+            for pdf in batches:
+                q = len(pdf)
+                if q == 0 or n == 0 or L == 0:
+                    continue
+                Q = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                q_ids = pdf[q_id_col].to_numpy()
+                qn = _fold_norms(Q)
+                csim = _fold_dots(Q, idx.C)
+                csim /= qn[:, None] * idx.cnorms[None, :]
+                csim = _round_np(csim, COS_DIGITS)
+                npb = min(n_probe, L)
+                probes = np.argsort(-csim, axis=1, kind="stable")[:, :npb]
+                rows = np.arange(q, dtype=np.int64)
+                qi_parts, cd_parts = [], []
+                for j in range(npb):
+                    got = _gather_lists(
+                        idx.list_offsets, idx.list_pos, probes[:, j], rows
+                    )
+                    if got is None:
+                        continue
+                    qi_parts.append(got[0])
+                    cd_parts.append(got[1])
+                if not qi_parts:
+                    continue
+                qi = np.concatenate(qi_parts)
+                cd = np.concatenate(cd_parts)
+                cos = _fold_dots_pairs(Q, qi, idx.M, cd)
+                cos /= qn[qi] * idx.norms[cd]
+                cos = _round_np(cos, digits)
+                qi, cd, cos, rank = _rank_topk(qi, cd, cos, k)
+                yield pd.DataFrame(
+                    {
+                        "q_id": q_ids[qi],
+                        "neighbor_id": idx.ids[cd],
+                        "cos_sim": cos,
+                        "rank": rank,
+                    }
+                )
+
+        return spread(queries.select(q_id_col, vec_col)).mapInPandas(gen, schema)
+
+    # relational plan: centroids + list membership from the corpus,
+    # probe assignment for the queries, candidate equi-join, exact
+    # refinement — mirrors ivf_topk's jvm path on two tables
+    b = with_norm(base, vec_col)
+    dim = len(base.select(vec_col).first()[0])
+    cents = (
+        b.groupBy(label_col)
+        .agg(F.array(*[F.avg(F.col("__v")[i]) for i in range(dim)]).alias("cv"))
+        .withColumn("cnorm", F.sqrt(_dot("cv", "cv")))
+        .select(F.col(label_col).alias("list_id"), "cv", "cnorm")
+    )
+    assign_b = b.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", round6_col(_dot("__v", "cv") / (F.col("__norm") * F.col("cnorm")))
+    )
+    wb = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("list_id"))
+    lists = (
+        assign_b.withColumn("pr", F.row_number().over(wb))
+        .where(F.col("pr") == 1)
+        .select(F.col(id_col).alias("neighbor_id"), "list_id")
+    )
+    qn = with_norm(queries, vec_col)
+    assign_q = qn.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", round6_col(_dot("__v", "cv") / (F.col("__norm") * F.col("cnorm")))
+    )
+    wq = Window.partitionBy(q_id_col).orderBy(F.desc("csim"), F.asc("list_id"))
+    probes = (
+        assign_q.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= n_probe)
+        .select(F.col(q_id_col).alias("q_id"), "list_id")
+    )
+    cand = probes.join(lists, "list_id").select("q_id", "neighbor_id")
+    pairs = _refine_pairs_asym(
+        cand, queries, base, q_id_col, id_col, vec_col, digits
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -201,6 +201,44 @@ def test_asymmetric_search_strategies_and_recall(spark, emb):
     assert not any(n in q_ids for _, n, _, _ in got_a)
 
 
+def test_asymmetric_ivf_search_strategies_and_recall(spark, emb):
+    """ivf_search (query batch vs corpus, the coarse-quantizer shape):
+    arrow and jvm strategies value-identical, recall@5 >= 0.9 vs the
+    exact cosine_search truth at shipped defaults (n_probe=8 of the 10
+    corpus lists), no neighbor from the query set, deterministic
+    across repartitioning."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.similarity import cosine_search, ivf_search
+
+    queries = emb.where("vec_id % 5 = 0").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    base = emb.where("vec_id % 5 <> 0")
+    truth = {
+        (r[0], r[1]) for r in cosine_search(queries, base, k=5).collect()
+    }
+    got_a = sorted(
+        map(tuple, ivf_search(queries, base, k=5, strategy="arrow").collect())
+    )
+    got_j = sorted(
+        map(tuple, ivf_search(queries, base, k=5, strategy="jvm").collect())
+    )
+    assert got_a == got_j
+    approx = {(r[0], r[1]) for r in got_a}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"asymmetric IVF default recall too low: {recall}"
+    q_ids = {r["q_id"] for r in queries.select("q_id").collect()}
+    assert not any(n in q_ids for _, n, _, _ in got_a)
+    two = sorted(
+        map(
+            tuple,
+            ivf_search(queries.repartition(7), base, k=5, strategy="arrow").collect(),
+        )
+    )
+    assert got_a == two
+
+
 def test_refine_kernels_bitwise_equal(spark, emb):
     """_refine_pairs_relational's vectorized arrow kernel must equal
     the pure-Catalyst zip_with/aggregate fold EXACTLY (same left-fold
