@@ -54,6 +54,7 @@ HEADLINE = [
     "postal_dedup",
     "raster_tiles",
     "point_in_polygon",
+    "geo_rollup",
     "geonames_scan",
     "postal_scan",
     "index_roundtrip",
@@ -111,6 +112,7 @@ _FACT_TABLE = {
     "postal_lookup": "orders",
     "raster_tiles": "orders",
     "point_in_polygon": "orders",
+    "geo_rollup": "orders",
     "index_roundtrip": "orders",
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",

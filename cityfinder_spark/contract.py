@@ -352,22 +352,45 @@ def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Admin-boundary tiling: even-odd ray cast vs hexagonal polygons
     (north rule; SURVEY §2.6 kernel 5)."""
+    pts = _points(spark, sf_dir).select("pt_id", "lat", "lon")
+    return tag_points_with_polygons(pts, _polygons(spark, sf_dir)).select(
+        "pt_id", "polygon_id", "poly_country"
+    )
+
+
+def _polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hexagonal admin polygons as (polygon_id, country, ring_lats,
+    ring_lons) — shared by q_point_in_polygon and q_geo_rollup."""
     load_views(spark, sf_dir, ("orders", "nation"))
     verts = spark.sql(sc.polygon_vertices_sql())
-    polys = (
-        verts.groupBy("polygon_id", "country")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("v", "vlat"))), lambda x: x["vlat"]
-            ).alias("ring_lats"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("v", "vlon"))), lambda x: x["vlon"]
-            ).alias("ring_lons"),
-        )
+    return verts.groupBy("polygon_id", "country").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("v", "vlat"))), lambda x: x["vlat"]
+        ).alias("ring_lats"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("v", "vlon"))), lambda x: x["vlon"]
+        ).alias("ring_lons"),
     )
+
+
+def q_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north star's stages composed end-to-end in ONE pipeline:
+    geotagged points -> nearest-city kNN (broadcast CityIndex, zero
+    shuffle) -> admin-polygon tiling ON THE JOINED STREAM (lat/lon ride
+    through the kNN join, so the PIP bbox-prune + ray-cast is another
+    zero-shuffle stage over the same scan) -> per-country rollup (the
+    composite's ONLY exchange, map-side combined). All aggregates are
+    order-free (counts, min/max of rounded dist), so the rollup is
+    DuckDB-oracled exactly."""
     pts = _points(spark, sf_dir).select("pt_id", "lat", "lon")
-    return tag_points_with_polygons(pts, polys).select(
-        "pt_id", "polygon_id", "poly_country"
+    cities = _cities(spark, sf_dir)
+    near = nearest_city_join(pts, cities, cache_key=("cities", sf_dir))
+    tagged = tag_points_with_polygons(near, _polygons(spark, sf_dir))
+    return tagged.groupBy("poly_country").agg(
+        F.count("*").alias("n_points"),
+        F.countDistinct("city_id").alias("n_cities"),
+        F.min("dist_km").alias("min_dist_km"),
+        F.max("dist_km").alias("max_dist_km"),
     )
 
 
@@ -1158,6 +1181,42 @@ def _o_point_in_polygon() -> str:
            GROUP BY 1, 2, 3)
     SELECT pt_id, polygon_id, country AS poly_country
     FROM crossings WHERE ncross % 2 = 1
+    """
+
+
+def _o_geo_rollup() -> str:
+    """Composite replay: brute-force nearest city (rn=1) joined to the
+    even-odd PIP tags, rolled up per polygon country with order-free
+    aggregates only (counts + min/max of the ROUNDED distance)."""
+    hav = sc.haversine_rounded_sql("p.lat", "p.lon", "c.lat", "c.lon")
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+         cts AS ({sc.cities_from_customer_sql()}),
+         ranked AS (
+           SELECT p.pt_id, c.city_id, {hav} AS dist_km,
+                  row_number() OVER (PARTITION BY p.pt_id
+                                     ORDER BY {hav}, c.city_id) AS rn
+           FROM pts p CROSS JOIN cts c),
+         near AS (SELECT pt_id, city_id, dist_km FROM ranked WHERE rn = 1),
+         verts AS ({sc.polygon_vertices_sql()}),
+         edges AS (
+           SELECT v1.polygon_id, v1.country,
+                  v1.vlat AS y1, v1.vlon AS x1, v2.vlat AS y2, v2.vlon AS x2
+           FROM verts v1 JOIN verts v2
+             ON v1.polygon_id = v2.polygon_id AND v2.v = (v1.v + 1) % 6),
+         crossings AS (
+           SELECT p.pt_id, e.polygon_id, e.country, count(*) AS ncross
+           FROM pts p JOIN edges e
+             ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+            AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+           GROUP BY 1, 2, 3),
+         pip AS (SELECT pt_id, country AS poly_country
+                 FROM crossings WHERE ncross % 2 = 1)
+    SELECT g.poly_country, count(*) AS n_points,
+           count(DISTINCT n.city_id) AS n_cities,
+           min(n.dist_km) AS min_dist_km, max(n.dist_km) AS max_dist_km
+    FROM near n JOIN pip g USING (pt_id)
+    GROUP BY g.poly_country
     """
 
 
@@ -2101,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postal_dedup": q_postal_dedup,
         "raster_tiles": q_raster_tiles,
         "point_in_polygon": q_point_in_polygon,
+        "geo_rollup": q_geo_rollup,
         "geonames_scan": q_geonames_scan,
         "postal_scan": q_postal_scan,
         "index_roundtrip": q_index_roundtrip,
@@ -2160,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
         "postal_dedup": _o_postal_dedup(),
         "raster_tiles": _o_raster_tiles(),
         "point_in_polygon": _o_point_in_polygon(),
+        "geo_rollup": _o_geo_rollup(),
         "geonames_scan": _o_geonames_scan(),
         "postal_scan": _o_postal_scan(),
         "index_roundtrip": _o_nearest_city(),
