@@ -152,6 +152,66 @@ def test_streaming_dedup_exact_multi_batch_equals_batch(spark, tmp_path):
     assert got == want and len(got) == 500
 
 
+def test_streaming_dedup_out_of_order_divergence(spark, tmp_path):
+    """The documented caveat, pinned as behavior (SURVEY §2.5): when a
+    key's global-min id arrives in a LATER micro-batch than the key's
+    first occurrence, the streaming canonical is the FIRST ARRIVAL's
+    batch-minimum id — deterministic first-occurrence semantics — and
+    explicitly NOT the batch dedup_exact global min."""
+    import os
+
+    import pandas as pd
+
+    from cityfinder_spark.operators.dedup import dedup_exact
+    from cityfinder_spark.streaming.stateful import streaming_dedup_exact
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [5, 7, 1, 9],
+            "text": ["same text", "same text", "same text", "other"],
+        }
+    )
+    src = tmp_path / "ooo_src"
+    src.mkdir()
+    # batch 0 carries ids {5,7}; the global-min id 1 arrives in batch 1
+    for i, chunk in enumerate([rows.iloc[:2], rows.iloc[2:]]):
+        p = str(src / f"{i:02d}.parquet")
+        chunk.to_parquet(p)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    docs = spark.read.parquet(str(src)).select("doc_id", "text")
+    batch = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_exact(docs, key_expr="text").collect()
+    }
+    assert batch[5] == 1  # batch semantics: global min
+
+    schema = spark.read.parquet(str(src)).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_dedup_exact(stream_in, key_expr="text")
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_dup"])
+        for r in spark.table("t_stream_dedup_ooo").collect()
+    }
+    # first arrival's batch-min (5) is the canonical forever after
+    assert got[5] == (5, False) and got[7] == (5, True)
+    assert got[1] == (5, True)  # the late global min is a DUP of 5
+    assert got[9] == (9, False)
+    assert got[5][0] != batch[5]  # the divergence, pinned explicitly
+
+
 def test_stateful_checkpoint_recovery(spark, tmp_path):
     """Kill-and-resume: run the stateful query over batch A with a
     checkpoint dir, STOP, add batch B to the source, start a FRESH
