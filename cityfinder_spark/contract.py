@@ -184,11 +184,23 @@ def q_name_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_name_lookup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-only variant (fuzzy disabled -> NULL on miss)."""
+    """Exact-only variant (fuzzy disabled -> NULL on miss).
+
+    Shares the fuzzy query's memoized NameIndex broadcast (same
+    cache_key -> same worker token): exact-only resolution is a dict
+    probe per row inside the same zero-shuffle arrow plan, instead of
+    re-running the dictionary aggregation + distinct/repartition/
+    join-back exchanges of the relational exact branch every call
+    (measured 1.43s -> see bench). resolve_batch never reads or
+    writes the fuzzy memo when fuzzy=False, so sharing the index
+    between the two queries cannot leak fuzzy hits into exact rows."""
     load_views(spark, sf_dir, ("customer", "nation"))
     dim = spark.sql(sc.names_dim_sql())
     q = spark.sql(sc.name_queries_sql(orders=_spread_orders(spark, sf_dir)))
-    return city_by_name(q, dim, fuzzy=False)
+    return city_by_name(
+        q, dim, fuzzy=False, fuzzy_strategy="arrow",
+        cache_key=("names", sf_dir),
+    )
 
 
 def q_postal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
