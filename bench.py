@@ -86,6 +86,8 @@ HEADLINE = [
     "ann_search",
     "ann_search_persisted",
     "ann_search_ivf",
+    "kmeans_train",
+    "kmeans_assign",
     "image_pipeline",
     "image_decode_stats",
     "image_resize",
@@ -143,6 +145,8 @@ _FACT_TABLE = {
     "ann_search": "embeddings",
     "ann_search_persisted": "embeddings",
     "ann_search_ivf": "embeddings",
+    "kmeans_train": "embeddings",
+    "kmeans_assign": "embeddings",
     "events_windowed": "events",
     "events_sessionize": "events",
     "events_props": "events",

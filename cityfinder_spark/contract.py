@@ -749,6 +749,38 @@ def q_ann_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITER = 2
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings (SURVEY §2.7):
+    an ITERATIVE algorithm driver-gated hash-exact — possible because
+    each update accumulates fixed-point integer sums (order-independent,
+    so the distributed combine is replayable; operators/kmeans.py).
+    Output = the exploded model: (cluster_id, pos, val, n_points)."""
+    from cityfinder_spark.operators.kmeans import kmeans_train
+
+    return kmeans_train(_embs(spark, sf_dir), k=KMEANS_K, n_iter=KMEANS_ITER)
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict surface: every embedding assigned to its trained
+    cluster (train once per context via memo, assign per batch — the
+    steady-state ingestion shape, zero shuffle)."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+    def build():
+        C, _ = kmeans_fit(
+            _embs(spark, sf_dir), k=KMEANS_K, n_iter=KMEANS_ITER
+        )
+        return C
+
+    C = memo_value(spark, ("kmeans-model", sf_dir, KMEANS_K, KMEANS_ITER), build)
+    return kmeans_assign(_embs(spark, sf_dir), C)
+
+
 def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal flagship: deterministic image+caption
     table -> nearest-city broadcast join with bytes riding along (no
@@ -2089,6 +2121,100 @@ def _o_ann_search_ivf() -> str:
     """
 
 
+def _o_kmeans_cte(k: int, n_iter: int, dim: int = 64, quant: int = 10**6) -> str:
+    """Lloyd's k-means replayed as a CTE chain c0..c{n_iter}: init =
+    vectors of the k lowest vec_ids; per iteration, assignment by
+    ROUNDED exact-fold centroid cosine (ties cluster asc — identical
+    convention to _o_ann_ivf's list assignment), update = fixed-point
+    integer sums (floor(x*quant + 0.5) per component) divided once in
+    double. Integer addition is order-independent, so this single-
+    threaded replay equals the engine's distributed partial-sum combine
+    EXACTLY — the design that makes an iterative distributed algorithm
+    hash-checkable (operators/kmeans.py docstring). Empty clusters keep
+    the previous centroid with n_points 0."""
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> m.v[i] * c.cv[i]))"
+    )
+    parts = [
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+             v AS cv, cast(0 AS bigint) AS n_points
+      FROM n ORDER BY vec_id LIMIT {k})"""
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""cn{i} AS (
+      SELECT cluster_id, cv,
+             sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+      FROM c{i})"""
+        )
+        parts.append(
+            f"""a{i} AS (
+      SELECT m.vec_id, m.v, c.cluster_id, row_number() OVER (
+        PARTITION BY m.vec_id
+        ORDER BY {sc.round6_sql(f"{dot} / (m.nrm * c.cnrm)")} DESC,
+                 c.cluster_id ASC) AS pr
+      FROM n m CROSS JOIN cn{i} c)"""
+        )
+        parts.extend((
+            f"""qg{i} AS (
+      SELECT cluster_id, count(*) AS cnt, list(qv) AS qvs
+      FROM (SELECT cluster_id,
+                   list_transform(v,
+                     x -> cast(floor(x * {quant}.0 + 0.5) AS bigint)) AS qv
+            FROM a{i} WHERE pr = 1)
+      GROUP BY cluster_id)""",
+            f"""qs{i} AS (
+      SELECT cluster_id, cnt,
+             list_transform(generate_series(1, {dim}),
+               d -> list_sum(list_transform(qvs, w -> w[d]))) AS s
+      FROM qg{i})""",
+        ))
+        parts.append(
+            f"""c{i + 1} AS (
+      SELECT p.cluster_id,
+             CASE WHEN q.cnt IS NULL THEN p.cv
+                  ELSE list_transform(q.s, s -> cast(s AS double)
+                         / ({quant}.0 * cast(q.cnt AS double))) END AS cv,
+             cast(coalesce(q.cnt, 0) AS bigint) AS n_points
+      FROM c{i} p LEFT JOIN qs{i} q USING (cluster_id))"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _o_kmeans_train(k: int, n_iter: int, dim: int = 64) -> str:
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    {_o_kmeans_cte(k, n_iter, dim)}
+    SELECT c.cluster_id, gs.d AS pos,
+           {sc.round6_sql("c.cv[gs.d]")} AS val, c.n_points
+    FROM c{n_iter} c CROSS JOIN generate_series(1, {dim}) AS gs(d)
+    """
+
+
+def _o_kmeans_assign(k: int, n_iter: int, dim: int = 64) -> str:
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> m.v[i] * c.cv[i]))"
+    )
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    {_o_kmeans_cte(k, n_iter, dim)},
+    cnF AS (
+      SELECT cluster_id, cv,
+             sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+      FROM c{n_iter}),
+    aF AS (
+      SELECT m.vec_id, c.cluster_id, row_number() OVER (
+        PARTITION BY m.vec_id
+        ORDER BY {sc.round6_sql(f"{dot} / (m.nrm * c.cnrm)")} DESC,
+                 c.cluster_id ASC) AS pr
+      FROM n m CROSS JOIN cnF c)
+    SELECT vec_id, cluster_id FROM aF WHERE pr = 1
+    """
+
+
 def _o_events_windowed() -> str:
     return """
     SELECT cast(epoch(date_trunc('hour', ts)) as bigint) AS window_start,
@@ -2201,6 +2327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_search": q_ann_search,
         "ann_search_persisted": q_ann_search_persisted,
         "ann_search_ivf": q_ann_search_ivf,
+        "kmeans_train": q_kmeans_train,
+        "kmeans_assign": q_kmeans_assign,
         "image_pipeline": q_image_pipeline,
         "image_decode_stats": q_image_decode_stats,
         "image_resize": q_image_resize,
@@ -2279,6 +2407,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_search": _o_ann_search(),
         "ann_search_persisted": _o_ann_search(),
         "ann_search_ivf": _o_ann_search_ivf(),
+        "kmeans_train": _o_kmeans_train(KMEANS_K, KMEANS_ITER),
+        "kmeans_assign": _o_kmeans_assign(KMEANS_K, KMEANS_ITER),
         # media queries: DuckDB splitmix64 replay — the oracle
         # recomputes pixels/samples closed-form from row ids and never
         # touches the binary payloads (see _duck_mix64)

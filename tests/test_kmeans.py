@@ -1,0 +1,164 @@
+"""kmeans_fit / kmeans_train / kmeans_assign (operators/kmeans.py).
+
+The load-bearing property is PARTITION-INDEPENDENCE: the fixed-point
+integer update must produce bit-identical centroids under any data
+layout, or the DuckDB single-threaded replay (contract keys
+kmeans_train/kmeans_assign) could never hash-match the distributed
+combine."""
+
+import numpy as np
+import pytest
+
+from cityfinder_spark.operators.kmeans import (
+    _assign_np,
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_train,
+)
+from cityfinder_spark.operators.similarity import COS_DIGITS
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _emb(spark, parts=None):
+    df = spark.read.parquet(EMB)
+    return df.repartition(parts) if parts else df
+
+
+def test_partition_independence_bit_exact(spark):
+    """Centroids and counts identical across 1, 3 and 8 partitions —
+    float partial means would fail this; integer fixed-point sums
+    cannot (associative adds, one final division on equal operands)."""
+    base_C, base_n = kmeans_fit(_emb(spark, 1), k=6, n_iter=2)
+    for parts in (3, 8):
+        C, n = kmeans_fit(_emb(spark, parts), k=6, n_iter=2)
+        assert np.array_equal(C, base_C)  # bitwise, not allclose
+        assert np.array_equal(n, base_n)
+
+
+def test_assign_matches_local_argmax(spark):
+    """kmeans_assign == the rounded-cosine first-max oracle computed
+    locally over the collected table."""
+    C, _ = kmeans_fit(_emb(spark), k=5, n_iter=1)
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(_emb(spark, 4), C).collect()
+    }
+    pdf = _emb(spark).select("vec_id", "embedding").toPandas()
+    Q = np.array([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    want = _assign_np(Q, C, COS_DIGITS)
+    assert len(got) == len(pdf)
+    for vid, w in zip(pdf["vec_id"], want):
+        assert got[vid] == w
+
+
+def test_lloyd_improves_objective(spark):
+    """More iterations -> mean cosine of each point to its assigned
+    centroid does not decrease (Lloyd's monotonicity, up to the 1e-6
+    assignment rounding)."""
+    pdf = _emb(spark).select("embedding").toPandas()
+    Q = np.array([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def objective(C):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return float(np.mean(np.max(Qn @ Cn.T, axis=1)))
+
+    C1, _ = kmeans_fit(_emb(spark), k=8, n_iter=1)
+    C4, _ = kmeans_fit(_emb(spark), k=8, n_iter=4)
+    assert objective(C4) >= objective(C1) - 1e-6
+
+
+def test_training_beats_seeds(spark):
+    """Quality gate (the ANN-recall analog): 5 Lloyd rounds must lift
+    the mean point-to-centroid cosine well above the raw seed
+    centroids — measured 0.203 (seeds) -> 0.289 (5 iters) on the
+    contract embeddings; the bar asserts most of that lift. (Label
+    purity is NOT the gate: the synthetic labels are only weakly
+    cluster-structured — assigning to the TRUE label centroids scores
+    just 0.374 purity — so objective improvement is the honest
+    measure of the optimizer.)"""
+    from cityfinder_spark.operators.kmeans import _init_centroids
+
+    pdf = _emb(spark).select("embedding").toPandas()
+    Q = np.array([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def objective(C):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return float(np.mean(np.max(Qn @ Cn.T, axis=1)))
+
+    seeds = _init_centroids(_emb(spark), 10, "vec_id", "embedding")
+    C, _ = kmeans_fit(_emb(spark), k=10, n_iter=5)
+    assert objective(C) >= objective(seeds) + 0.05
+
+
+def test_empty_cluster_carries_over(spark):
+    """Two identical seed vectors -> the higher cluster_id starves
+    (ties assign to the lowest id); its centroid must stay the seed
+    vector with n_points 0."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),  # seed 1 == seed 0 -> cluster 1 starves
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_train(df, k=2, n_iter=1).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    c1 = sorted(by_cluster[1], key=lambda r: r["pos"])
+    assert [r["val"] for r in c1] == [1.0, 0.0]  # untouched seed
+    assert all(r["n_points"] == 0 for r in c1)
+    assert all(r["n_points"] == 4 for r in by_cluster[0])
+    # ...and a starved cluster is not dead: iteration 2 re-captures
+    # the [1,0]-like points once cluster 0's mean has drifted away
+    out2 = kmeans_train(df, k=2, n_iter=2).collect()
+    n1 = {r["n_points"] for r in out2 if r["cluster_id"] == 1}
+    assert n1 == {3}
+
+
+def test_k_larger_than_corpus(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_train(df, k=5, n_iter=1).collect()
+    assert {r["cluster_id"] for r in out} == {0, 1}  # only n seeds exist
+    assert sum(r["n_points"] for r in out if r["pos"] == 1) == 2
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_assign_streaming_safe(spark, tmp_path, parts):
+    """kmeans_assign runs unchanged on readStream (stateless pass)."""
+    import os
+
+    src = tmp_path / "km_src"
+    src.mkdir()
+    pdf = _emb(spark).limit(40).toPandas()
+    p = str(src / "a.parquet")
+    pdf.to_parquet(p)
+    os.utime(p, (1_000_000, 1_000_000))
+    C, _ = kmeans_fit(_emb(spark), k=4, n_iter=1)
+
+    schema = spark.read.parquet(str(src)).schema
+    stream_in = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        kmeans_assign(stream_in, C)
+        .writeStream.format("memory")
+        .queryName(f"t_km_assign_{parts}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in spark.table(f"t_km_assign_{parts}").collect()
+    }
+    want = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(
+            spark.createDataFrame(pdf).repartition(parts), C
+        ).collect()
+    }
+    assert got == want and len(got) == 40
