@@ -90,6 +90,7 @@ HEADLINE = [
     "kmeans_assign",
     "image_pipeline",
     "image_decode_stats",
+    "phash_near_dup",
     "image_resize",
     "video_frame_sample",
     "audio_features",

@@ -222,21 +222,35 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def phash64(pix: np.ndarray) -> int:
-    """Deterministic 64-bit perceptual-style hash: 8x8 block means
-    thresholded at the global mean (gray)."""
-    gray = pix.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1),
-                                xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
-    bits = (blocks > blocks.mean()).ravel()
-    out = 0
-    for i, b in enumerate(bits):
-        if b:
-            out |= 1 << i
+    """Deterministic 64-bit perceptual-style hash (aHash family):
+    bit (8*bi + bj) is set iff the mean intensity of 8x8 block
+    (bi, bj) exceeds the global mean intensity.
+
+    INTEGER-EXACT by construction: the comparison is the
+    cross-multiplication  S_block * C_total > S_total * c_block  over
+    raw byte sums — no float means anywhere — so the hash is
+    bit-identical across numpy, Spark and a DuckDB SQL replay
+    regardless of summation order (that is what lets phash live in a
+    value-hashed contract projection). Overflow bound: S_total <=
+    w*h*3*255 and C_total = w*h*3, so the product stays < 2^63 for
+    images up to ~4096x4096.
+
+    Block of pixel row y is bi = (8*y + 7) // h — the exact inverse of
+    the boundary table ys[i] = (i*h) // 8 for h >= 8 (clipped for
+    tiny images, where trailing blocks may be empty -> bit 0).
+    """
+    h, w = pix.shape[:2]
+    c = pix.reshape(h, w, -1).shape[2]
+    vals = pix.reshape(h, w, -1).astype(np.int64).sum(axis=2)  # per-pixel byte sum
+    bi = np.minimum(7, (8 * np.arange(h) + 7) // h)
+    bj = np.minimum(7, (8 * np.arange(w) + 7) // w)
+    blk = (bi[:, None] * 8 + bj[None, :]).ravel()
+    s_blk = np.zeros(64, dtype=np.int64)
+    np.add.at(s_blk, blk, vals.ravel())
+    c_blk = np.bincount(blk, minlength=64).astype(np.int64) * c
+    s_tot = int(vals.sum())
+    c_tot = h * w * c
+    bits = s_blk * c_tot > s_tot * c_blk
+    out = int(((1 << np.arange(64, dtype=np.uint64)) * bits.astype(np.uint64)).sum())
     # keep it inside signed int64 for Spark LongType
     return out - (1 << 64) if out >= (1 << 63) else out

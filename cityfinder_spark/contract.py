@@ -810,18 +810,41 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode every payload -> shape/stats. Oracled exactly: the fake
-    codec's pixel stream is splitmix64(2*id + j), replayed in DuckDB
-    with 128-bit modular arithmetic; mean_pixel is an exact integer
-    sum / count in both engines (no summation-order risk). phash stays
-    out of the contract projection — its float64 block means are
-    ulp-order-sensitive — and is pytest-pinned instead."""
+    """Decode every payload -> shape/stats/phash. Oracled exactly: the
+    fake codec's pixel stream is splitmix64(2*id + j), replayed in
+    DuckDB with 128-bit modular arithmetic; mean_pixel is an exact
+    integer sum / count in both engines (no summation-order risk), and
+    phash64 is integer-exact by construction (block-vs-global mean
+    comparison via cross-multiplied byte sums, codecs/fakeimage.py),
+    so the full 64-bit perceptual hash is value-hashed too."""
     from cityfinder_spark.operators.images_ops import decode_stats
 
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
     return decode_stats(_media_table(spark, "images", n)).select(
-        "image_id", "fmt", "w", "h", "mean_pixel"
+        "image_id", "fmt", "w", "h", "mean_pixel", "phash"
     )
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection over the input-hint phash column:
+    the base image table unioned with planted near-duplicate variants
+    (perturb_variants: XOR 68 into the first 96 decoded bytes of every
+    5th image, re-encoded under a 'dup' id), then decode -> integer-
+    exact 64-bit phash -> banded hamming self-join at max_dist=3. The
+    banding guarantee is exact (pigeonhole over 4x16-bit chunks), so
+    the oracle is a closed-form DuckDB replay: regenerate both pixel
+    populations from row ids, recompute every phash in SQL, all-pairs
+    popcount. Planted pairs span hamming 0..~6, so the key exercises
+    hits AND threshold rejections."""
+    from cityfinder_spark.operators.images_ops import (
+        perturb_variants,
+        phash_near_dup,
+    )
+
+    n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
+    imgs = _media_table(spark, "images", n)
+    inp = imgs.select("image_id", "bytes").unionByName(perturb_variants(imgs))
+    return phash_near_dup(inp, max_dist=3)
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1729,15 +1752,85 @@ _DUCK_IMG_BYTE = (
 
 _DUCK_IMG_ID = "'img' || lpad(cast(i AS VARCHAR), 12, '0')"
 
+# 8x8 block index of pixel byte j in a (h, w, 3) image: the exact
+# inverse of the boundary table ys[i] = (i*h)//8 used by phash64
+# (codecs/fakeimage.py) — y = j // (3w), x = (j // 3) % w
+_DUCK_IMG_BLK = (
+    "least(7, (8 * (j // (3 * w)) + 7) // h) * 8"
+    " + least(7, (8 * ((j // 3) % w) + 7) // w)"
+)
+
+# blocks CTE (gid, blk, s_blk, c_blk) -> one signed-BIGINT phash per
+# gid; bit b set iff s_blk * c_tot > s_tot * c_blk (the integer-exact
+# cross-multiplication phash64 uses — see codecs/fakeimage.py)
+_DUCK_PHASH_FROM_BLKS = """
+    tot AS (SELECT gid, sum(s_blk) AS s_tot, sum(c_blk) AS c_tot
+            FROM blks GROUP BY gid),
+    phu AS (
+      SELECT blks.gid,
+             sum(CASE WHEN s_blk * c_tot > s_tot * c_blk
+                 THEN (cast(1 AS HUGEINT) << cast(blk AS INT))
+                 ELSE 0 END) AS ph
+      FROM blks JOIN tot ON blks.gid = tot.gid GROUP BY blks.gid),
+    ph AS (
+      SELECT gid,
+             cast(CASE WHEN ph >= 9223372036854775808
+                  THEN ph - 18446744073709551616 ELSE ph END
+                  AS BIGINT) AS phash
+      FROM phu)
+"""
+
 
 def _o_image_decode_stats() -> str:
     return f"""
     WITH {_duck_images_cte(20)},
-    {_duck_mix64("px")}
+    {_duck_mix64("px")},
+    pxb AS (SELECT i, fmt, w, h, {_DUCK_IMG_BYTE} AS b,
+                   {_DUCK_IMG_BLK} AS blk
+            FROM mx),
+    blks AS (SELECT i AS gid, any_value(fmt) AS fmt, any_value(w) AS w,
+                    any_value(h) AS h, blk,
+                    sum(b) AS s_blk, count(*) AS c_blk
+             FROM pxb GROUP BY i, blk),
+    {_DUCK_PHASH_FROM_BLKS},
+    stats AS (SELECT gid AS i, any_value(fmt) AS fmt, any_value(w) AS w,
+                     any_value(h) AS h,
+                     cast(sum(s_blk) AS DOUBLE) / sum(c_blk) AS mean_pixel
+              FROM blks GROUP BY gid)
     SELECT {_DUCK_IMG_ID} AS image_id, fmt,
-           cast(w AS INT) AS w, cast(h AS INT) AS h,
-           cast(sum({_DUCK_IMG_BYTE}) AS DOUBLE) / (w * h * 3) AS mean_pixel
-    FROM mx GROUP BY i, fmt, w, h
+           cast(w AS INT) AS w, cast(h AS INT) AS h, mean_pixel, phash
+    FROM stats JOIN ph ON stats.i = ph.gid
+    """
+
+
+def _o_phash_near_dup() -> str:
+    """Replays q_phash_near_dup closed-form: base population + the
+    perturbed 'dup' population (XOR 68 into the first 96 decoded
+    bytes of every 5th image — after lossy quantization, exactly as
+    decode -> perturb -> re-encode produces), phash64 per image in
+    SQL, then all-pairs popcount at max_dist=3 (the engine's banded
+    join is exact by pigeonhole, so brute force is the right oracle).
+    """
+    return f"""
+    WITH {_duck_images_cte(20)},
+    {_duck_mix64("px")},
+    base AS (SELECT {_DUCK_IMG_ID} AS gid, i, w, h, j,
+                    {_DUCK_IMG_BYTE} AS b
+             FROM mx),
+    allb AS (
+      SELECT gid, w, h, j, b FROM base
+      UNION ALL
+      SELECT 'dup' || lpad(cast(i AS VARCHAR), 12, '0') AS gid, w, h, j,
+             CASE WHEN j < 96 THEN xor(b, 68) ELSE b END AS b
+      FROM base WHERE i % 5 = 0),
+    blks AS (SELECT gid, {_DUCK_IMG_BLK} AS blk,
+                    sum(b) AS s_blk, count(*) AS c_blk
+             FROM allb GROUP BY gid, {_DUCK_IMG_BLK}),
+    {_DUCK_PHASH_FROM_BLKS}
+    SELECT a.gid AS img_a, b.gid AS img_b,
+           cast(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM ph a JOIN ph b ON a.gid < b.gid
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
     """
 
 
@@ -2331,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "image_pipeline": q_image_pipeline,
         "image_decode_stats": q_image_decode_stats,
+        "phash_near_dup": q_phash_near_dup,
         "image_resize": q_image_resize,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
@@ -2414,6 +2508,7 @@ def oracle_sql() -> dict[str, str]:
         # touches the binary payloads (see _duck_mix64)
         "image_pipeline": _o_image_pipeline(),
         "image_decode_stats": _o_image_decode_stats(),
+        "phash_near_dup": _o_phash_near_dup(),
         "image_resize": _o_image_resize(),
         "video_frame_sample": _o_video_frame_sample(),
         "audio_features": _o_audio_features(),

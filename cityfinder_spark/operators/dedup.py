@@ -447,42 +447,59 @@ def simhash(
 
 
 def hamming_pairs(
-    sig: DataFrame, max_dist: int = 3, bits: int = SIMHASH_BITS, id_col: str = "doc_id"
+    sig: DataFrame,
+    max_dist: int = 3,
+    bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    out_cols: tuple[str, str] = ("doc_a", "doc_b"),
 ) -> DataFrame:
-    """Pairs of docs whose simhash differs in <= max_dist bits.
+    """Pairs of rows whose `sig_col` differs in <= max_dist bits.
     Candidate prune: split the signature into max_dist+1 chunks —
     any pair within max_dist agrees exactly on >= 1 chunk (pigeonhole),
-    so the join is equi on (chunk_idx, chunk_value), never O(n^2)."""
+    so the join is equi on (chunk_idx, chunk_value), never O(n^2).
+    The guarantee is EXACT (all qualifying pairs are found), not
+    probabilistic. Works for any signature width up to 64 bits
+    (chunk extraction uses unsigned shifts, so sign-bit-set 64-bit
+    hashes — e.g. image phash — are handled)."""
     nchunks = max_dist + 1
     chunk_bits = max(1, bits // nchunks)
+    col_a, col_b = out_cols
+
+    def chunk_val(c: int):
+        lo = c * chunk_bits
+        # last chunk absorbs the remainder so the chunks PARTITION
+        # all `bits` bits (required for the pigeonhole guarantee)
+        width = bits - lo if c == nchunks - 1 else chunk_bits
+        shifted = F.shiftrightunsigned(F.col(sig_col), lo)
+        if lo + width >= 64:
+            return shifted  # top chunk: shift already dropped the rest
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     chunks = sig.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        (
-                            (F.col("simhash") % F.lit(1 << min(bits, (c + 1) * chunk_bits)))
-                            / F.lit(1 << (c * chunk_bits))
-                        ).cast("long").alias("v"),
+                        chunk_val(c).cast("long").alias("v"),
                     )
                     for c in range(nchunks)
                 ]
             )
         ).alias("ch"),
-    ).select(id_col, "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
-    a = chunks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "c", "v")
-    b = chunks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "c", "v")
+    ).select(id_col, sig_col, F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a = chunks.select(F.col(id_col).alias(col_a), F.col(sig_col).alias("sig_a"), "c", "v")
+    b = chunks.select(F.col(id_col).alias(col_b), F.col(sig_col).alias("sig_b"), "c", "v")
     cand = (
-        a.join(b, ["c", "v"]).where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+        a.join(b, ["c", "v"]).where(F.col(col_a) < F.col(col_b))
+        .select(col_a, col_b, "sig_a", "sig_b").distinct()
     )
-    xor = F.expr(f"cast(sig_a as int) ^ cast(sig_b as int)")
-    hd = F.bit_count(xor)
+    hd = F.bit_count(F.expr("sig_a ^ sig_b"))
     return cand.withColumn("hamming", hd).where(F.col("hamming") <= max_dist).select(
-        "doc_a", "doc_b", "hamming"
+        col_a, col_b, "hamming"
     )
 
 

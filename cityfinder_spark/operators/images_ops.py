@@ -138,3 +138,66 @@ def check_payload_invariants(images: DataFrame) -> DataFrame:
             "caption_ok boolean, phash_ok boolean"
         ),
     )
+
+
+def perturb_variants(
+    images: DataFrame, every: int = 5, n_bytes: int = 96, delta: int = 68
+) -> DataFrame:
+    """Derive near-duplicate variants: for every `every`-th image
+    (by numeric id), XOR `delta` into the first `n_bytes` decoded
+    pixel bytes and re-encode with the same format, under a new
+    'dupNNN' id. delta=68 (bits 2 and 6) survives the lossy
+    re-quantization (both bits are above the dropped low-2-bits), so
+    the variant's decoded pixels differ from the source by exactly the
+    planted perturbation — the standard augmentation/corruption shape
+    used to exercise near-dup detection. With the defaults the planted
+    pairs span hamming 0..~6 against the source phash, so a downstream
+    near-dup join at max_dist=3 sees real hits AND real misses.
+    Output: (image_id, bytes)."""
+    cols = images.select("image_id", "bytes")
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for img_id, buf in zip(pdf["image_id"], pdf["bytes"]):
+                i = int(str(img_id).removeprefix("img"))
+                if i % every:
+                    continue
+                fmt, pix = decode(bytes(buf))
+                flat = pix.reshape(-1).copy()
+                k = min(n_bytes, flat.size)
+                flat[:k] ^= np.uint8(delta)
+                out.append(
+                    {
+                        "image_id": f"dup{i:012d}",
+                        "bytes": encode(flat.reshape(pix.shape), fmt),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["image_id", "bytes"])
+
+    return cols.mapInPandas(op, schema="image_id string, bytes binary")
+
+
+def phash_near_dup(images: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance:
+    decode -> 64-bit integer-exact phash (one Arrow pass, zero
+    shuffle) -> banded hamming self-join. The banding is EXACT, not
+    probabilistic: the 64 bits split into max_dist+1 chunks, and any
+    pair within max_dist hamming agrees on >= 1 chunk (pigeonhole),
+    so candidates come from an equi-join on (chunk_idx, chunk_value)
+    — never O(n^2). Only (image_id, 3 longs) rows shuffle; the image
+    payloads never leave the decode stage. That is the 10^12-image
+    dedup shape: linear candidate generation at fixed bucket
+    occupancy, constant per-pair refinement (one xor+popcount).
+    Output: (img_a, img_b, hamming)."""
+    from cityfinder_spark.operators.dedup import hamming_pairs
+
+    sig = decode_stats(images).select("image_id", "phash")
+    return hamming_pairs(
+        sig,
+        max_dist=max_dist,
+        bits=64,
+        id_col="image_id",
+        sig_col="phash",
+        out_cols=("img_a", "img_b"),
+    )

@@ -218,3 +218,88 @@ def test_invariant_check_catches_corruption(spark):
     assert not v[bad_cap]["caption_ok"]
     ok_ids = set(v) - {bad_pix, bad_cap}
     assert all(v[k]["psnr_ok"] and v[k]["caption_ok"] for k in ok_ids)
+
+
+# ---------------- phash near-dup (banded hamming join) ----------------
+
+
+def _brute_phash_pairs(sigs: dict, max_dist: int):
+    ids = sorted(sigs)
+    return sorted(
+        (a, b, bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= max_dist
+    )
+
+
+def test_phash64_integer_exact_cross_multiplication():
+    """phash64's bit rule is S_blk * C_tot > S_tot * c_blk over raw
+    integer byte sums — verify bit-for-bit against an independent
+    per-block brute force, including a tiny image with empty blocks."""
+    for i, w, h in [(0, 8, 8), (7, 33, 19), (99, 64, 64), (3, 4, 4)]:
+        pix = gen_pixels(i, w, h)
+        vals = pix.astype(np.int64).sum(axis=2)
+        S, C = int(vals.sum()), h * w * 3
+        exp = 0
+        for b in range(64):
+            bi, bj = b // 8, b % 8
+            ys = [y for y in range(h) if min(7, (8 * y + 7) // h) == bi]
+            xs = [x for x in range(w) if min(7, (8 * x + 7) // w) == bj]
+            sb = sum(int(vals[y, x]) for y in ys for x in xs)
+            cb = len(ys) * len(xs) * 3
+            if sb * C > S * cb:
+                exp |= 1 << b
+        exp = exp - (1 << 64) if exp >= (1 << 63) else exp
+        assert phash64(pix) == exp
+
+
+def test_phash_near_dup_exact_vs_brute_force(spark):
+    """The banded join finds EXACTLY the hamming<=3 pairs (pigeonhole
+    guarantee, not probabilistic): planted near-dup variants with
+    hamming 0..3 are all recovered, farther ones all rejected."""
+    from cityfinder_spark.operators.images_ops import (
+        perturb_variants,
+        phash_near_dup,
+    )
+
+    imgs = images_table(spark, 80, partitions=4)
+    inp = imgs.select("image_id", "bytes").unionByName(perturb_variants(imgs))
+    got = sorted(
+        (r.img_a, r.img_b, r.hamming)
+        for r in phash_near_dup(inp, max_dist=3).collect()
+    )
+    sigs = {r.image_id: r.phash for r in decode_stats(inp).collect()}
+    assert got == _brute_phash_pairs(sigs, 3)
+    # planted dups exist and are found (hamming spread starts at 0)
+    assert any(a.startswith("dup") or b.startswith("dup") for a, b, _ in got)
+    assert len(got) >= 10
+
+
+def test_hamming_pairs_64bit_sign_bit_safe(spark):
+    """Signatures with the sign bit set (negative longs) chunk and
+    compare correctly — unsigned shifts, long xor, 64-bit popcount."""
+    from cityfinder_spark.operators.dedup import hamming_pairs
+
+    def s64(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    base = 0xF234_5678_9ABC_DEF0
+    rows = [
+        ("a", s64(base)),
+        ("b", s64(base ^ (1 << 63))),          # 1 bit off, in the top chunk
+        ("c", s64(base ^ 0b111)),              # 3 bits off, bottom chunk
+        ("d", s64(base ^ ((1 << 62) | (1 << 1) | (1 << 33) | (1 << 17)))),  # 4 off
+        ("e", 12345),                           # far away
+    ]
+    sig = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = {
+        (r.img_a, r.img_b): r.hamming
+        for r in hamming_pairs(
+            sig, max_dist=3, bits=64, id_col="image_id",
+            sig_col="phash", out_cols=("img_a", "img_b"),
+        ).collect()
+    }
+    # exact expectation: brute force over the five signatures
+    sigs = dict(rows)
+    assert sorted((a, b, h) for (a, b), h in pairs.items()) == _brute_phash_pairs(sigs, 3)
