@@ -55,6 +55,7 @@ HEADLINE = [
     "raster_tiles",
     "point_in_polygon",
     "geo_rollup",
+    "box_range_join",
     "geonames_scan",
     "postal_scan",
     "index_roundtrip",
@@ -116,6 +117,7 @@ _FACT_TABLE = {
     "raster_tiles": "orders",
     "point_in_polygon": "orders",
     "geo_rollup": "orders",
+    "box_range_join": "orders",
     "index_roundtrip": "orders",
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",

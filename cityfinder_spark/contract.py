@@ -385,6 +385,38 @@ def _polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_box_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial range join: every point x every query rectangle it
+    falls in (bounds inclusive), including antimeridian-crossing and
+    pole-clamped boxes. Spark plans a raw BETWEEN join as a nested
+    loop (O(N*B) compares); the engine grids it instead — boxes
+    explode into covering cells, points key to their one cell, an
+    equi-join on the cell id generates candidates, the exact
+    rectangle test refines (operators/range_join.py). Oracle = the
+    brute-force inequality join in DuckDB over the same
+    deterministically-derived boxes (sqlcompat.boxes_from_orders_sql,
+    identical expression text both sides)."""
+    from cityfinder_spark.operators.range_join import bbox_join
+
+    load_views(spark, sf_dir, ("orders",))
+    pts = _points(spark, sf_dir).select("pt_id", "lat", "lon")
+    boxes = spark.sql(sc.boxes_from_orders_sql())
+    return bbox_join(pts, boxes, level=CELL_LEVEL)
+
+
+def _o_box_range_join() -> str:
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+    boxes AS ({sc.boxes_from_orders_sql()})
+    SELECT p.pt_id, b.box_id
+    FROM pts p JOIN boxes b ON
+      p.lat >= b.lat_min AND p.lat <= b.lat_max AND
+      (CASE WHEN b.lon_min <= b.lon_max
+            THEN p.lon >= b.lon_min AND p.lon <= b.lon_max
+            ELSE p.lon >= b.lon_min OR p.lon <= b.lon_max END)
+    """
+
+
 def q_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north star's stages composed end-to-end in ONE pipeline:
     geotagged points -> nearest-city kNN (broadcast CityIndex, zero
@@ -2392,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_tiles": q_raster_tiles,
         "point_in_polygon": q_point_in_polygon,
         "geo_rollup": q_geo_rollup,
+        "box_range_join": q_box_range_join,
         "geonames_scan": q_geonames_scan,
         "postal_scan": q_postal_scan,
         "index_roundtrip": q_index_roundtrip,
@@ -2455,6 +2488,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_tiles": _o_raster_tiles(),
         "point_in_polygon": _o_point_in_polygon(),
         "geo_rollup": _o_geo_rollup(),
+        "box_range_join": _o_box_range_join(),
         "geonames_scan": _o_geonames_scan(),
         "postal_scan": _o_postal_scan(),
         "index_roundtrip": _o_nearest_city(),

@@ -98,6 +98,31 @@ def points_from_orders_sql(orders: str = "orders") -> str:
     """
 
 
+def boxes_from_orders_sql(orders: str = "orders", modulus: int = 199) -> str:
+    """Query rectangles: every `modulus`-th order becomes a lat/lon box
+    centered on its point with half-extents 0.5..3.5 degrees derived
+    from the key. Longitude bounds wrap into [-180, 180): lon_min >
+    lon_max marks an antimeridian-crossing box (a few percent of the
+    set, by construction). Latitude clamps at the poles. All arithmetic
+    is integer-derived IEEE doubles with identical expression text in
+    Spark and DuckDB, so the bounds agree bit-for-bit."""
+    return f"""
+    SELECT box_id,
+           greatest(cast(-90 as double), lat - half_lat) AS lat_min,
+           least(cast(90 as double), lat + half_lat) AS lat_max,
+           (((lon - half_lon + 540.0) % 360.0) - 180.0) AS lon_min,
+           (((lon + half_lon + 540.0) % 360.0) - 180.0) AS lon_max
+    FROM (
+      SELECT o_orderkey AS box_id,
+             ((((o_orderkey * 48271) % 17900) / cast(100 as double)) - 89.495) AS lat,
+             ((((o_orderkey * 69621) % 36000) / cast(100 as double)) - 179.995) AS lon,
+             ((o_orderkey % 7) * 50 + 50) / cast(100 as double) AS half_lat,
+             ((o_orderkey % 5) * 75 + 50) / cast(100 as double) AS half_lon
+      FROM {orders}
+      WHERE o_orderkey % {modulus} = 0)
+    """
+
+
 def names_dim_sql(customer: str = "customer", nation: str = "nation") -> str:
     """Name dimension with built-in duplicate (country, name) pairs
     (c_custkey % 400) to pin first-match semantics (J2/J6)."""
