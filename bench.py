@@ -73,6 +73,7 @@ HEADLINE = [
     "corpus_pipeline",
     "token_stats",
     "text_quality",
+    "repetition_stats",
     "doc_fingerprint",
     "pack_sequences",
     "bin_manifest",
@@ -133,6 +134,7 @@ _FACT_TABLE = {
     "corpus_pipeline": "documents",
     "token_stats": "documents",
     "text_quality": "documents",
+    "repetition_stats": "documents",
     "doc_fingerprint": "documents",
     "pack_sequences": "documents",
     "bin_manifest": "documents",

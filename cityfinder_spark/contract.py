@@ -604,6 +604,54 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (top-bigram share,
+    dup bigram/trigram share, composite gate) — pure codegen
+    projection, zero shuffle; oracled via DuckDB list functions with
+    the shared round6 so the doubles are bit-identical."""
+    from cityfinder_spark.operators.textops import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _o_repetition_stats() -> str:
+    from cityfinder_spark.operators.textops import (
+        REP_DUP_TRIGRAM_MAX,
+        REP_TOP_BIGRAM_MAX,
+    )
+
+    top2 = sc.round6_sql(
+        "CASE WHEN len(bg) > 0 THEN list_max(list_transform(list_distinct(bg),"
+        " x -> len(list_filter(bg, y -> y = x)))) / cast(len(bg) AS DOUBLE)"
+        " ELSE 0.0 END"
+    )
+    dup2 = sc.round6_sql(
+        "CASE WHEN len(bg) > 0 THEN 1.0 - len(list_distinct(bg))"
+        " / cast(len(bg) AS DOUBLE) ELSE 0.0 END"
+    )
+    dup3 = sc.round6_sql(
+        "CASE WHEN len(tg) > 0 THEN 1.0 - len(list_distinct(tg))"
+        " / cast(len(tg) AS DOUBLE) ELSE 0.0 END"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id,
+            list_transform(range(1, len(w)),
+                           i -> w[i] || ' ' || w[i+1]) AS bg,
+            list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+          FROM d),
+    r AS (SELECT doc_id, {top2} AS top_bigram_ratio,
+                 {dup2} AS dup_bigram_ratio, {dup3} AS dup_trigram_ratio
+          FROM g)
+    SELECT doc_id, top_bigram_ratio, dup_bigram_ratio, dup_trigram_ratio,
+           ((top_bigram_ratio > {REP_TOP_BIGRAM_MAX}
+             AND dup_bigram_ratio > 0.0)
+            OR dup_trigram_ratio > {REP_DUP_TRIGRAM_MAX}) AS repetitive
+    FROM r
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
@@ -2436,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "decontaminate": q_decontaminate,
         "text_quality": q_text_quality,
+        "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2500,6 +2549,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": _o_corpus_split(),
         "decontaminate": _o_decontaminate(),
         "text_quality": _o_text_quality(),
+        "repetition_stats": _o_repetition_stats(),
         "lang_id": _o_lang_id(),
         "doc_fingerprint": _o_fingerprint(),
         "ngram_jaccard": _o_ngram_jaccard(),

@@ -181,3 +181,73 @@ def fingerprint(
         f"))"
     )
     return docs.select(F.col(id_col), F.expr(expr).alias("fingerprint"))
+
+
+# repetition gates. Gopher's web-text values are ~0.18 (top-bigram
+# share) / ~0.30 (dup trigram share); the synthetic corpus draws from
+# a ~30-word vocabulary, so the same percentile intent lands lower —
+# these sit at ~p95 of the sf0.01 distribution, keeping both branches
+# of the `repetitive` flag live in tests and the contract gate.
+REP_TOP_BIGRAM_MAX = 0.09
+REP_DUP_TRIGRAM_MAX = 0.02
+
+
+def _grams_col(w: F.Column, k: int) -> F.Column:
+    """array<string> of word k-grams (space-joined), empty when the
+    doc has fewer than k words. Pure Catalyst higher-order functions."""
+    n = F.size(w)
+    gram = lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(k)])
+    return F.when(n >= k, F.transform(F.sequence(F.lit(0), n - k), gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition quality signals:
+
+      * top_bigram_ratio  — share of all bigram occurrences taken by
+        the single most frequent bigram (Gopher gates ~0.18);
+      * dup_bigram_ratio  — share of bigram occurrences that are
+        repeats of an earlier one (1 - distinct/total);
+      * dup_trigram_ratio — same at trigram granularity;
+      * repetitive        — the composite gate.
+
+    Pure codegen projection — zero shuffle, no UDF: k-gram arrays via
+    higher-order transform, per-gram counts via a distinct x filter
+    fold (O(distinct * n) per doc, bounded by doc length — per-row
+    work, embarrassingly parallel at any corpus scale). Ratios are
+    round6'd with the shared floor-form half-up so the DuckDB list-
+    function replay is bit-identical."""
+    w = _words(text_col)
+
+    def ratios(k: int):
+        g = _grams_col(w, k)
+        total = F.size(g)
+        distinct = F.size(F.array_distinct(g))
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(g),
+                lambda x: F.size(F.filter(g, lambda y: y == x)),
+            )
+        )
+        top_ratio = F.when(total > 0, top / total).otherwise(F.lit(0.0))
+        dup_ratio = F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0))
+        return round6_col(top_ratio), round6_col(dup_ratio)
+
+    top2, dup2 = ratios(2)
+    _, dup3 = ratios(3)
+    # the top-share gate also requires an actual repeat (dup2 > 0):
+    # a short all-distinct doc has top share 1/n_bigrams, which clears
+    # the threshold by shortness alone, not by repetition
+    rep = ((top2 > REP_TOP_BIGRAM_MAX) & (dup2 > 0.0)) | (
+        dup3 > REP_DUP_TRIGRAM_MAX
+    )
+    return docs.select(
+        F.col(id_col),
+        top2.alias("top_bigram_ratio"),
+        dup2.alias("dup_bigram_ratio"),
+        dup3.alias("dup_trigram_ratio"),
+        rep.alias("repetitive"),
+    )

@@ -363,3 +363,45 @@ def test_decontaminate_flags_exact_overlap(spark):
     assert set(out) == {train_ids[0], train_ids[1]}
     assert out[train_ids[0]] == (3, True)   # 5 words -> 3 shingles, all shared
     assert out[train_ids[1]] == (0, False)
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Hand-computable docs: uniform text, a degenerate one-word loop,
+    a single-word doc (no bigrams), and a half-repeated doc."""
+    from cityfinder_spark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            ("all_same", "x x x x x"),        # bigrams: 4x "x x"
+            ("distinct", "a b c d e"),        # 4 distinct bigrams
+            ("one_word", "solo"),             # no bigrams at all
+            ("half_rep", "a b a b a"),        # bigrams: ab,ba,ab,ba
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got["all_same"]["top_bigram_ratio"] == 1.0
+    assert got["all_same"]["dup_bigram_ratio"] == 0.75
+    assert got["all_same"]["dup_trigram_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["all_same"]["repetitive"] is True
+    assert got["distinct"]["top_bigram_ratio"] == 0.25
+    assert got["distinct"]["dup_bigram_ratio"] == 0.0
+    assert got["distinct"]["repetitive"] is False
+    assert got["one_word"]["top_bigram_ratio"] == 0.0
+    assert got["one_word"]["dup_bigram_ratio"] == 0.0
+    assert got["one_word"]["repetitive"] is False
+    assert got["half_rep"]["top_bigram_ratio"] == 0.5
+    assert got["half_rep"]["dup_bigram_ratio"] == 0.5
+
+
+def test_repetition_stats_zero_shuffle_plan(spark):
+    """Pure projection: no Exchange anywhere in the executed plan."""
+    from cityfinder_spark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c"), ("d2", "x y z")], "doc_id string, text string"
+    )
+    plan = (
+        repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
