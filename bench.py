@@ -48,6 +48,7 @@ HEADLINE = [
     "nearest_city_10m",
     "cell_assign",
     "hot_cells",
+    "cell_pyramid",
     "name_lookup",
     "name_lookup_exact",
     "postal_lookup",
@@ -112,6 +113,7 @@ _FACT_TABLE = {
     "nearest_city_tiled": "orders",
     "cell_assign": "orders",
     "hot_cells": "orders",
+    "cell_pyramid": "orders",
     "name_lookup": "orders",
     "name_lookup_exact": "orders",
     "postal_lookup": "orders",

@@ -385,6 +385,34 @@ def _polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup (H3 cellToParent / slippy-map pyramid):
+    point counts per cell at level 6 and every coarser level down to
+    2, the fact side shuffled ONCE and parents derived by exact id
+    arithmetic. The oracle recomputes each level independently from
+    raw coordinates — equality PROVES the parent arithmetic matches
+    the per-level float cell formula bit-for-bit (power-of-two IEEE
+    scaling is exact)."""
+    from cityfinder_spark.operators.raster import cell_pyramid
+
+    pts = _points(spark, sf_dir).select("lat", "lon")
+    return cell_pyramid(pts, level=CELL_LEVEL, depth=4)
+
+
+def _o_cell_pyramid() -> str:
+    per_level = [
+        f"""
+    SELECT {lvl} AS level, {sc.cell_sql("lat", "lon", lvl)} AS cell_id,
+           count(*) AS n_points
+    FROM pts GROUP BY 2"""
+        for lvl in range(CELL_LEVEL, CELL_LEVEL - 5, -1)
+    ]
+    return (
+        f"WITH pts AS ({sc.points_from_orders_sql()})"
+        + " UNION ALL ".join(per_level)
+    )
+
+
 def q_box_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial range join: every point x every query rectangle it
     falls in (bounds inclusive), including antimeridian-crossing and
@@ -2473,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": q_point_in_polygon,
         "geo_rollup": q_geo_rollup,
         "box_range_join": q_box_range_join,
+        "cell_pyramid": q_cell_pyramid,
         "geonames_scan": q_geonames_scan,
         "postal_scan": q_postal_scan,
         "index_roundtrip": q_index_roundtrip,
@@ -2538,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
         "point_in_polygon": _o_point_in_polygon(),
         "geo_rollup": _o_geo_rollup(),
         "box_range_join": _o_box_range_join(),
+        "cell_pyramid": _o_cell_pyramid(),
         "geonames_scan": _o_geonames_scan(),
         "postal_scan": _o_postal_scan(),
         "index_roundtrip": _o_nearest_city(),

@@ -49,3 +49,56 @@ def map_raster_tiles(
         .withColumn("cell_id", cell_col("tile_lat", "tile_lon", level))
         .drop("__nx", "__ny")
     )
+
+
+def cell_pyramid(
+    points: DataFrame,
+    *,
+    level: int,
+    depth: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Multi-resolution tile pyramid: point counts per cell at `level`
+    and every coarser level down to `level - depth` (H3 `cellToParent`
+    rollup / slippy-map tile pyramid). Output: (level, cell_id,
+    n_points), one row per non-empty cell per level.
+
+    Scale shape: ONE fact scan, ONE exchange. The finest cell id is a
+    codegen'd projection; every coarser ancestor derives from it by
+    pure id arithmetic IN THE SAME ROW (parent i = i//2, j = j//2 —
+    exact, because the grid halves per level and recomputing a coarser
+    cell from raw coordinates multiplies the same IEEE quotient by a
+    power of two, which is exact — so arithmetic parents equal
+    per-level recomputation bit-for-bit). The (level, cell) pairs
+    explode and feed a single map-side-combined groupBy: partial
+    aggregation collapses each task's output to at most (depth+1) x
+    |cells touched by the task| rows, so the exchange carries
+    cell-count rows, never point rows, and the pyramid never rescans
+    the fact table per level (a union of per-level aggregates would —
+    each lazy branch re-reads the scan).
+    """
+    from cityfinder_spark.geo.cells import grid_dims
+    from cityfinder_spark.sqlcompat import LEVEL_STRIDE
+
+    if depth < 0 or level - depth < 0:
+        raise ValueError(f"bad pyramid range: level={level} depth={depth}")
+
+    cell = cell_col(lat_col, lon_col, level)
+    entries = [
+        F.struct(F.lit(level).alias("level"), cell.alias("cell_id"))
+    ]
+    i = F.floor((cell - F.lit(level).cast("long") * F.lit(LEVEL_STRIDE)) / grid_dims(level)[1]).cast("long")
+    j = F.pmod(cell - F.lit(level).cast("long") * F.lit(LEVEL_STRIDE), F.lit(grid_dims(level)[1]))
+    for lvl in range(level - 1, level - depth - 1, -1):
+        i = F.floor(i / 2).cast("long")
+        j = F.floor(j / 2).cast("long")
+        _, nlon = grid_dims(lvl)
+        parent = F.lit(lvl).cast("long") * F.lit(LEVEL_STRIDE) + i * nlon + j
+        entries.append(F.struct(F.lit(lvl).alias("level"), parent.alias("cell_id")))
+    return (
+        points.select(F.explode(F.array(*entries)).alias("e"))
+        .select(F.col("e.level").alias("level"), F.col("e.cell_id").alias("cell_id"))
+        .groupBy("level", "cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )

@@ -69,3 +69,59 @@ def test_map_raster_tiles_grain_and_cells(spark):
         assert r["cell_id"] == cell_of_np(
             np.array([want_lat]), np.array([want_lon]), 8
         )[0]
+
+
+# ---------------- cell pyramid (multi-resolution rollup) ----------------
+
+
+def test_cell_pyramid_matches_per_level_recompute(spark):
+    """Arithmetic parents must equal recomputing each level from raw
+    coordinates — including clip/wrap edges (poles, antimeridian)."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.geo.cells import cell_col
+    from cityfinder_spark.operators.raster import cell_pyramid
+
+    pts = [
+        (-90.0, -180.0), (90.0, 180.0), (89.999, 179.999),
+        (-89.999, -179.999), (0.0, 0.0), (0.005, -0.005),
+    ] + [(-85.0 + (k * 37 % 170) + 0.123, -180.0 + (k * 53 % 360) + 0.321)
+         for k in range(500)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    level, depth = 6, 4
+    got = sorted(
+        (r.level, r.cell_id, r.n_points)
+        for r in cell_pyramid(df, level=level, depth=depth).collect()
+    )
+    exp = []
+    for lvl in range(level, level - depth - 1, -1):
+        exp.extend(
+            (lvl, r.cell_id, r.n)
+            for r in df.select(cell_col("lat", "lon", lvl).alias("cell_id"))
+            .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+    assert got == sorted(exp)
+    # mass conservation: every level sums to the full point count
+    per_level = {}
+    for lvl, _, n in got:
+        per_level[lvl] = per_level.get(lvl, 0) + n
+    assert set(per_level.values()) == {len(pts)}
+
+
+def test_cell_pyramid_single_scan_single_exchange(spark):
+    """The 10^12 property: one fact scan, one exchange — NOT one
+    aggregate branch per level each re-reading the input."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.raster import cell_pyramid
+
+    pts = spark.range(1000).select(
+        (F.col("id") % 170 - 85 + 0.25).cast("double").alias("lat"),
+        (F.col("id") % 360 - 180 + 0.25).cast("double").alias("lon"),
+    )
+    plan = (
+        cell_pyramid(pts, level=6, depth=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("Scan") <= 1  # spark.range shows as Range; no rescans
