@@ -102,6 +102,7 @@ HEADLINE = [
     "events_sessionize",
     "events_props",
     "streaming_dedup_exact",
+    "streaming_hot_cells",
     "running_user_totals",
 ]
 
@@ -144,6 +145,7 @@ _FACT_TABLE = {
     "decontaminate": "documents",
     "lang_id": "documents",
     "streaming_dedup_exact": "documents",
+    "streaming_hot_cells": "orders",
     "cosine_topk": "embeddings",
     "cosine_dedup": "embeddings",
     "ann_lsh": "embeddings",

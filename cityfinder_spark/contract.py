@@ -1139,6 +1139,36 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "canonical_id", "is_dup")
 
 
+def q_streaming_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 driver gate: the hot-cell skew monitor as a REAL stream.
+    The geotagged points are staged into 3 pt_id-ordered files and
+    streamed one per micro-batch through streaming_cell_counts
+    (cell-keyed running counts, state bounded by the grid size, no
+    watermark needed); update mode emits a row per touched cell per
+    batch, the final emission per cell — max n_points, strictly
+    increasing — must equal the batch `hot_cells` aggregate, so the
+    key SHARES the hot_cells oracle. Only possible if per-cell counts
+    survive the micro-batch boundary."""
+    from cityfinder_spark.streaming.windows import streaming_cell_counts
+
+    pts = _points(spark, sf_dir).select("pt_id", "lat", "lon")
+    src = _stage_id_ordered(spark, pts, "pt_id", f"pts|{sf_dir}", n_files=3)
+    schema = spark.read.parquet(src).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_table(
+        spark, streaming_cell_counts(stream_in, level=CELL_LEVEL), mode="update"
+    )
+    return (
+        out.groupBy("cell_id")
+        .agg(F.max("n_points").alias("n_points"))
+        .where(F.col("n_points") >= HOT_THRESHOLD)
+    )
+
+
 def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 driver gate: per-user running totals as a REAL stream.
     events is staged into 2 event_id-ordered halves (users overlap both
@@ -2547,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_read": q_partitioned_read,
         "bucketed_join": q_bucketed_join,
         "streaming_dedup_exact": q_streaming_dedup_exact,
+        "streaming_hot_cells": q_streaming_hot_cells,
         "running_user_totals": q_running_user_totals,
     }
 
@@ -2601,6 +2632,9 @@ def oracle_sql() -> dict[str, str]:
         # side; id-ordered arrival makes the final emissions equal the
         # batch semantics, so the batch SQL is an exact oracle
         "streaming_dedup_exact": _o_dedup_exact(),
+        # the stream's final per-cell emissions must equal the batch
+        # hot-cell aggregate — shared oracle
+        "streaming_hot_cells": _o_hot_cells(),
         "running_user_totals": _o_running_user_totals(),
         # ann_lsh / ann_ivf are APPROXIMATE in recall but fully
         # deterministic in mechanism (md5 sign family, exact folds,

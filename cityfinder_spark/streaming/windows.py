@@ -88,3 +88,21 @@ def props_extract(events: DataFrame) -> DataFrame:
         .groupBy((F.col("k") % 10).alias("k_bucket"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def streaming_cell_counts(points: DataFrame, level: int) -> DataFrame:
+    """Streaming per-cell point counts: the hot-cell/skew monitor as a
+    live stream (geotagged rows arrive in micro-batches; per-cell
+    running totals update across batches). State = one count per
+    distinct cell — bounded by the grid size (2**level x 2**(level+1)),
+    never by the stream length, so no watermark is needed; this is the
+    cell-keyed analog of running_user_totals. Use `update` output mode
+    and take each cell's last (max-count) emission for the final
+    totals."""
+    from cityfinder_spark.geo.cells import cell_col
+
+    return (
+        points.select(cell_col("lat", "lon", level).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )

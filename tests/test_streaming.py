@@ -363,3 +363,50 @@ def test_streaming_nearest_city_enrichment(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.table("t_geo_stream").collect())
     assert got == want and len(got) == 300
+
+
+def test_streaming_cell_counts_cross_batch(spark, tmp_path):
+    """A cell whose points SPAN micro-batches must accumulate across
+    the boundary: final per-cell maxima equal the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.geo.cells import cell_col
+    from cityfinder_spark.streaming.windows import streaming_cell_counts
+
+    # batch 1: 3 points in cell A, 1 in cell B; batch 2: 2 more in A
+    b1 = [(1, 10.1, 10.1), (2, 10.2, 10.2), (3, 10.15, 10.15), (4, -40.0, 100.0)]
+    b2 = [(5, 10.18, 10.18), (6, 10.12, 10.12)]
+    src = tmp_path / "pts_src"
+    schema = "pt_id long, lat double, lon double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_cell_counts(stream, level=6)
+        .writeStream.format("memory")
+        .queryName("cells_gate")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2  # really multi-batch
+    got = {
+        r.cell_id: r.n
+        for r in spark.table("cells_gate")
+        .groupBy("cell_id").agg(F.max("n_points").alias("n"))
+        .collect()
+    }
+    allpts = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        r.cell_id: r.n
+        for r in allpts.select(cell_col("lat", "lon", 6).alias("cell_id"))
+        .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert max(want.values()) == 5  # the spanning cell really spanned
