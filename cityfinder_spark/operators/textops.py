@@ -215,25 +215,42 @@ def repetition_stats(
       * repetitive        — the composite gate.
 
     Pure codegen projection — zero shuffle, no UDF: k-gram arrays via
-    higher-order transform, per-gram counts via a distinct x filter
-    fold (O(distinct * n) per doc, bounded by doc length — per-row
-    work, embarrassingly parallel at any corpus scale). Ratios are
-    round6'd with the shared floor-form half-up so the DuckDB list-
-    function replay is bit-identical."""
+    higher-order transform, then ONE aggregate fold over the SORTED
+    gram array per k (the accumulator carries the previous element, so
+    max multiplicity and distinct count fall out of run boundaries in
+    a single O(n log n) sort + O(n) pass — each element is visited
+    once, with no per-step re-evaluation of the outer array the naive
+    distinct-x-filter count would pay). Per-row work, embarrassingly
+    parallel at any corpus scale. Ratios are round6'd with the shared
+    floor-form half-up so the DuckDB list-function replay is
+    bit-identical."""
     w = _words(text_col)
 
     def ratios(k: int):
-        g = _grams_col(w, k)
+        g = F.array_sort(_grams_col(w, k))
         total = F.size(g)
-        distinct = F.size(F.array_distinct(g))
-        top = F.array_max(
-            F.transform(
-                F.array_distinct(g),
-                lambda x: F.size(F.filter(g, lambda y: y == x)),
-            )
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("dis"),
         )
-        top_ratio = F.when(total > 0, top / total).otherwise(F.lit(0.0))
-        dup_ratio = F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0))
+
+        def step(acc, x):
+            same = x.eqNullSafe(acc["prev"])  # prev=null on the 1st step
+            run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+                F.when(same, acc["dis"]).otherwise(acc["dis"] + 1).alias("dis"),
+            )
+
+        folded = F.aggregate(g, acc0, step)
+        top_ratio = F.when(total > 0, folded["best"] / total).otherwise(F.lit(0.0))
+        dup_ratio = F.when(total > 0, 1.0 - folded["dis"] / total).otherwise(
+            F.lit(0.0)
+        )
         return round6_col(top_ratio), round6_col(dup_ratio)
 
     top2, dup2 = ratios(2)
