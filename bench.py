@@ -75,6 +75,7 @@ HEADLINE = [
     "token_stats",
     "text_quality",
     "repetition_stats",
+    "token_percentiles",
     "doc_fingerprint",
     "pack_sequences",
     "bin_manifest",
@@ -138,6 +139,7 @@ _FACT_TABLE = {
     "token_stats": "documents",
     "text_quality": "documents",
     "repetition_stats": "documents",
+    "token_percentiles": "documents",
     "doc_fingerprint": "documents",
     "pack_sequences": "documents",
     "bin_manifest": "documents",

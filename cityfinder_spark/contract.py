@@ -680,6 +680,38 @@ def _o_repetition_stats() -> str:
     """
 
 
+def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus token-count percentiles without a global sort:
+    count-by-value (map-side combined), cumulative sum over the tiny
+    value domain, bracket pick per requested p. Unlike
+    approx_percentile the result is deterministic, so it value-hashes
+    against the DuckDB window-function replay."""
+    from cityfinder_spark.operators.textops import exact_percentiles, token_stats
+
+    toks = token_stats(_docs(spark, sf_dir)).select(
+        F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    return exact_percentiles(toks, "n_tokens", ps=(0.5, 0.9, 0.99)).select(
+        "p", F.col("value").cast("long").alias("value"), "cum_count", "total"
+    )
+
+
+def _o_token_percentiles() -> str:
+    return """
+    WITH t AS (SELECT len(string_split(text, ' ')) AS v FROM documents),
+    c AS (SELECT v, count(*) AS cnt FROM t GROUP BY v),
+    cum AS (SELECT v, cast(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM c),
+    tot AS (SELECT count(*) AS total FROM t),
+    ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+    SELECT p, cast(min(v) AS BIGINT) AS value,
+           cast(min_by(cum, v) AS BIGINT) AS cum_count,
+           cast(first(total) AS BIGINT) AS total
+    FROM cum, tot, ps
+    WHERE cum >= ceil(p * total)
+    GROUP BY p
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
@@ -2544,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
+        "token_percentiles": q_token_percentiles,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2611,6 +2644,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _o_decontaminate(),
         "text_quality": _o_text_quality(),
         "repetition_stats": _o_repetition_stats(),
+        "token_percentiles": _o_token_percentiles(),
         "lang_id": _o_lang_id(),
         "doc_fingerprint": _o_fingerprint(),
         "ngram_jaccard": _o_ngram_jaccard(),

@@ -268,3 +268,43 @@ def repetition_stats(
         dup3.alias("dup_trigram_ratio"),
         rep.alias("repetitive"),
     )
+
+
+def exact_percentiles(
+    df: DataFrame, value_col: str, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """EXACT type-1 percentiles of an integer-valued column: the
+    smallest value whose cumulative count reaches ceil(p * N). Output:
+    (p, value, cum_count, total), one row per requested percentile.
+
+    Scale shape — percentiles without sorting the corpus: a map-side-
+    combined groupBy(value) collapses 10^12 rows to |distinct values|
+    counts (token counts, durations, sizes — domains in the thousands),
+    the cumulative sum runs in a single-partition window over THAT tiny
+    domain (never the fact table; the usual global-sort percentile
+    funnels everything through one task), and each requested p picks
+    its bracket with one broadcast-joined filter. Exact and
+    deterministic — unlike approx_percentile, the result is oracle-
+    able bit-for-bit."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "v", F.sum("cnt").over(w).alias("cum")
+    )
+    total = df.select(F.count(F.lit(1)).alias("total"))
+    ps_df = df.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(ps_df))
+        .where(F.col("cum") >= F.ceil(F.col("p") * F.col("total")))
+        .groupBy("p")
+        .agg(
+            F.min("v").alias("value"),
+            F.min_by("cum", "v").alias("cum_count"),
+            F.first("total").alias("total"),
+        )
+    )

@@ -405,3 +405,36 @@ def test_repetition_stats_zero_shuffle_plan(spark):
         repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_exact_percentiles_hand_computed(spark):
+    """Type-1 percentile = smallest value whose cumulative count
+    reaches ceil(p*N) — pinned against a hand-computed distribution,
+    including a p that lands exactly on a bracket boundary."""
+    from cityfinder_spark.operators.textops import exact_percentiles
+
+    # values: 1 x10, 2 x5, 10 x4, 100 x1  (N=20)
+    rows = [(1,)] * 10 + [(2,)] * 5 + [(10,)] * 4 + [(100,)] * 1
+    df = spark.createDataFrame(rows, "v long")
+    got = {
+        r.p: (r.value, r.cum_count, r.total)
+        for r in exact_percentiles(df, "v", ps=(0.5, 0.75, 0.76, 0.95, 1.0)).collect()
+    }
+    assert got[0.5] == (1, 10, 20)    # ceil(10) = 10 -> value 1 exactly
+    assert got[0.75] == (2, 15, 20)   # ceil(15) = 15 -> value 2 exactly
+    assert got[0.76] == (10, 19, 20)  # needs 16 -> first bracket >= is 10
+    assert got[0.95] == (10, 19, 20)
+    assert got[1.0] == (100, 20, 20)
+
+
+def test_exact_percentiles_partition_invariant(spark):
+    """Same answer at any parallelism — the count-by-value plan has no
+    order dependence."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.textops import exact_percentiles
+
+    df = spark.range(10007).select((F.col("id") * 37 % 500).alias("v"))
+    a = sorted(map(tuple, exact_percentiles(df.repartition(1), "v").collect()))
+    b = sorted(map(tuple, exact_percentiles(df.repartition(32), "v").collect()))
+    assert a == b and len(a) == 3
