@@ -84,6 +84,7 @@ HEADLINE = [
     "lang_id",
     "cosine_topk",
     "cosine_dedup",
+    "embedding_quantize",
     "ann_lsh",
     "ann_ivf",
     "cosine_search",
@@ -150,6 +151,7 @@ _FACT_TABLE = {
     "streaming_hot_cells": "orders",
     "cosine_topk": "embeddings",
     "cosine_dedup": "embeddings",
+    "embedding_quantize": "embeddings",
     "ann_lsh": "embeddings",
     "ann_ivf": "embeddings",
     "cosine_search": "embeddings",

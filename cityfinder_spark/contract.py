@@ -799,6 +799,41 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_embs(spark, sf_dir), k=5, cache_key=("embs", sf_dir))
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus — scale,
+    integer code checksums (qsum + position-weighted qdot pin the full
+    quantized vector without emitting an array), and reconstruction
+    L2 error. Pure zero-shuffle projection; every column value-hashes
+    against the DuckDB list-function replay (same sequential folds)."""
+    from cityfinder_spark.operators.quantize import quantize_embeddings
+
+    return quantize_embeddings(_embs(spark, sf_dir))
+
+
+def _o_embedding_quantize() -> str:
+    dq = "(v[i] - qv[i] * s)"
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> cast(x as double)) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+          FROM e),
+    q AS (SELECT vec_id, v, s,
+                 CASE WHEN s = 0 THEN list_transform(v, x -> cast(0 AS BIGINT))
+                      ELSE list_transform(v, x -> cast(floor(x / s + 0.5) AS BIGINT))
+                 END AS qv
+          FROM m)
+    SELECT vec_id, cast(len(v) AS INT) AS dim,
+           {sc.round6_sql("s")} AS scale,
+           cast(list_sum(qv) AS BIGINT) AS qsum,
+           cast(list_sum(list_transform(generate_series(1, len(qv)),
+                                        i -> qv[i] * i)) AS BIGINT) AS qdot,
+           {sc.round6_sql(f"sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> {dq} * {dq})))")} AS l2_err
+    FROM q
+    """
+
+
 def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dedup_pairs(
         _embs(spark, sf_dir), threshold=COS_DEDUP_T, cache_key=("embs", sf_dir)
@@ -2587,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": q_dedup_resolve,
         "corpus_pipeline": q_corpus_pipeline,
         "cosine_topk": q_cosine_topk,
+        "embedding_quantize": q_embedding_quantize,
         "cosine_dedup": q_cosine_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2655,6 +2691,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_resolve": _o_dedup_resolve(),
         "corpus_pipeline": _o_corpus_pipeline(),
         "cosine_topk": _o_cosine_topk(),
+        "embedding_quantize": _o_embedding_quantize(),
         "cosine_dedup": _o_cosine_dedup(),
         "events_windowed": _o_events_windowed(),
         "events_sessionize": _o_events_sessionize(),

@@ -438,3 +438,43 @@ def test_exact_percentiles_partition_invariant(spark):
     a = sorted(map(tuple, exact_percentiles(df.repartition(1), "v").collect()))
     b = sorted(map(tuple, exact_percentiles(df.repartition(32), "v").collect()))
     assert a == b and len(a) == 3
+
+
+def test_quantize_embeddings_numpy_parity(spark):
+    """Spark codes/checksums/error equal an independent numpy
+    implementation, and the reconstruction error is bounded by the
+    quantization step (|x - q*s| <= s/2 per element)."""
+    import math
+
+    import numpy as np
+
+    from cityfinder_spark.operators.quantize import quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    vecs = [(f"v{i}", rng.normal(size=16).astype("float32").tolist()) for i in range(50)]
+    vecs.append(("zero", [0.0] * 16))  # s = 0 edge: all codes 0
+    df = spark.createDataFrame(vecs, "vec_id string, embedding array<float>")
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for vid, emb in vecs:
+        x = np.array(emb, dtype=np.float64)
+        s = float(np.abs(x).max()) / 127.0
+        q = np.zeros_like(x) if s == 0 else np.floor(x / s + 0.5)
+        r = got[vid]
+        assert r.dim == 16
+        assert np.abs(q).max() <= 127
+        assert r.qsum == int(q.sum())
+        assert r.qdot == int((q * np.arange(1, 17)).sum())
+        err = math.sqrt(float(((x - q * s) ** 2).sum()))
+        assert abs(r.l2_err - err) < 1e-6
+        assert np.abs(x - q * s).max() <= s / 2 + 1e-12
+        assert abs(r.scale - s) < 1e-6
+
+
+def test_quantize_embeddings_zero_shuffle_plan(spark):
+    from cityfinder_spark.operators.quantize import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [("a", [1.0, -2.0])], "vec_id string, embedding array<float>"
+    )
+    plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
