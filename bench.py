@@ -85,6 +85,7 @@ HEADLINE = [
     "cosine_topk",
     "cosine_dedup",
     "embedding_quantize",
+    "cosine_topk_quantized",
     "ann_lsh",
     "ann_ivf",
     "cosine_search",
@@ -152,6 +153,7 @@ _FACT_TABLE = {
     "cosine_topk": "embeddings",
     "cosine_dedup": "embeddings",
     "embedding_quantize": "embeddings",
+    "cosine_topk_quantized": "embeddings",
     "ann_lsh": "embeddings",
     "ann_ivf": "embeddings",
     "cosine_search": "embeddings",

@@ -810,6 +810,51 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(_embs(spark, sf_dir))
 
 
+def q_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over the int8 codes (scales cancel out of cosine,
+    so similarity is integer dots + integer norms — deterministic and
+    value-hashable end-to-end). Serving-side proof that the quantized
+    corpus answers the same queries; recall vs exact float cosine is
+    pinned in pytest."""
+    from cityfinder_spark.operators.quantize import quantized_cosine_topk
+
+    return quantized_cosine_topk(_embs(spark, sf_dir), k=5)
+
+
+def _o_cosine_topk_quantized() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> cast(x as double)) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+          FROM e),
+    q AS (SELECT vec_id,
+                 CASE WHEN s = 0 THEN list_transform(v, x -> cast(0 AS BIGINT))
+                      ELSE list_transform(v, x -> cast(floor(x / s + 0.5) AS BIGINT))
+                 END AS qv
+          FROM m),
+    n AS (SELECT vec_id, qv,
+                 cast(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+          FROM q),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {sc.round6_sql(
+                 "CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0 ELSE "
+                 "cast(list_sum(list_transform(generate_series(1, len(a.qv)),"
+                 " i -> a.qv[i] * b.qv[i])) AS BIGINT)"
+                 " / (sqrt(a.n2) * sqrt(b.n2)) END"
+             )} AS cos_sim
+      FROM n a CROSS JOIN n b WHERE a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+    SELECT vec_id, neighbor_id, cos_sim, cast(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
 def _o_embedding_quantize() -> str:
     dq = "(v[i] - qv[i] * s)"
     return f"""
@@ -2623,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "cosine_topk": q_cosine_topk,
         "embedding_quantize": q_embedding_quantize,
+        "cosine_topk_quantized": q_cosine_topk_quantized,
         "cosine_dedup": q_cosine_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2692,6 +2738,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": _o_corpus_pipeline(),
         "cosine_topk": _o_cosine_topk(),
         "embedding_quantize": _o_embedding_quantize(),
+        "cosine_topk_quantized": _o_cosine_topk_quantized(),
         "cosine_dedup": _o_cosine_dedup(),
         "events_windowed": _o_events_windowed(),
         "events_sessionize": _o_events_sessionize(),

@@ -68,3 +68,61 @@ def quantize_embeddings(
         qdot.alias("qdot"),
         round6_col(F.sqrt(err2)).alias("l2_err"),
     )
+
+
+def quantized_cosine_topk(
+    embs: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k over the INT8 CODES — the serving-side
+    companion of quantize_embeddings. The per-vector scale cancels out
+    of cosine (cos(q*s_a, q*s_b) = (q_a . q_b) / (|q_a| |q_b|)), so
+    similarity is one integer dot product per pair + two precomputed
+    integer norms: fully deterministic (integer folds, one sqrt+divide
+    rounded at the end), hence DuckDB-value-hashable — unlike float
+    cosine over re-ordered sums. This is the quantized-exact BASELINE
+    (broadcast O(N^2), like cosine_topk); at corpus scale the same
+    codes feed the LSH/IVF candidate paths and only the refinement
+    arithmetic changes. Output: (vec_id, neighbor_id, cos_sim, rank),
+    ties broken by rounded cos desc then neighbor_id asc."""
+    from pyspark.sql import Window
+
+    v = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    s = maxabs / F.lit(127.0)
+    q = F.when(s == 0.0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(v, lambda x: F.floor(x / s + 0.5).cast("long"))
+    )
+    coded = embs.select(F.col(id_col), q.alias("__q"))
+    n2 = F.aggregate(
+        F.transform(F.col("__q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    a = coded.select(
+        F.col(id_col).alias("vec_id"), F.col("__q").alias("qa"), n2.alias("na2")
+    )
+    b = coded.select(
+        F.col(id_col).alias("neighbor_id"), F.col("__q").alias("qb"), n2.alias("nb2")
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("na2") == 0) | (F.col("nb2") == 0), F.lit(0.0)
+    ).otherwise(dot / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", round6_col(cos))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )

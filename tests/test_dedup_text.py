@@ -478,3 +478,26 @@ def test_quantize_embeddings_zero_shuffle_plan(spark):
     )
     plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quantized_cosine_topk_recall_vs_exact(spark):
+    """The int8 serving path must return (nearly) the same neighbors
+    as exact float cosine: recall@5 >= 0.95 on the contract
+    embeddings, and the quantized similarities sit within the
+    quantization error of the exact ones for shared pairs."""
+    from cityfinder_spark.operators.quantize import quantized_cosine_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r.vec_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(embs, k=5).collect()
+    }
+    quant = {
+        (r.vec_id, r.neighbor_id): r.cos_sim
+        for r in quantized_cosine_topk(embs, k=5).collect()
+    }
+    shared = set(exact) & set(quant)
+    recall = len(shared) / len(exact)
+    assert recall >= 0.95, f"quantized recall@5 = {recall:.3f}"
+    for pair in shared:
+        assert abs(exact[pair] - quant[pair]) < 0.02
