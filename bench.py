@@ -57,6 +57,7 @@ HEADLINE = [
     "point_in_polygon",
     "geo_rollup",
     "box_range_join",
+    "trajectory_stats",
     "geonames_scan",
     "postal_scan",
     "index_roundtrip",
@@ -125,6 +126,7 @@ _FACT_TABLE = {
     "point_in_polygon": "orders",
     "geo_rollup": "orders",
     "box_range_join": "orders",
+    "trajectory_stats": "orders",
     "index_roundtrip": "orders",
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",

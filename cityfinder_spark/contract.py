@@ -385,6 +385,46 @@ def _polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer movement track over the geotagged points (steps
+    ordered by order key): path length / extreme steps from
+    consecutive-pair haversine. ONE exchange (the LAG window's hash by
+    customer); aggregates are order-free by design — each step rounds
+    to integer tenth-of-meter units before summation, so the
+    distributed sum is bit-identical to DuckDB's single-threaded
+    window replay."""
+    from cityfinder_spark.operators.trajectory import trajectory_stats
+
+    load_views(spark, sf_dir, ("orders",))
+    pts = spark.sql(sc.traj_points_sql(orders=_spread_orders(spark, sf_dir)))
+    return trajectory_stats(pts).withColumnRenamed("entity", "cust_id")
+
+
+def _o_trajectory_stats() -> str:
+    scale = 10**sc.ROUND_DIGITS
+    hav = sc.haversine_sql("lat", "lon", "plat", "plon")
+    return f"""
+    WITH p AS ({sc.traj_points_sql()}),
+    s AS (SELECT cust_id, lat, lon,
+                 lag(lat) OVER (PARTITION BY cust_id ORDER BY pt_id) AS plat,
+                 lag(lon) OVER (PARTITION BY cust_id ORDER BY pt_id) AS plon
+          FROM p),
+    um AS (SELECT cust_id,
+                  CASE WHEN plat IS NULL THEN NULL
+                       ELSE cast(floor({hav} * {scale}.0 + 0.5) AS BIGINT)
+                  END AS um
+           FROM s)
+    SELECT cust_id, count(*) AS n_points,
+           cast(coalesce(sum(um), 0) AS BIGINT)
+             / cast({scale} AS DOUBLE) AS total_km,
+           cast(coalesce(max(um), 0) AS BIGINT)
+             / cast({scale} AS DOUBLE) AS max_step_km,
+           cast(coalesce(min(um), 0) AS BIGINT)
+             / cast({scale} AS DOUBLE) AS min_step_km
+    FROM um GROUP BY cust_id
+    """
+
+
 def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-pyramid rollup (H3 cellToParent / slippy-map pyramid):
     point counts per cell at level 6 and every coarser level down to
@@ -2644,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rollup": q_geo_rollup,
         "box_range_join": q_box_range_join,
         "cell_pyramid": q_cell_pyramid,
+        "trajectory_stats": q_trajectory_stats,
         "geonames_scan": q_geonames_scan,
         "postal_scan": q_postal_scan,
         "index_roundtrip": q_index_roundtrip,
@@ -2714,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_rollup": _o_geo_rollup(),
         "box_range_join": _o_box_range_join(),
         "cell_pyramid": _o_cell_pyramid(),
+        "trajectory_stats": _o_trajectory_stats(),
         "geonames_scan": _o_geonames_scan(),
         "postal_scan": _o_postal_scan(),
         "index_roundtrip": _o_nearest_city(),

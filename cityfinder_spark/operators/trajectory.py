@@ -1,0 +1,63 @@
+"""Per-entity trajectory statistics over geotagged rows.
+
+Movement analytics over the image+caption fact table: order each
+entity's points by a sequence key, measure consecutive great-circle
+steps, roll up path length / step extremes per entity. The classic
+GPS/geotag post-processing stage (trip length, teleport detection).
+
+Scale shape: ONE exchange — the hash partition by entity that the LAG
+window needs — then pure codegen (shared-text haversine, floor-form
+rounding). Aggregates are ORDER-FREE on purpose: each step is rounded
+to integer tenth-of-meter micro-units (floor(hav * 10^4 + 0.5), the
+same IEEE sequence as sqlcompat.haversine_rounded_sql) and summed as
+integers, so the distributed sum is bit-identical to any replay —
+a float sum over window rows would accumulate in partition order and
+could flip the last rounded digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cityfinder_spark import sqlcompat as sc
+
+_SCALE = 10**sc.ROUND_DIGITS
+
+
+def trajectory_stats(
+    points: DataFrame,
+    entity_col: str = "cust_id",
+    order_col: str = "pt_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """-> (entity, n_points, total_km, max_step_km, min_step_km):
+    consecutive-step haversine stats per entity, steps ordered by
+    `order_col` (ties impossible when it is a row id). Entities with a
+    single point report 0 steps -> 0.0 km everywhere."""
+    w = Window.partitionBy(entity_col).orderBy(order_col)
+    plat = F.lag(lat_col).over(w)
+    plon = F.lag(lon_col).over(w)
+    step_um = F.expr(
+        f"cast(floor({sc.haversine_sql(lat_col, lon_col, '__plat', '__plon')}"
+        f" * {_SCALE}.0 + 0.5) as bigint)"
+    )
+    steps = points.select(
+        F.col(entity_col).alias("entity"),
+        F.col(lat_col),
+        F.col(lon_col),
+        plat.alias("__plat"),
+        plon.alias("__plon"),
+    ).withColumn("__um", F.when(F.col("__plat").isNull(), None).otherwise(step_um))
+    return steps.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (
+            F.coalesce(F.sum("__um"), F.lit(0)) / F.lit(float(_SCALE))
+        ).alias("total_km"),
+        (
+            F.coalesce(F.max("__um"), F.lit(0)) / F.lit(float(_SCALE))
+        ).alias("max_step_km"),
+        (
+            F.coalesce(F.min("__um"), F.lit(0)) / F.lit(float(_SCALE))
+        ).alias("min_step_km"),
+    )

@@ -84,16 +84,34 @@ def cell_sql(lat: str, lon: str, level: int) -> str:
 # (FIXTURES.md §7: identical expression text in Spark and DuckDB so the
 # synthetic coordinates agree bit-for-bit.)
 
+# the one pair of lat/lon derivations every orders-based fixture uses
+# (identical text in Spark and DuckDB). NB: division by cast(100 as
+# double) — a bare `100.0` literal is DECIMAL in Spark SQL but DOUBLE
+# in DuckDB; force IEEE doubles.
+ORDER_LAT = "((((o_orderkey * 48271) % 17900) / cast(100 as double)) - 89.495)"
+ORDER_LON = "((((o_orderkey * 69621) % 36000) / cast(100 as double)) - 179.995)"
+
+
 def points_from_orders_sql(orders: str = "orders") -> str:
     """Fact side: one geotagged 'image' row per order. Lat avoids the
     exact poles; .495 offsets dodge exact cell-boundary values."""
-    # NB: division by cast(100 as double) — a bare `100.0` literal is
-    # DECIMAL in Spark SQL but DOUBLE in DuckDB; force IEEE doubles.
     return f"""
     SELECT o_orderkey AS pt_id,
-           ((((o_orderkey * 48271) % 17900) / cast(100 as double)) - 89.495) AS lat,
-           ((((o_orderkey * 69621) % 36000) / cast(100 as double)) - 179.995) AS lon,
+           {ORDER_LAT} AS lat,
+           {ORDER_LON} AS lon,
            o_orderpriority AS caption
+    FROM {orders}
+    """
+
+
+def traj_points_sql(orders: str = "orders") -> str:
+    """Trajectory fixture: the same geotagged point per order, keyed
+    by the customer it belongs to (o_custkey) — each customer's order
+    sequence is their movement track."""
+    return f"""
+    SELECT o_custkey AS cust_id, o_orderkey AS pt_id,
+           {ORDER_LAT} AS lat,
+           {ORDER_LON} AS lon
     FROM {orders}
     """
 
@@ -114,8 +132,8 @@ def boxes_from_orders_sql(orders: str = "orders", modulus: int = 199) -> str:
            (((lon + half_lon + 540.0) % 360.0) - 180.0) AS lon_max
     FROM (
       SELECT o_orderkey AS box_id,
-             ((((o_orderkey * 48271) % 17900) / cast(100 as double)) - 89.495) AS lat,
-             ((((o_orderkey * 69621) % 36000) / cast(100 as double)) - 179.995) AS lon,
+             {ORDER_LAT} AS lat,
+             {ORDER_LON} AS lon,
              ((o_orderkey % 7) * 50 + 50) / cast(100 as double) AS half_lat,
              ((o_orderkey % 5) * 75 + 50) / cast(100 as double) AS half_lon
       FROM {orders}

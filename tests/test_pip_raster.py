@@ -125,3 +125,50 @@ def test_cell_pyramid_single_scan_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1
     assert plan.count("Scan") <= 1  # spark.range shows as Range; no rescans
+
+
+# ---------------- trajectory stats ----------------
+
+
+def test_trajectory_stats_hand_computed(spark):
+    """Two-point track ~ 111.19 km per degree of latitude at the
+    equator; singleton tracks report zero everywhere; steps follow the
+    order column, not row order."""
+    from cityfinder_spark.operators.trajectory import trajectory_stats
+
+    rows = [
+        # entity "a": 3 points, inserted OUT of order-key order
+        (1, 3, 2.0, 0.0),
+        (1, 1, 0.0, 0.0),
+        (1, 2, 1.0, 0.0),
+        # entity "b": single point
+        (2, 1, 50.0, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "cust_id long, pt_id long, lat double, lon double")
+    got = {r.entity: r for r in trajectory_stats(df).collect()}
+    a = got[1]
+    assert a.n_points == 3
+    # two 1-degree meridian steps of ~111.1949 km each
+    assert abs(a.max_step_km - 111.1949) < 0.001
+    assert abs(a.min_step_km - 111.1949) < 0.001
+    assert abs(a.total_km - 2 * a.max_step_km) < 1e-9
+    b = got[2]
+    assert (b.n_points, b.total_km, b.max_step_km) == (1, 0.0, 0.0)
+
+
+def test_trajectory_stats_partition_invariant(spark):
+    """Integer micro-unit summation makes the rollup order-free: same
+    totals at any parallelism."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.trajectory import trajectory_stats
+
+    df = spark.range(2000).select(
+        (F.col("id") % 37).alias("cust_id"),
+        F.col("id").alias("pt_id"),
+        ((F.col("id") * 31 % 170) - 85 + 0.25).cast("double").alias("lat"),
+        ((F.col("id") * 57 % 360) - 180 + 0.25).cast("double").alias("lon"),
+    )
+    a = sorted(map(tuple, trajectory_stats(df.repartition(1)).collect()))
+    b = sorted(map(tuple, trajectory_stats(df.repartition(32)).collect()))
+    assert a == b and len(a) == 37
