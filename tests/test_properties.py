@@ -161,3 +161,132 @@ def test_batch_kernels_match_allpairs_oracle(seed, n_cities, level, ring, k):
         order = np.lexsort((np.arange(nc), d_all[i]))[:kk]
         assert np.array_equal(tpos[i], order), (i, tpos[i], order)
         assert np.array_equal(td[i], d_all[i][order])
+
+
+# ---------------- round-3 operators: pure-math properties ----------------
+
+
+def _chunks64(x: int, max_dist: int) -> list[int]:
+    """Python mirror of dedup.hamming_pairs' chunking (unsigned shifts,
+    remainder-absorbing last chunk)."""
+    bits, nchunks = 64, max_dist + 1
+    chunk_bits = max(1, bits // nchunks)
+    u = x & (2**64 - 1)
+    out = []
+    for c in range(nchunks):
+        lo = c * chunk_bits
+        width = bits - lo if c == nchunks - 1 else chunk_bits
+        out.append((u >> lo) & ((1 << width) - 1))
+    return out
+
+
+@given(
+    st.integers(0, 2**64 - 1),
+    st.integers(1, 6),
+    st.sets(st.integers(0, 63), max_size=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_hamming_chunk_pigeonhole(x, max_dist, flip_bits):
+    """Pairs within max_dist hamming MUST share >= 1 chunk (the
+    exactness guarantee of the banded join), and the chunks must
+    PARTITION all 64 bits (losing a bit would admit false pairs)."""
+    y = x
+    for b in flip_bits:
+        y ^= 1 << b
+    hamming = len(flip_bits)
+    cx, cy = _chunks64(x, max_dist), _chunks64(y, max_dist)
+    if hamming <= max_dist:
+        assert any(a == b for a, b in zip(cx, cy))
+    # partition: chunks reconstruct the full word
+    bits, nchunks = 64, max_dist + 1
+    chunk_bits = max(1, bits // nchunks)
+    rebuilt = 0
+    for c, v in enumerate(cx):
+        rebuilt |= v << (c * chunk_bits)
+    assert rebuilt == x & (2**64 - 1)
+
+
+@given(st.integers(0, 10**6), st.integers(2, 6), st.integers(1, 8))
+@settings(max_examples=100, deadline=None)
+def test_phash64_brightness_scaling_invariant(seed, scale, size):
+    """Perceptual property: multiplying all pixels by a constant (no
+    clipping) preserves every block-vs-global mean comparison, so the
+    hash is brightness-scaling invariant. Guards the integer
+    cross-multiplication rule S_b*C > S*c_b."""
+    from cityfinder_spark.codecs.fakeimage import gen_pixels, phash64
+
+    w, h = 8 * size, 8 + size
+    pix = (gen_pixels(seed, w, h) % 32).astype(np.uint8)  # headroom for x scale
+    assert phash64(pix) == phash64((pix.astype(np.int64) * scale).astype(np.uint8))
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=200),
+    st.floats(0.01, 1.0, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_type1_percentile_definition_equals_sorted_index(values, p):
+    """'Smallest value whose cumulative count reaches ceil(p*N)' (the
+    count-by-value plan) must equal sorted[ceil(p*N) - 1] (the naive
+    global sort) for every multiset and p."""
+    import math
+
+    s = sorted(values)
+    need = math.ceil(p * len(s))
+    naive = s[need - 1]
+    cum, by_count = 0, None
+    for v in sorted(set(s)):
+        cum += s.count(v)
+        if cum >= need:
+            by_count = v
+            break
+    assert by_count == naive
+
+
+@given(
+    st.floats(-89.9, 89.9),
+    st.floats(-179.9, 179.9),
+    st.floats(0.01, 30.0),
+    st.floats(0.01, 30.0),
+    st.floats(-89.9, 89.9),
+    st.floats(-179.9, 179.9),
+    st.integers(3, 8),
+)
+@settings(max_examples=300, deadline=None)
+def test_box_cover_never_misses_inside_point(
+    lat0, lon0, dlat, dlon, plat, plon, level
+):
+    """NumPy mirror of range_join.box_cover's walk: any point inside
+    the box (including antimeridian wrap) must land in a covered cell.
+    Guards the endpoint-modding bug class (lon_max=180 collapse)."""
+    lat_min, lat_max = max(-90.0, lat0), min(90.0, lat0 + dlat)
+    lon_min = ((lon0 + 540.0) % 360.0) - 180.0
+    lon_max = ((lon0 + dlon + 540.0) % 360.0) - 180.0
+    inside_lat = lat_min <= plat <= lat_max
+    wrap = lon_min > lon_max
+    inside_lon = (
+        (plon >= lon_min or plon <= lon_max)
+        if wrap
+        else (lon_min <= plon <= lon_max)
+    )
+    if not (inside_lat and inside_lon):
+        return
+    nlat, nlon = grid_dims(level)
+
+    def band(lat):
+        return min(nlat - 1, max(0, int(np.floor((lat + 90.0) / 180.0 * nlat))))
+
+    def lcolraw(lon):
+        return int(np.floor((lon + 180.0) / 360.0 * nlon))
+
+    i0, i1 = band(lat_min), band(lat_max)
+    j0, j1 = lcolraw(lon_min), lcolraw(lon_max)
+    if wrap:
+        j1 += nlon
+    j1 = min(j1, j0 + nlon - 1)
+    cover = {
+        (i, j % nlon) for i in range(i0, i1 + 1) for j in range(j0, j1 + 1)
+    }
+    pc = int(cell_of_np(np.array([plat]), np.array([plon]), level)[0])
+    _, pi, pj = decode_cell_np(np.array([pc]))
+    assert (int(pi[0]), int(pj[0])) in cover
