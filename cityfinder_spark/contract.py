@@ -858,7 +858,9 @@ def q_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in pytest."""
     from cityfinder_spark.operators.quantize import quantized_cosine_topk
 
-    return quantized_cosine_topk(_embs(spark, sf_dir), k=5)
+    return quantized_cosine_topk(
+        _embs(spark, sf_dir), k=5, cache_key=("embs", sf_dir)
+    )
 
 
 def _o_cosine_topk_quantized() -> str:

@@ -501,3 +501,15 @@ def test_quantized_cosine_topk_recall_vs_exact(spark):
     assert recall >= 0.95, f"quantized recall@5 = {recall:.3f}"
     for pair in shared:
         assert abs(exact[pair] - quant[pair]) < 0.02
+
+
+def test_quantized_cosine_topk_arrow_jvm_parity(spark):
+    """The arrow kernel (int64 matmul) must equal the jvm plan
+    (Catalyst folds + window) row-for-row — integer dots are order-free
+    so the two strategies are bit-identical, not just close."""
+    from cityfinder_spark.operators.quantize import quantized_cosine_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, quantized_cosine_topk(embs, k=5, strategy="arrow").collect()))
+    j = sorted(map(tuple, quantized_cosine_topk(embs, k=5, strategy="jvm").collect()))
+    assert a == j and len(a) > 0
