@@ -93,14 +93,37 @@ def tag_points_with_polygons(
             out[m] = point_in_polygon_np(la[m], lo[m], rl, rn)
         return pd.Series(out)
 
+    # candidate generation is a HASH equi-join on the spatial cell, not
+    # a range-predicate broadcast nested loop: the polygon bboxes
+    # explode into covering cells (range_join.box_cover — the cover can
+    # never miss an in-bbox point), each fact row keys to its ONE cell,
+    # and the bbox BETWEEN becomes a cheap refine on the survivors.
+    # With a nested loop, EVERY point is tested against EVERY polygon
+    # bbox; with the grid, a point only meets polygons whose cover
+    # touches its cell — the plan that holds when the polygon set grows.
+    from cityfinder_spark.geo.cells import cell_col
+    from cityfinder_spark.operators.range_join import box_cover
+
+    level = 6
+    cover = box_cover(
+        bbox.withColumnRenamed("min_lat", "lat_min")
+        .withColumnRenamed("max_lat", "lat_max")
+        .withColumnRenamed("min_lon", "lon_min")
+        .withColumnRenamed("max_lon", "lon_max"),
+        level,
+        id_col="polygon_id",
+        extra_cols=("poly_country",),
+    )
     latc, lonc = F.col(lat_col), F.col(lon_col)
-    cand = points.join(
-        F.broadcast(bbox),
-        latc.between(F.col("min_lat"), F.col("max_lat"))
-        & lonc.between(F.col("min_lon"), F.col("max_lon")),
-        "inner",
+    cand = (
+        points.withColumn("__cell", cell_col(lat_col, lon_col, level))
+        .join(F.broadcast(cover), F.col("__cell") == F.col("cell"))
+        .where(
+            latc.between(F.col("lat_min"), F.col("lat_max"))
+            & lonc.between(F.col("lon_min"), F.col("lon_max"))
+        )
     )
     return (
         cand.where(_inside(F.col("polygon_id"), latc, lonc))
-        .drop("min_lat", "max_lat", "min_lon", "max_lon")
+        .drop("lat_min", "lat_max", "lon_min", "lon_max", "__cell", "cell")
     )

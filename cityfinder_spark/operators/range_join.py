@@ -36,6 +36,7 @@ def box_cover(
     boxes: DataFrame,
     level: int,
     id_col: str = "box_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode each rectangle (id, lat_min, lat_max, lon_min, lon_max)
     into its covering cells at `level` -> (id_col, cell, bounds...).
@@ -69,6 +70,7 @@ def box_cover(
 
     covered = boxes.select(
         F.col(id_col),
+        *extra_cols,
         "lat_min",
         "lat_max",
         "lon_min",
@@ -81,6 +83,7 @@ def box_cover(
     return (
         covered.select(
             id_col,
+            *extra_cols,
             "lat_min",
             "lat_max",
             "lon_min",
@@ -91,6 +94,7 @@ def box_cover(
         )
         .select(
             id_col,
+            *extra_cols,
             "lat_min",
             "lat_max",
             "lon_min",
@@ -102,6 +106,7 @@ def box_cover(
         )
         .select(
             id_col,
+            *extra_cols,
             "lat_min",
             "lat_max",
             "lon_min",

@@ -292,14 +292,25 @@ def exact_percentiles(
         F.count(F.lit(1)).alias("cnt")
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = counts.select(
-        "v", F.sum("cnt").over(w).alias("cum")
+    # total = the full-frame window sum — stays inside the same tiny
+    # single-partition pass as the cumulative sum (no scalar crossJoin,
+    # which would plan as a BroadcastNestedLoopJoin)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    total = df.select(F.count(F.lit(1)).alias("total"))
-    ps_df = df.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
+    cum = counts.select(
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    # the requested ps ride along as an exploded literal array column
     return (
-        cum.crossJoin(F.broadcast(total))
-        .crossJoin(F.broadcast(ps_df))
+        cum.select(
+            "v",
+            "cum",
+            "total",
+            F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+        )
         .where(F.col("cum") >= F.ceil(F.col("p") * F.col("total")))
         .groupBy("p")
         .agg(

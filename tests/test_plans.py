@@ -87,3 +87,44 @@ def test_pack_sequences_has_no_global_sort(spark):
     assert "hashpartitioning(__chunk" in plan
     # offset side reaches the fact side as a broadcast, not a shuffle
     assert "BroadcastExchange" in plan
+
+
+def test_no_nested_loop_joins_across_the_contract(spark):
+    """Suite-wide net: no contract key's physical plan may contain a
+    BroadcastNestedLoopJoin or CartesianProduct, except the documented
+    exact O(N^2) baselines that ARE a broadcast cross join by design.
+    Streaming keys are skipped (building their plan replays a stream);
+    so are save/load roundtrips (plan is a plain scan of the written
+    index — nothing to audit) to keep the sweep fast."""
+    ALLOWED_CROSS = {
+        # brute-force exact baselines (documented O(N^2) by design)
+        "cosine_topk",
+        "cosine_dedup",
+        "cosine_search",
+        # kmeans: k centroids crossJoin (k rows broadcast — the model)
+        "kmeans_train",
+        "kmeans_assign",
+    }
+    SKIP = {
+        "streaming_dedup_exact",
+        "streaming_hot_cells",
+        "running_user_totals",
+        "index_roundtrip",
+        "index_roundtrip_postal",
+        "partitioned_read",
+        "bucketed_join",
+    }
+    qs = C.queries()
+    audited = 0
+    offenders = []
+    for key, fn in qs.items():
+        if key in SKIP:
+            continue
+        plan = _plan(fn(spark, SF))
+        audited += 1
+        if key in ALLOWED_CROSS:
+            continue
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            offenders.append(key)
+    assert not offenders, f"nested-loop joins in: {offenders}"
+    assert audited >= 55  # the sweep really covered the contract
