@@ -64,6 +64,7 @@ HEADLINE = [
     "index_roundtrip_postal",
     "partitioned_read",
     "bucketed_join",
+    "resumable_rollup",
     "salted_agg",
     "dedup_exact",
     "minhash_lsh",
@@ -131,6 +132,7 @@ _FACT_TABLE = {
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",
     "bucketed_join": "documents",
+    "resumable_rollup": "documents",
     "salted_agg": "orders",
     "dedup_exact": "documents",
     "minhash_lsh": "documents",

@@ -284,6 +284,59 @@ def q_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pt_id", "lat", "lon", "caption")
 
 
+def q_resumable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule checkpoint gate: run a bucketed token-count stage
+    through plans.run_resumable with a SIMULATED MID-JOB CRASH
+    (fail_after=2 buckets), then resume to completion in a second
+    call; read back the per-bucket parquet results and hash every row
+    vs the plain batch oracle. Green only if (a) the crash run's
+    manifest rows let the resume skip exactly the completed buckets,
+    (b) the resumed buckets cover the remainder exactly once, and
+    (c) the written bytes equal the batch computation — the
+    per-partition lineage + row-count checkpoint machinery proven by
+    the driver, not just pytest."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.operators.textops import token_stats
+    from cityfinder_spark.plans.checkpoint import read_result, run_resumable
+
+    def build() -> str:
+        import hashlib
+        import shutil
+        import tempfile
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        out = os.path.join(tempfile.gettempdir(), f"cf_resume_{tag}")
+        shutil.rmtree(out, ignore_errors=True)  # always a fresh lifecycle
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+        def fn(bucket_df: DataFrame) -> DataFrame:
+            return token_stats(bucket_df).select("doc_id", "n_tokens")
+
+        first = run_resumable(
+            spark, docs, fn, out, stage="tok", id_col="doc_id",
+            n_buckets=6, fail_after=2,
+        )
+        second = run_resumable(
+            spark, docs, fn, out, stage="tok", id_col="doc_id", n_buckets=6,
+        )
+        if len(first) != 2 or len(set(first) & set(second)) != 0:
+            raise RuntimeError(
+                f"resume overlap/shape wrong: first={first} second={second}"
+            )
+        return out
+
+    out_dir = memo_value(spark, ("resumable-rollup", sf_dir), build)
+    return read_result(spark, out_dir).select("doc_id", "n_tokens")
+
+
+def _o_resumable_rollup() -> str:
+    return """
+    SELECT doc_id,
+           cast(len(string_split(text, ' ')) AS INT) AS n_tokens
+    FROM documents
+    """
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 sink gate: two tables bucketed+sorted on the join key
     (sinks.write_bucketed_table — the pay-the-shuffle-once leg of the
@@ -2734,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_city_tiled": q_nearest_city_tiled,
         "partitioned_read": q_partitioned_read,
         "bucketed_join": q_bucketed_join,
+        "resumable_rollup": q_resumable_rollup,
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "streaming_hot_cells": q_streaming_hot_cells,
         "running_user_totals": q_running_user_totals,
@@ -2790,6 +2844,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_city_tiled": _o_nearest_city(),
         "partitioned_read": _o_partitioned_read(),
         "bucketed_join": _o_bucketed_join(),
+        "resumable_rollup": _o_resumable_rollup(),
         # streaming gates: REAL multi-micro-batch runs on the Spark
         # side; id-ordered arrival makes the final emissions equal the
         # batch semantics, so the batch SQL is an exact oracle
