@@ -44,3 +44,26 @@ def test_query_matches_oracle(spark, duck, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_contract_registry_consistency():
+    """Every queries() key must have an oracle and a bench entry, and
+    bench must not name dead keys — the net that keeps new operators
+    from silently missing a gate or the round-over-round regression
+    radar."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench as bench_mod
+
+    importlib.reload(bench_mod)
+    from cityfinder_spark import contract as C
+
+    qs, os_ = set(C.queries()), set(C.oracle_sql())
+    hl = set(bench_mod.HEADLINE)
+    assert qs == os_, f"oracle drift: {qs ^ os_}"
+    assert qs - hl == set(), f"keys missing from bench: {qs - hl}"
+    assert hl - qs <= {"nearest_city_10m"}, f"dead bench keys: {hl - qs}"
+    # every rows/sec fact table must be a real key's table
+    assert set(bench_mod._FACT_TABLE) <= hl
