@@ -1376,6 +1376,132 @@ def q_streaming_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_ranked(
+    spark: SparkSession, df: DataFrame, okey, tag: str, n_files: int
+) -> str:
+    """Stage df into n_files parquet files split by EXACT row_number
+    quantiles over `okey` (a Column), ascending mtimes. Unlike
+    _stage_id_ordered (approxQuantile bounds), the batch of a row is a
+    pure closed form — batch = floor((rank-1) * n_files / N) — so an
+    oracle can recompute every row's micro-batch in SQL."""
+    from pyspark.sql import Window
+
+    from cityfinder_spark.bcast import memo_value
+
+    def build() -> str:
+        import glob as _glob
+        import hashlib
+        import shutil
+        import tempfile
+
+        h = hashlib.sha1(tag.encode()).hexdigest()[:12]
+        base = os.path.join(tempfile.gettempdir(), f"cf_stream_rk_{h}")
+        shutil.rmtree(base, ignore_errors=True)
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        n = df.count()
+        ranked = df.withColumn("__rn", F.row_number().over(Window.orderBy(okey)))
+        for i in range(n_files):
+            part = ranked.where(
+                F.floor((F.col("__rn") - 1) * n_files / F.lit(n)) == i
+            ).drop("__rn")
+            stage = os.path.join(base, f"stage_{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            (f,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        return src
+
+    return memo_value(spark, ("stream-rk", tag), build)
+
+
+# scrambled arrival key: md5 of the id decorrelates arrival order from
+# event time so genuine late data exists; the sentinel sorts last
+_LATE_SENTINEL_SQL = (
+    "SELECT cast(1000000000000000 as bigint) AS event_id, "
+    "TIMESTAMP '2024-12-31 00:00:00' AS ts, 'sentinel' AS event_type, "
+    "cast(0.0 as double) AS value"
+)
+_LATE_N_FILES = 4
+_LATE_DELAY = "4 hours"
+
+
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 driver gate: WATERMARK LATE-DATA SEMANTICS as a real
+    append-mode stream. Events are staged in md5-scrambled order (so
+    ~half the rows arrive later than the watermark), plus a far-future
+    sentinel in the last file so every real window finalizes. The
+    memory sink's emissions are summed per (window, event_type) and
+    hashed against a closed-form DuckDB replay of Structured
+    Streaming's observed availableNow mechanics (Spark 4.x): the
+    late filter drops post-partial-agg keys whose window end <=
+    trunc_ms(max event time through micro-batch k-2) - delay (the
+    filter lags the progress watermark by one commit — measured, and
+    pinned by this gate), evicted keys re-emit when late rows slip the
+    lag, and only windows past the final watermark emit at all. ~half
+    the input being dropped IS the assertion: watermarks bound state
+    at 10^12-row stream scale by discarding provably-late data."""
+    from cityfinder_spark.streaming.windows import windowed_event_counts
+
+    base = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    with_sent = base.unionByName(spark.sql(_LATE_SENTINEL_SQL))
+    okey = F.concat(
+        F.when(F.col("event_id") >= 10**15, F.lit("z")).otherwise(F.lit("a")),
+        F.md5(F.col("event_id").cast("string")),
+    )
+    src = _stage_ranked(
+        spark, with_sent, okey, f"late|{sf_dir}", _LATE_N_FILES
+    )
+    schema = spark.read.parquet(src).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_table(
+        spark,
+        windowed_event_counts(stream_in, "1 hour", watermark=_LATE_DELAY),
+        mode="append",
+    )
+    return out.groupBy("window_start", "event_type").agg(
+        F.sum("n_events").alias("n_events")
+    )
+
+
+def _o_streaming_late_data() -> str:
+    return f"""
+    WITH evs AS (
+      SELECT event_id, ts, event_type, value FROM events
+      UNION ALL {_LATE_SENTINEL_SQL}),
+    r AS (SELECT *, row_number() OVER (ORDER BY
+            concat(CASE WHEN event_id >= 1000000000000000
+                   THEN 'z' ELSE 'a' END,
+                   md5(cast(event_id AS VARCHAR)))) AS rn,
+            (SELECT count(*) FROM evs) AS n
+          FROM evs),
+    b AS (SELECT *, cast(floor((rn - 1) * {_LATE_N_FILES} / n) AS INT)
+                    AS batch FROM r),
+    bm AS (SELECT batch, max(ts) AS bmax FROM b GROUP BY batch),
+    wm AS (SELECT batch, max(bmax) OVER (ORDER BY batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS lagmax
+           FROM bm),
+    k AS (SELECT b.*,
+            date_trunc('milliseconds', wm.lagmax)
+              - INTERVAL 4 HOUR AS wflt,
+            date_trunc('hour', b.ts) AS wstart,
+            date_trunc('hour', b.ts) + INTERVAL 1 HOUR AS wend
+          FROM b JOIN wm ON b.batch = wm.batch),
+    kept AS (SELECT * FROM k WHERE wflt IS NULL OR wend > wflt),
+    fin AS (SELECT date_trunc('milliseconds', max(ts))
+                     - INTERVAL 4 HOUR AS wfinal FROM evs)
+    SELECT cast(epoch(wstart) AS BIGINT) AS window_start, event_type,
+           count(*) AS n_events
+    FROM kept, fin WHERE wend <= wfinal
+    GROUP BY wstart, event_type
+    """
+
+
 def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 driver gate: per-user running totals as a REAL stream.
     events is staged into 2 event_id-ordered halves (users overlap both
@@ -2790,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resumable_rollup": q_resumable_rollup,
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "streaming_hot_cells": q_streaming_hot_cells,
+        "streaming_late_data": q_streaming_late_data,
         "running_user_totals": q_running_user_totals,
     }
 
@@ -2852,6 +2979,7 @@ def oracle_sql() -> dict[str, str]:
         # the stream's final per-cell emissions must equal the batch
         # hot-cell aggregate — shared oracle
         "streaming_hot_cells": _o_hot_cells(),
+        "streaming_late_data": _o_streaming_late_data(),
         "running_user_totals": _o_running_user_totals(),
         # ann_lsh / ann_ivf are APPROXIMATE in recall but fully
         # deterministic in mechanism (md5 sign family, exact folds,

@@ -410,3 +410,19 @@ def test_streaming_cell_counts_cross_batch(spark, tmp_path):
     }
     assert got == want
     assert max(want.values()) == 5  # the spanning cell really spanned
+
+
+def test_streaming_late_data_gate_really_drops(spark):
+    """The late-data contract key must exercise genuine watermark
+    drops: the summed emissions cover well under the full input (the
+    md5-scrambled arrival makes ~half the rows provably late), and
+    every emitted window is a real (non-sentinel) one."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.contract import q_streaming_late_data
+
+    out = q_streaming_late_data(spark, SF)
+    total_kept = out.agg(F.sum("n_events")).first()[0]
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert 0 < total_kept < 0.75 * n_events  # real drops, not a no-op
+    assert out.where(F.col("event_type") == "sentinel").count() == 0
