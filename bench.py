@@ -78,6 +78,7 @@ HEADLINE = [
     "text_quality",
     "repetition_stats",
     "token_percentiles",
+    "quality_topk",
     "doc_fingerprint",
     "pack_sequences",
     "bin_manifest",
@@ -147,6 +148,7 @@ _FACT_TABLE = {
     "text_quality": "documents",
     "repetition_stats": "documents",
     "token_percentiles": "documents",
+    "quality_topk": "documents",
     "doc_fingerprint": "documents",
     "pack_sequences": "documents",
     "bin_manifest": "documents",

@@ -773,6 +773,46 @@ def _o_repetition_stats() -> str:
     """
 
 
+def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-k documents per source by the rounded quality score —
+    curation's 'keep the best of each provenance' selection, computed
+    with the two-phase top-k (local per-partition top-k in one Arrow
+    pass, then a dimension-sized global merge) instead of the
+    group-parallel window that would cap 10^12-row parallelism at
+    |sources| tasks. The oracle is the naive window plan in DuckDB;
+    equality proves the two-phase pruning is lossless."""
+    from cityfinder_spark.operators.textops import quality_col
+    from cityfinder_spark.operators.topk import group_topk
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", quality_col().alias("quality")
+    )
+    return group_topk(docs, 3, "source", "quality", "doc_id")
+
+
+def _o_quality_topk() -> str:
+    stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+    quality = sc.round6_sql(
+        "0.4 * (hits / n) + 0.3 * (uniq / n)"
+        " + 0.3 * least(((lc - (n - 1)) / n) / 10.0, 1.0)"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+                      length(text) AS lc
+               FROM documents),
+    s AS (SELECT doc_id, source, len(w) AS n,
+                 len(list_filter(w, x -> x IN ({stops}))) AS hits,
+                 len(list_distinct(w)) AS uniq, lc
+          FROM t),
+    q AS (SELECT doc_id, source, {quality} AS quality FROM s),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rank
+          FROM q)
+    SELECT source, cast(rank AS INT) AS rank, doc_id, quality
+    FROM r WHERE rank <= 3
+    """
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT corpus token-count percentiles without a global sort:
     count-by-value (map-side combined), cumulative sum over the tiny
@@ -2879,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
         "token_percentiles": q_token_percentiles,
+        "quality_topk": q_quality_topk,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2952,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _o_text_quality(),
         "repetition_stats": _o_repetition_stats(),
         "token_percentiles": _o_token_percentiles(),
+        "quality_topk": _o_quality_topk(),
         "lang_id": _o_lang_id(),
         "doc_fingerprint": _o_fingerprint(),
         "ngram_jaccard": _o_ngram_jaccard(),

@@ -513,3 +513,37 @@ def test_quantized_cosine_topk_arrow_jvm_parity(spark):
     a = sorted(map(tuple, quantized_cosine_topk(embs, k=5, strategy="arrow").collect()))
     j = sorted(map(tuple, quantized_cosine_topk(embs, k=5, strategy="jvm").collect()))
     assert a == j and len(a) > 0
+
+
+def test_group_topk_equals_naive_window(spark):
+    """Two-phase top-k (local per-partition prune + global merge) must
+    equal the naive window plan row-for-row, at any parallelism, with
+    deterministic tie-breaks on equal scores."""
+    from pyspark.sql import Window, functions as F
+
+    from cityfinder_spark.operators.topk import group_topk
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("source"),
+        # coarse score -> plenty of exact ties to exercise the tie-break
+        ((F.col("id") * 37 % 50) / 10.0).alias("quality"),
+    )
+    naive_w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    naive = (
+        df.withColumn("rank", F.row_number().over(naive_w))
+        .where(F.col("rank") <= 4)
+        .select("source", "rank", "doc_id", "quality")
+    )
+    want = sorted(map(tuple, naive.collect()))
+    for parts in (1, 32):
+        got = sorted(
+            map(
+                tuple,
+                group_topk(df.repartition(parts), 4, "source", "quality", "doc_id").collect(),
+            )
+        )
+        assert got == want
+    assert len(want) == 7 * 4
