@@ -70,6 +70,7 @@ HEADLINE = [
     "minhash_lsh",
     "simhash",
     "ngram_jaccard",
+    "ngram_containment",
     "sample_rate",
     "sample_quota",
     "dedup_resolve",
@@ -140,6 +141,7 @@ _FACT_TABLE = {
     "minhash_lsh": "documents",
     "simhash": "documents",
     "ngram_jaccard": "documents",
+    "ngram_containment": "documents",
     "sample_rate": "documents",
     "sample_quota": "documents",
     "dedup_resolve": "documents",

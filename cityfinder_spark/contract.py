@@ -853,8 +853,39 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+CONTAINMENT_T = 0.35
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplication pairs: n-gram containment (inter/min size)
+    catches short-doc-quoted-in-long-doc overlap that Jaccard dilutes;
+    at the contract threshold the sf0.01 corpus yields genuine full
+    containments (1.0) alongside partials. Same candidate machinery
+    and oracle CTEs as the Jaccard key."""
+    from cityfinder_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _docs(spark, sf_dir), n=3, threshold=CONTAINMENT_T
+    )
+
+
+def _o_ngram_containment() -> str:
+    return f"""
+    WITH {_SHINGLES_CTE},
+    cont AS (SELECT doc_a, doc_b,
+                    (floor((inter / least(sa.sz, sb.sz)) * 1000000.0 + 0.5)
+                     / 1000000.0) AS containment
+             FROM inter
+             JOIN sz sa ON sa.doc_id = doc_a
+             JOIN sz sb ON sb.doc_id = doc_b)
+    SELECT c.doc_a, c.doc_b, c.containment, j.jaccard
+    FROM cont c JOIN jac j USING (doc_a, doc_b)
+    WHERE c.containment >= {CONTAINMENT_T}
+    """
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2920,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "token_percentiles": q_token_percentiles,
         "quality_topk": q_quality_topk,
+        "ngram_containment": q_ngram_containment,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2997,6 +3029,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _o_lang_id(),
         "doc_fingerprint": _o_fingerprint(),
         "ngram_jaccard": _o_ngram_jaccard(),
+        "ngram_containment": _o_ngram_containment(),
         "minhash_lsh": _o_minhash_lsh(),
         "simhash": _o_simhash(),
         "sample_rate": _o_sample_rate(),

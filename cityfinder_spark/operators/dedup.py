@@ -169,6 +169,33 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.35,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Partial-duplication pairs by exact n-gram CONTAINMENT:
+    inter / min(|A|, |B|) — the asymmetric overlap that catches a
+    short document quoted inside a long one, which Jaccard dilutes
+    below any usable threshold (inter / union shrinks as the big doc
+    grows; containment stays 1.0). Same candidate machinery and scale
+    shape as the Jaccard path: only (doc_id, shingle) rows shuffle,
+    pair work is O(shared-shingle collisions). Output:
+    (doc_a, doc_b, containment, jaccard) for containment >= threshold.
+    """
+    sh = word_shingles(docs, n, id_col, text_col, max_df)
+    pairs = _pair_jaccard(sh, id_col).withColumn(
+        "containment",
+        round6_col(F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b"))),
+    )
+    return pairs.where(F.col("containment") >= threshold).select(
+        "doc_a", "doc_b", "containment", "jaccard"
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 3,

@@ -547,3 +547,25 @@ def test_group_topk_equals_naive_window(spark):
         )
         assert got == want
     assert len(want) == 7 * 4
+
+
+def test_ngram_containment_catches_quotes_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a long one: containment 1.0,
+    Jaccard diluted below the near-dup threshold."""
+    from cityfinder_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"tok{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [("a", short), ("b", filler + " " + short + " " + filler)],
+        "doc_id string, text string",
+    )
+    cont = ngram_containment_pairs(docs, n=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row.doc_a, row.doc_b, row.containment) == ("a", "b", 1.0)
+    assert row.jaccard < 0.2  # the Jaccard gate would miss this pair
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.2).count() == 0
