@@ -96,6 +96,7 @@ HEADLINE = [
     "ann_search",
     "ann_search_persisted",
     "ann_search_ivf",
+    "ann_search_trained",
     "kmeans_train",
     "kmeans_assign",
     "image_pipeline",
@@ -170,6 +171,7 @@ _FACT_TABLE = {
     "ann_search": "embeddings",
     "ann_search_persisted": "embeddings",
     "ann_search_ivf": "embeddings",
+    "ann_search_trained": "embeddings",
     "kmeans_train": "embeddings",
     "kmeans_assign": "embeddings",
     "events_windowed": "events",

@@ -1139,6 +1139,40 @@ KMEANS_K = 8
 KMEANS_ITER = 2
 
 
+def q_ann_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering -> search, composed end-to-end: the IVF coarse
+    quantizer is the kmeans model TRAINED ON THE DATA (hash-exact
+    fixed-point Lloyd's, shared memo with kmeans_assign), corpus rows
+    take their kmeans cluster as the inverted-list label, and
+    ivf_search probes those learned lists. This is the production ANN
+    build: train the quantizer once, assign the corpus once, serve
+    query batches against the lists — and every stage of it is
+    replayed closed-form in the DuckDB oracle (kmeans CTE chain ->
+    assignment -> member-mean list centroids -> probe -> refine)."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from cityfinder_spark.operators.similarity import ivf_search
+
+    def build():
+        C, _ = kmeans_fit(
+            _embs(spark, sf_dir), k=KMEANS_K, n_iter=KMEANS_ITER
+        )
+        return C
+
+    C = memo_value(spark, ("kmeans-model", sf_dir, KMEANS_K, KMEANS_ITER), build)
+    base = _emb_base(spark, sf_dir)
+    clusters = kmeans_assign(base.select("vec_id", "embedding"), C)
+    labeled = (
+        base.drop("label")
+        .join(clusters, "vec_id")
+        .withColumnRenamed("cluster_id", "label")
+    )
+    return ivf_search(
+        _emb_queries(spark, sf_dir), labeled, k=5,
+        cache_key=("embbase-km", sf_dir, KMEANS_K, KMEANS_ITER),
+    )
+
+
 def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings (SURVEY §2.7):
     an ITERATIVE algorithm driver-gated hash-exact — possible because
@@ -2695,12 +2729,51 @@ def _o_ann_search_ivf() -> str:
     probes its 8 nearest lists by rounded centroid cosine (ties label
     asc); exact rounded-cosine refinement, rank<=5 per q_id, no
     self-exclusion."""
-    return f"""
-    WITH {_DUCK_EMB_CTE},
+    memb = """
     memb AS (
       SELECT n.vec_id, n.v, n.nrm, emb.label
       FROM n JOIN embeddings emb ON emb.vec_id = n.vec_id
+      WHERE n.vec_id % 5 <> 0)"""
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    {memb},
+    {_ANN_SEARCH_IVF_TAIL}
+    """
+
+
+def _o_ann_search_trained() -> str:
+    """ivf_search with the KMEANS-TRAINED coarse quantizer: the corpus
+    rows' list labels are their kmeans_assign cluster (replayed via
+    the fixed-point _o_kmeans_cte chain + the same rounded-cosine /
+    ties-asc assignment convention as _o_kmeans_assign); everything
+    downstream (member-mean list centroids, probes, refinement) is the
+    shared _ANN_SEARCH_IVF_TAIL."""
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> m.v[i] * c.cv[i]))"
+    )
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    {_o_kmeans_cte(KMEANS_K, KMEANS_ITER, 64)},
+    cnK AS (
+      SELECT cluster_id, cv,
+             sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+      FROM c{KMEANS_ITER}),
+    klab AS (
+      SELECT m.vec_id, c.cluster_id, row_number() OVER (
+        PARTITION BY m.vec_id
+        ORDER BY {sc.round6_sql(f"{dot} / (m.nrm * c.cnrm)")} DESC,
+                 c.cluster_id ASC) AS pr
+      FROM n m CROSS JOIN cnK c),
+    memb AS (
+      SELECT n.vec_id, n.v, n.nrm, klab.cluster_id AS label
+      FROM n JOIN klab ON klab.vec_id = n.vec_id AND klab.pr = 1
       WHERE n.vec_id % 5 <> 0),
+    {_ANN_SEARCH_IVF_TAIL}
+    """
+
+
+_ANN_SEARCH_IVF_TAIL = f"""
     q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id % 5 = 0),
     cents AS (
       SELECT label, list(v ORDER BY vec_id) AS vs,
@@ -2971,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_search": q_ann_search,
         "ann_search_persisted": q_ann_search_persisted,
         "ann_search_ivf": q_ann_search_ivf,
+        "ann_search_trained": q_ann_search_trained,
         "kmeans_train": q_kmeans_train,
         "kmeans_assign": q_kmeans_assign,
         "image_pipeline": q_image_pipeline,
@@ -3069,6 +3143,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_search": _o_ann_search(),
         "ann_search_persisted": _o_ann_search(),
         "ann_search_ivf": _o_ann_search_ivf(),
+        "ann_search_trained": _o_ann_search_trained(),
         "kmeans_train": _o_kmeans_train(KMEANS_K, KMEANS_ITER),
         "kmeans_assign": _o_kmeans_assign(KMEANS_K, KMEANS_ITER),
         # media queries: DuckDB splitmix64 replay — the oracle

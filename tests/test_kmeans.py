@@ -162,3 +162,22 @@ def test_assign_streaming_safe(spark, tmp_path, parts):
         ).collect()
     }
     assert got == want and len(got) == 40
+
+
+def test_ann_search_trained_recall_vs_exact(spark):
+    """The kmeans-trained IVF search must stay a good ANN: recall@5
+    >= 0.8 against exact asymmetric cosine search on the contract
+    embeddings (8 learned lists, 8 probes of 8 = exact probe set, so
+    losses come only from list pruning of candidates)."""
+    from cityfinder_spark.contract import (
+        q_ann_search_trained,
+        q_cosine_search,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    exact = {(r.q_id, r.neighbor_id) for r in q_cosine_search(spark, SF).collect()}
+    trained = {
+        (r.q_id, r.neighbor_id) for r in q_ann_search_trained(spark, SF).collect()
+    }
+    recall = len(exact & trained) / len(exact)
+    assert recall >= 0.8, f"trained-IVF recall@5 = {recall:.3f}"
