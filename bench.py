@@ -73,12 +73,14 @@ HEADLINE = [
     "ngram_containment",
     "sample_rate",
     "sample_quota",
+    "mixture_sample",
     "dedup_resolve",
     "corpus_pipeline",
     "token_stats",
     "text_quality",
     "repetition_stats",
     "token_percentiles",
+    "vocab_topk",
     "quality_topk",
     "doc_fingerprint",
     "pack_sequences",
@@ -99,6 +101,7 @@ HEADLINE = [
     "ann_search_trained",
     "kmeans_train",
     "kmeans_assign",
+    "semdedup",
     "image_pipeline",
     "image_decode_stats",
     "phash_near_dup",
@@ -145,12 +148,14 @@ _FACT_TABLE = {
     "ngram_containment": "documents",
     "sample_rate": "documents",
     "sample_quota": "documents",
+    "mixture_sample": "documents",
     "dedup_resolve": "documents",
     "corpus_pipeline": "documents",
     "token_stats": "documents",
     "text_quality": "documents",
     "repetition_stats": "documents",
     "token_percentiles": "documents",
+    "vocab_topk": "documents",
     "quality_topk": "documents",
     "doc_fingerprint": "documents",
     "pack_sequences": "documents",
@@ -174,6 +179,7 @@ _FACT_TABLE = {
     "ann_search_trained": "embeddings",
     "kmeans_train": "embeddings",
     "kmeans_assign": "embeddings",
+    "semdedup": "embeddings",
     "events_windowed": "events",
     "events_sessionize": "events",
     "events_props": "events",

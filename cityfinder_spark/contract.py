@@ -829,6 +829,20 @@ def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_K = 40
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build: top-k tokens by corpus occurrence
+    count with document frequency, rank deterministic by (count desc,
+    token asc). explode+groupBy is map-side combined (the exchange
+    carries |vocab| partials, never corpus tokens); the final top-k is
+    TakeOrdered over the vocab-sized agg."""
+    from cityfinder_spark.operators.textops import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=VOCAB_K)
+
+
 def _o_token_percentiles() -> str:
     return """
     WITH t AS (SELECT len(string_split(text, ' ')) AS v FROM documents),
@@ -921,6 +935,33 @@ def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     return quota_sample(docs, "source", "doc_id", QUOTA_K)
+
+
+# mixture targets: named sources get real weight, the long tail gets a
+# trickle; the budget is sized so named groups sample below 1.0 at
+# sf0.01 while staying non-degenerate at sf0.1
+MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2}
+MIX_DEFAULT_W = 0.01
+MIX_BUDGET = 5000
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture sampling: per-group rates DERIVED from target
+    weights + a token budget against the measured per-group token
+    mass (the Pile/DoReMi mixture shape), then the deterministic hash
+    filter. One tiny column-pruned agg + a broadcast-join filter; the
+    whole chain is integer/IEEE-double exact so DuckDB replays the
+    sample bit-for-bit."""
+    from cityfinder_spark.operators.sampling import mixture_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    return mixture_sample(
+        docs, "doc_id", "source", "n_tok", MIX_WEIGHTS, MIX_BUDGET, MIX_DEFAULT_W
+    )
 
 
 # quality floor ~ the synthetic corpus median (scores span ~0.24-0.50),
@@ -1199,6 +1240,26 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     C = memo_value(spark, ("kmeans-model", sf_dir, KMEANS_K, KMEANS_ITER), build)
     return kmeans_assign(_embs(spark, sf_dir), C)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-pruned semantic dedup): pairs are searched
+    only WITHIN each kmeans cluster — O(sum c_i^2) instead of
+    cosine_dedup's O(N^2), one exchange total. Shares the memoized
+    kmeans model with kmeans_assign/ann_search_trained; the oracle
+    replays train -> assign -> within-cluster pair scan closed-form."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.operators.kmeans import kmeans_fit
+    from cityfinder_spark.operators.semdedup import semdedup
+
+    def build():
+        C, _ = kmeans_fit(
+            _embs(spark, sf_dir), k=KMEANS_K, n_iter=KMEANS_ITER
+        )
+        return C
+
+    C = memo_value(spark, ("kmeans-model", sf_dir, KMEANS_K, KMEANS_ITER), build)
+    return semdedup(_embs(spark, sf_dir), C, threshold=COS_DEDUP_T)
 
 
 def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1906,6 +1967,49 @@ def _o_sample_quota() -> str:
                ORDER BY (doc_id * 48271) % 100000, doc_id) AS rn
       FROM documents) t
     WHERE rn <= {QUOTA_K}
+    """
+
+
+def _o_mixture_sample() -> str:
+    """Same arithmetic, same order of operations as mixture_sample:
+    (budget * w) / tok_total in IEEE double, least(1.0, .) , floor,
+    then the MINSTD hash filter — every step exact, so the kept row
+    set is identical."""
+    cases = " ".join(
+        f"WHEN '{v}' THEN {w!r}" for v, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+    thr AS (
+      SELECT source,
+             floor(least(1.0,
+                 {float(MIX_BUDGET)!r} *
+                 CASE source {cases} ELSE {MIX_DEFAULT_W!r} END
+                 / sum(n_tok)) * 100000) AS t
+      FROM base GROUP BY source)
+    SELECT b.doc_id, b.source, b.n_tok
+    FROM base b JOIN thr USING (source)
+    WHERE (b.doc_id * 48271) % 100000 < thr.t
+    """
+
+
+def _o_vocab_topk() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    c AS (
+      SELECT token, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS doc_freq
+      FROM tok WHERE token <> '' GROUP BY token)
+    SELECT cast(row_number() OVER
+                (ORDER BY n_occurrences DESC, token ASC) AS INT) AS "rank",
+           token, n_occurrences, doc_freq
+    FROM c
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT {VOCAB_K}
     """
 
 
@@ -2923,6 +3027,45 @@ def _o_kmeans_assign(k: int, n_iter: int, dim: int = 64) -> str:
     """
 
 
+def _o_semdedup(k: int, n_iter: int, threshold: float, dim: int = 64) -> str:
+    """Closed-form replay of the whole SemDeDup chain: the kmeans CTE
+    (fixed-point Lloyd's), the rounded-cosine/ties-asc assignment (same
+    text as _o_kmeans_assign), then the within-cluster pair scan — a
+    self-join restricted to equal cluster_id, round6 cosine >= t,
+    keeper = smallest matching earlier id."""
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> m.v[i] * c.cv[i]))"
+    )
+    pair_cos = sc.round6_sql(f"{_DUCK_DOT} / (a.nrm * b.nrm)")
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    {_o_kmeans_cte(k, n_iter, dim)},
+    cnF AS (
+      SELECT cluster_id, cv,
+             sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+      FROM c{n_iter}),
+    aF AS (
+      SELECT m.vec_id, c.cluster_id, row_number() OVER (
+        PARTITION BY m.vec_id
+        ORDER BY {sc.round6_sql(f"{dot} / (m.nrm * c.cnrm)")} DESC,
+                 c.cluster_id ASC) AS pr
+      FROM n m CROSS JOIN cnF c),
+    asg AS (SELECT vec_id, cluster_id FROM aF WHERE pr = 1),
+    p AS (
+      SELECT b.vec_id AS vec_id, sb.cluster_id AS cluster_id,
+             a.vec_id AS keeper_id, {pair_cos} AS cos_sim,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY a.vec_id ASC) AS prr
+      FROM n a
+      JOIN asg sa ON sa.vec_id = a.vec_id
+      JOIN asg sb ON sb.cluster_id = sa.cluster_id
+      JOIN n b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+      WHERE {pair_cos} >= {threshold})
+    SELECT vec_id, cluster_id, keeper_id, cos_sim FROM p WHERE prr = 1
+    """
+
+
 def _o_events_windowed() -> str:
     return """
     SELECT cast(epoch(date_trunc('hour', ts)) as bigint) AS window_start,
@@ -3023,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
         "token_percentiles": q_token_percentiles,
+        "vocab_topk": q_vocab_topk,
         "quality_topk": q_quality_topk,
         "ngram_containment": q_ngram_containment,
         "lang_id": q_lang_id,
@@ -3032,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "sample_rate": q_sample_rate,
         "sample_quota": q_sample_quota,
+        "mixture_sample": q_mixture_sample,
         "dedup_resolve": q_dedup_resolve,
         "corpus_pipeline": q_corpus_pipeline,
         "cosine_topk": q_cosine_topk,
@@ -3047,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_search_trained": q_ann_search_trained,
         "kmeans_train": q_kmeans_train,
         "kmeans_assign": q_kmeans_assign,
+        "semdedup": q_semdedup,
         "image_pipeline": q_image_pipeline,
         "image_decode_stats": q_image_decode_stats,
         "phash_near_dup": q_phash_near_dup,
@@ -3099,6 +3245,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _o_text_quality(),
         "repetition_stats": _o_repetition_stats(),
         "token_percentiles": _o_token_percentiles(),
+        "vocab_topk": _o_vocab_topk(),
         "quality_topk": _o_quality_topk(),
         "lang_id": _o_lang_id(),
         "doc_fingerprint": _o_fingerprint(),
@@ -3108,6 +3255,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _o_simhash(),
         "sample_rate": _o_sample_rate(),
         "sample_quota": _o_sample_quota(),
+        "mixture_sample": _o_mixture_sample(),
         "dedup_resolve": _o_dedup_resolve(),
         "corpus_pipeline": _o_corpus_pipeline(),
         "cosine_topk": _o_cosine_topk(),
@@ -3146,6 +3294,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_search_trained": _o_ann_search_trained(),
         "kmeans_train": _o_kmeans_train(KMEANS_K, KMEANS_ITER),
         "kmeans_assign": _o_kmeans_assign(KMEANS_K, KMEANS_ITER),
+        "semdedup": _o_semdedup(KMEANS_K, KMEANS_ITER, COS_DEDUP_T),
         # media queries: DuckDB splitmix64 replay — the oracle
         # recomputes pixels/samples closed-form from row ids and never
         # touches the binary payloads (see _duck_mix64)

@@ -127,3 +127,59 @@ def corpus_split(
         .when(h < test_hi, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Corpus-mixture sampling (the Pile/DoReMi shape): given target
+    mixture WEIGHTS per group and a total TOKEN BUDGET, derive each
+    group's sampling rate from its measured token mass and keep a
+    deterministic hash sample at that rate.
+
+        rate_g = min(1, token_budget * w_g / tokens_g)
+
+    Unlike `stratified_rate_sample` (rates handed in), the engine
+    computes the rates from corpus statistics: one tiny map-side-
+    combined agg over (group, tokens) — a column-pruned scan that
+    never touches text/payload columns — then the zero-shuffle hash
+    filter with per-group thresholds attached via a broadcast join.
+    Groups whose full mass is below their budget share keep everything
+    (rate capped at 1; upsampling/multi-epoch is the trainer's job,
+    not the sampler's). Every step is integer-or-IEEE-double exact, so
+    the DuckDB oracle reproduces the sample bit-for-bit.
+
+    Determinism: membership is a pure function of the id (same
+    MINSTD hash as rate_sample), so resumes and re-runs keep the same
+    rows as long as the group totals are unchanged; a changed corpus
+    re-derives rates, which is the point of a mixture."""
+    w_expr = F.lit(float(default_weight))
+    for value, w in sorted(weights.items()):
+        w_expr = F.when(F.col(group_col) == F.lit(value), F.lit(float(w))).otherwise(
+            w_expr
+        )
+    thresholds = (
+        df.groupBy(group_col)
+        .agg(F.sum(F.col(token_col)).alias("__tok_total"))
+        .select(
+            group_col,
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(token_budget)) * w_expr / F.col("__tok_total"),
+                )
+                * F.lit(HASH_M)
+            ).alias("__thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col, "inner")
+        .where(sample_hash(id_col) < F.col("__thr"))
+        .drop("__thr")
+    )

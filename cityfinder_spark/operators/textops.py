@@ -319,3 +319,48 @@ def exact_percentiles(
             F.first("total").alias("total"),
         )
     )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-vocabulary build: the k most frequent tokens in the
+    corpus with total occurrence count and document frequency. Output:
+    (rank, token, n_occurrences, doc_freq), rank 1-based by
+    (n_occurrences desc, token asc) — a deterministic ordering, so the
+    result value-hashes against the DuckDB unnest replay.
+
+    The first step of training any tokenizer (BPE/unigram vocab
+    initialization, stopword discovery, OOV analysis) is exactly this
+    aggregation. Scale shape: explode(split) is a codegen generator
+    (no Python), groupBy(token) is map-side combined so the exchange
+    carries |vocab| partial counts per task, not corpus tokens;
+    count(distinct doc_id) rides the same exchange via partial
+    distinct aggregation. The final top-k over the |vocab|-sized agg
+    is TakeOrdered (per-partition heap + k-row driver merge), never a
+    global sort of the corpus."""
+    w = _words(text_col)
+    tokens = docs.select(F.col(id_col), F.explode(w).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(k)
+    # rank over the k surviving rows only (a k-row single-partition
+    # window, not a corpus sort)
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.select(
+        F.row_number().over(wr).cast("int").alias("rank"),
+        "token",
+        "n_occurrences",
+        "doc_freq",
+    )

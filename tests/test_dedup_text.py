@@ -569,3 +569,26 @@ def test_ngram_containment_catches_quotes_jaccard_misses(spark):
     assert (row.doc_a, row.doc_b, row.containment) == ("a", "b", 1.0)
     assert row.jaccard < 0.2  # the Jaccard gate would miss this pair
     assert ngram_jaccard_pairs(docs, n=3, threshold=0.2).count() == 0
+
+
+def test_vocab_topk_hand_computed(spark):
+    """Counts, doc frequency, and the (count desc, token asc)
+    tie-break on a corpus small enough to count by hand."""
+    from cityfinder_spark.operators.textops import vocab_topk
+
+    docs = _docs(spark, ["b a b", "a b c", "c a"])
+    rows = vocab_topk(docs, k=10).collect()
+    got = [(r["rank"], r["token"], r["n_occurrences"], r["doc_freq"]) for r in rows]
+    # a: 3 occurrences in 3 docs; b: 3 in 2; c: 2 in 2 — the a/b count
+    # tie breaks on token ascending
+    assert got == [(1, "a", 3, 3), (2, "b", 3, 2), (3, "c", 2, 2)]
+
+
+def test_vocab_topk_k_truncates_and_skips_empty(spark):
+    from cityfinder_spark.operators.textops import vocab_topk
+
+    docs = _docs(spark, ["x  y", "y"])  # double space -> empty token
+    rows = vocab_topk(docs, k=1).collect()
+    assert [(r["rank"], r["token"], r["n_occurrences"]) for r in rows] == [
+        (1, "y", 2)
+    ]

@@ -211,3 +211,74 @@ def test_dedup_resolve_matches_duckdb_closure(spark):
         for a, b, c in con.execute(contract._o_dedup_resolve()).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+# ------------------------------------------------------------- mixture
+
+
+def test_mixture_sample_budget_respected(spark):
+    """Groups sampling below rate 1.0 land near budget*w tokens; a
+    group whose whole mass fits its share keeps everything."""
+    from cityfinder_spark.operators.sampling import mixture_sample
+
+    docs = _docs(spark).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    weights = {"src0": 0.5, "src1": 0.3}
+    budget = 4000
+    out = mixture_sample(docs, "doc_id", "source", "n_tok", weights, budget, 0.0)
+    kept = {
+        r["source"]: r["tok"]
+        for r in out.groupBy("source").agg(F.sum("n_tok").alias("tok")).collect()
+    }
+    totals = {
+        r["source"]: r["tok"]
+        for r in docs.groupBy("source").agg(F.sum("n_tok").alias("tok")).collect()
+    }
+    # unnamed groups: weight 0 -> dropped entirely
+    assert set(kept) <= set(weights)
+    for src, w in weights.items():
+        share = budget * w
+        if totals[src] <= share:
+            assert kept.get(src) == totals[src]  # rate capped at 1: keep all
+        else:
+            # hash sampling is uniform-ish: within a loose band of target
+            assert 0.4 * share <= kept.get(src, 0) <= 1.8 * share
+
+
+def test_mixture_sample_deterministic_pure_function_of_id(spark):
+    """Same corpus -> identical row set on rerun; kept set nests inside
+    rate_sample's band on the SAME hash (composability check)."""
+    from cityfinder_spark.operators.sampling import mixture_sample
+
+    docs = _docs(spark).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    a = mixture_sample(docs, "doc_id", "source", "n_tok", {"src0": 0.4}, 3000)
+    b = mixture_sample(docs, "doc_id", "source", "n_tok", {"src0": 0.4}, 3000)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.collect())
+    # every kept id passes its group threshold ~ mixture is rate_sample
+    # with a derived per-group rate
+    full = {r["doc_id"] for r in rate_sample(docs, "doc_id", 1.0).collect()}
+    assert set(ids_a) <= full
+
+
+def test_mixture_sample_zero_fact_shuffle_plan(spark):
+    """The fact side must reach the filter via a broadcast join — no
+    exchange of the corpus on the group key."""
+    from cityfinder_spark.operators.sampling import mixture_sample
+
+    docs = _docs(spark).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    out = mixture_sample(docs, "doc_id", "source", "n_tok", {"src0": 0.4}, 3000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
