@@ -45,6 +45,7 @@ HEADLINE = [
     "nearest_city_topk",
     "nearest_city_adaptive",
     "nearest_city_tiled",
+    "nearest_city_bigdim",
     "nearest_city_10m",
     "cell_assign",
     "hot_cells",
@@ -124,6 +125,7 @@ _FACT_TABLE = {
     "nearest_city_topk": "orders",
     "nearest_city_adaptive": "orders",
     "nearest_city_tiled": "orders",
+    "nearest_city_bigdim": "orders",
     "cell_assign": "orders",
     "hot_cells": "orders",
     "cell_pyramid": "orders",

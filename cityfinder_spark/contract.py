@@ -245,6 +245,22 @@ def q_nearest_city_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pt_id", "caption", "city_id", "name", "country", "dist_km")
 
 
+def q_nearest_city_bigdim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth J1 physical strategy: the NO-BROADCAST shuffle plan for a
+    city dimension too large for the broadcast budget (the general
+    10^12-scale regime). Dim-side ring-1 cover + shuffled hash join +
+    point-side ring-doubling escalation; must equal the same
+    brute-force oracle as the broadcast strategies — the physical plan
+    changes, the rows never do."""
+    from cityfinder_spark.operators.nearest_shuffle import nearest_city_join_bigdim
+
+    pts = _points(spark, sf_dir)
+    cities = _cities(spark, sf_dir)
+    return nearest_city_join_bigdim(pts, cities).select(
+        "pt_id", "caption", "city_id", "name", "country", "dist_km"
+    )
+
+
 # ---------------- sink read-back gate (sinks.py) ----------------
 
 # Antimeridian-crossing Pacific box (lon 150..180 U -180..-150): the
@@ -3204,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_props": q_events_props,
         "nearest_city_tiled": q_nearest_city_tiled,
+        "nearest_city_bigdim": q_nearest_city_bigdim,
         "partitioned_read": q_partitioned_read,
         "bucketed_join": q_bucketed_join,
         "resumable_rollup": q_resumable_rollup,
@@ -3266,6 +3283,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _o_events_sessionize(),
         "events_props": _o_events_props(),
         "nearest_city_tiled": _o_nearest_city(),
+        "nearest_city_bigdim": _o_nearest_city(),
         "partitioned_read": _o_partitioned_read(),
         "bucketed_join": _o_bucketed_join(),
         "resumable_rollup": _o_resumable_rollup(),
