@@ -67,6 +67,7 @@ HEADLINE = [
     "bucketed_join",
     "resumable_rollup",
     "salted_agg",
+    "hotspot_clusters",
     "dedup_exact",
     "minhash_lsh",
     "simhash",
@@ -143,6 +144,7 @@ _FACT_TABLE = {
     "bucketed_join": "documents",
     "resumable_rollup": "documents",
     "salted_agg": "orders",
+    "hotspot_clusters": "orders",
     "dedup_exact": "documents",
     "minhash_lsh": "documents",
     "simhash": "documents",

@@ -494,6 +494,18 @@ def _o_trajectory_stats() -> str:
     """
 
 
+def q_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN: hot cells (same density pre-pass as `hot_cells`)
+    merged into clusters via 8-adjacency connected components,
+    cluster_id = min cell id of the component. One corpus-sized
+    exchange (the count agg); everything after is hot-set-sized."""
+    from cityfinder_spark.operators.hotspots import hotspot_clusters
+
+    return hotspot_clusters(
+        _points(spark, sf_dir), level=CELL_LEVEL, min_count=HOT_THRESHOLD
+    )
+
+
 def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-pyramid rollup (H3 cellToParent / slippy-map pyramid):
     point counts per cell at level 6 and every coarser level down to
@@ -1762,6 +1774,43 @@ def _o_cell_assign() -> str:
     WITH pts AS ({sc.points_from_orders_sql()})
     SELECT pt_id, lat, lon, {sc.cell_sql("lat", "lon", CELL_LEVEL)} AS cell_id
     FROM pts
+    """
+
+
+def _o_hotspot_clusters() -> str:
+    """Hot cells + 8-adjacency CC, fully closed-form: adjacency is
+    |di| <= 1 and wrap-aware |dj| <= 1 on the decoded (i, j) grid
+    coordinates (identical to ring_cells_col's pmod wrapping), the
+    component label via the same reach/min recursive CTE as
+    _o_dedup_resolve."""
+    nlon = 2 << CELL_LEVEL
+    base = f"(cell_id - {CELL_LEVEL} * {sc.LEVEL_STRIDE})"
+    return f"""
+    WITH RECURSIVE pts AS ({sc.points_from_orders_sql()}),
+    hot AS (
+      SELECT {sc.cell_sql("lat", "lon", CELL_LEVEL)} AS cell_id,
+             count(*) AS n_points
+      FROM pts GROUP BY 1 HAVING count(*) >= {HOT_THRESHOLD}),
+    d AS (
+      SELECT cell_id,
+             cast({base} // {nlon} AS bigint) AS i,
+             cast({base} % {nlon} AS bigint) AS j
+      FROM hot),
+    ed AS (
+      SELECT a.cell_id AS u, b.cell_id AS v
+      FROM d a JOIN d b
+        ON a.cell_id <> b.cell_id
+       AND abs(a.i - b.i) <= 1
+       AND least(abs(a.j - b.j), {nlon} - abs(a.j - b.j)) <= 1),
+    reach(n, m) AS (
+      SELECT u, u FROM ed
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN ed e ON e.u = r.m),
+    canon AS (SELECT n AS cell_id, MIN(m) AS label FROM reach GROUP BY 1)
+    SELECT h.cell_id,
+           COALESCE(c.label, h.cell_id) AS cluster_id,
+           h.n_points
+    FROM hot h LEFT JOIN canon c USING (cell_id)
     """
 
 
@@ -3157,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_city_topk": q_nearest_city_topk,
         "cell_assign": q_cell_assign,
         "hot_cells": q_hot_cells,
+        "hotspot_clusters": q_hotspot_clusters,
         "nearest_city_adaptive": q_nearest_city_adaptive,
         "salted_agg": q_salted_agg,
         "name_lookup": q_name_lookup,
@@ -3237,6 +3287,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_city_topk": _o_nearest_city_topk(),
         "cell_assign": _o_cell_assign(),
         "hot_cells": _o_hot_cells(),
+        "hotspot_clusters": _o_hotspot_clusters(),
         "nearest_city_adaptive": _o_nearest_city(),
         "salted_agg": _o_salted_agg(),
         "name_lookup": _o_name_lookup(fuzzy=True),

@@ -1,0 +1,98 @@
+"""Grid-DBSCAN hotspot clustering: hand-checkable lattices, longitude
+wrap-around merging, threshold gating, and the DuckDB recursive-CTE
+closure parity on real testdata."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cityfinder_spark import contract, sqlcompat as sc
+from cityfinder_spark.geo.cells import cell_size_deg
+from cityfinder_spark.operators.hotspots import hotspot_clusters
+from tests.conftest import SF_DIR_01
+
+
+def _pts(spark, coords):
+    return spark.createDataFrame(
+        [(i, float(la), float(lo)) for i, (la, lo) in enumerate(coords)],
+        "pt_id long, lat double, lon double",
+    )
+
+
+def test_two_separate_blobs(spark):
+    """Two dense blobs far apart -> two clusters; a lone point below
+    the threshold contributes no hot cell."""
+    level = 4  # 11.25-degree cells
+    h = cell_size_deg(level)
+    blob_a = [(10.0 + 0.01 * i, 10.0) for i in range(5)]
+    blob_b = [(-40.0, -120.0 + 0.01 * i) for i in range(4)]
+    lone = [(60.0, 60.0)]
+    out = hotspot_clusters(
+        _pts(spark, blob_a + blob_b + lone), level=level, min_count=3
+    ).collect()
+    assert len(out) == 2
+    # isolated hot cells: each its own cluster, labelled by itself
+    assert all(r["cluster_id"] == r["cell_id"] for r in out)
+    counts = sorted(r["n_points"] for r in out)
+    assert counts == [4, 5]
+    assert abs(blob_a[0][0] - blob_b[0][0]) > 2 * h  # sanity: truly apart
+
+
+def test_adjacent_cells_merge_into_one_cluster(spark):
+    """A dense strip crossing three adjacent cells merges into ONE
+    cluster labelled by the smallest member cell id."""
+    level = 4
+    h = cell_size_deg(level)
+    strip = [
+        (5.0, 10.0 + dx * h + eps)
+        for dx in (0, 1, 2)
+        for eps in (0.1, 0.2, 0.3)
+    ]
+    out = hotspot_clusters(_pts(spark, strip), level=level, min_count=3).collect()
+    assert len(out) == 3
+    labels = {r["cluster_id"] for r in out}
+    assert labels == {min(r["cell_id"] for r in out)}
+
+
+def test_diagonal_adjacency_counts(spark):
+    """8-adjacency: diagonal neighbors merge (Chebyshev ring, not
+    von-Neumann)."""
+    level = 4
+    h = cell_size_deg(level)
+    a = [(5.0 + 0.1, 10.0 + 0.1)] * 3
+    b = [(5.0 + h + 0.1, 10.0 + h + 0.1)] * 3  # one step up AND right
+    out = hotspot_clusters(_pts(spark, a + b), level=level, min_count=3).collect()
+    assert len(out) == 2
+    assert len({r["cluster_id"] for r in out}) == 1
+
+
+def test_antimeridian_wraparound_merges(spark):
+    """Hot cells on either side of lon=180 are ring-adjacent (lon
+    wraps) and must land in one cluster."""
+    level = 4
+    east = [(0.0, 179.9)] * 3
+    west = [(0.0, -179.9)] * 3
+    out = hotspot_clusters(_pts(spark, east + west), level=level, min_count=3).collect()
+    assert len(out) == 2
+    assert len({r["cluster_id"] for r in out}) == 1
+
+
+def test_matches_duckdb_recursive_closure(spark):
+    """Full parity with the oracle's recursive-CTE transitive closure
+    on the real sf0.01 points (sf0.001 has no cell above threshold)."""
+    spark_rows = sorted(
+        (r["cell_id"], r["cluster_id"], r["n_points"])
+        for r in contract.q_hotspot_clusters(spark, SF_DIR_01).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR_01}/orders.parquet')"
+    )
+    duck_rows = sorted(
+        (a, b, c)
+        for a, b, c in con.execute(contract._o_hotspot_clusters()).fetchall()
+    )
+    assert spark_rows == duck_rows
+    assert len(spark_rows) > 0
