@@ -83,6 +83,7 @@ HEADLINE = [
     "repetition_stats",
     "token_percentiles",
     "vocab_topk",
+    "bm25_search",
     "quality_topk",
     "doc_fingerprint",
     "pack_sequences",
@@ -160,6 +161,7 @@ _FACT_TABLE = {
     "repetition_stats": "documents",
     "token_percentiles": "documents",
     "vocab_topk": "documents",
+    "bm25_search": "documents",
     "quality_topk": "documents",
     "doc_fingerprint": "documents",
     "pack_sequences": "documents",

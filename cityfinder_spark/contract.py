@@ -858,6 +858,10 @@ def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VOCAB_K = 40
+BM25_TERMS = ["spark", "window", "hash"]
+BM25_K = 25
+BM25_K1 = 1.2
+BM25_B = 0.75
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,6 +873,18 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cityfinder_spark.operators.textops import vocab_topk
 
     return vocab_topk(_docs(spark, sf_dir), k=VOCAB_K)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: top-k docs for a term bag. One filtered
+    projection pass over the corpus (dl rides the explode, no join
+    back), hit-sized exchange, broadcast stats/df, fixed-order
+    per-term score pivot — fully deterministic vs the DuckDB replay."""
+    from cityfinder_spark.operators.textops import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), BM25_TERMS, k=BM25_K, k1=BM25_K1, b=BM25_B
+    )
 
 
 def _o_token_percentiles() -> str:
@@ -2060,6 +2076,57 @@ def _o_mixture_sample() -> str:
     """
 
 
+def _o_bm25_search() -> str:
+    """Same FP expression text and fixed summation order as bm25_topk:
+    idf = ln(1 + ((n - df) + .5)/(df + .5)); per-term pivot via
+    max(case); score = round6(((0 + s0) + s1) + s2)."""
+    terms_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1, b = BM25_K1, BM25_B
+    denom = (
+        f"(tf + ({k1!r} * ({1.0 - b!r} + (({b!r} * dl) / avgdl))))"
+    )
+    s = f"((idf * tf) * {k1 + 1.0!r}) / {denom}"
+    pivots = ", ".join(
+        f"max(CASE WHEN t = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    total = "0.0"
+    for i in range(len(BM25_TERMS)):
+        total = f"({total} + coalesce(s{i}, 0.0))"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             cast(len(string_split(text, ' ')) AS double) AS dl
+      FROM documents),
+    stats AS (
+      SELECT cast(count(*) AS double) AS n,
+             sum(dl) / cast(count(*) AS double) AS avgdl
+      FROM d),
+    tok AS (
+      SELECT doc_id, dl, unnest(string_split(text, ' ')) AS t FROM d),
+    tf AS (
+      SELECT doc_id, t, cast(count(*) AS double) AS tf, max(dl) AS dl
+      FROM tok WHERE t IN ({terms_in}) GROUP BY doc_id, t),
+    dfreq AS (SELECT t, cast(count(*) AS double) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id, tf.t,
+             ln(1.0 + (((n - df) + 0.5) / (df + 0.5))) AS idf,
+             tf.tf, tf.dl, stats.n, stats.avgdl, dfreq.df
+      FROM tf JOIN dfreq USING (t) CROSS JOIN stats),
+    sc2 AS (
+      SELECT doc_id, t, {s} AS s
+      FROM scored),
+    piv AS (SELECT doc_id, {pivots} FROM sc2 GROUP BY doc_id),
+    top AS (
+      SELECT doc_id, {sc.round6_sql(total)} AS score
+      FROM piv ORDER BY score DESC, doc_id ASC LIMIT {BM25_K})
+    SELECT cast(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+             AS "rank",
+           doc_id, score
+    FROM top
+    """
+
+
 def _o_vocab_topk() -> str:
     return f"""
     WITH tok AS (
@@ -3233,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "token_percentiles": q_token_percentiles,
         "vocab_topk": q_vocab_topk,
+        "bm25_search": q_bm25_search,
         "quality_topk": q_quality_topk,
         "ngram_containment": q_ngram_containment,
         "lang_id": q_lang_id,
@@ -3314,6 +3382,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _o_repetition_stats(),
         "token_percentiles": _o_token_percentiles(),
         "vocab_topk": _o_vocab_topk(),
+        "bm25_search": _o_bm25_search(),
         "quality_topk": _o_quality_topk(),
         "lang_id": _o_lang_id(),
         "doc_fingerprint": _o_fingerprint(),

@@ -364,3 +364,102 @@ def vocab_topk(
         "n_occurrences",
         "doc_freq",
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword search over the corpus: the k best documents for a
+    bag of query TERMS. Output (rank, doc_id, score), rank 1-based by
+    (score desc, doc_id asc), score round6'd — fully deterministic, so
+    it value-hashes against the DuckDB replay.
+
+    Robertson/Sparck-Jones BM25 with the standard +1 idf smoothing
+    (idf = ln(1 + (N - df + .5)/(df + .5)), never negative):
+
+        score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: the only corpus-sized work is one projection pass —
+    explode(split) filtered to the query terms (a literal isin, pushed
+    inside the generator), carrying dl along so NO join back to the
+    corpus is needed; groupBy(doc) is map-side combined and only docs
+    CONTAINING a term survive the filter, so the exchange is hit-sized,
+    not corpus-sized. Corpus stats (N, avgdl) and per-term df are
+    scalar/term-sized aggregates attached by broadcast. Determinism:
+    per-(doc, term) tf is unique, so per-term scores pivot into fixed
+    columns via max(when) — the final sum is a FIXED-ORDER chain of
+    adds, never an order-dependent FP reduction.
+
+    The serving-at-scale variant persists the (token -> postings)
+    inverted index once (sinks.write_bucketed_table on token) and
+    probes it per query; this operator IS the index-build + probe
+    fused, which is the right plan for ad-hoc corpus queries."""
+    w = _words(text_col)
+    dl = F.size(w).cast("double")
+    tok = (
+        docs.select(F.col(id_col), dl.alias("__dl"), F.explode(w).alias("__t"))
+        .where(F.col("__t").isin(*terms))
+    )
+    tf = tok.groupBy(id_col, "__t").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf"),
+        F.first("__dl").alias("__dl"),
+    )
+    # avgdl as explicit sum/count: dl values are integers, so the sum
+    # is exact in double regardless of combine order (never avg() —
+    # engines differ in incremental-mean algorithms)
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        (
+            F.sum(F.size(w).cast("double")) / F.count(F.lit(1)).cast("double")
+        ).alias("__avgdl"),
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * F.col("__tf")
+            * (k1 + 1.0)
+            / (
+                F.col("__tf")
+                + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+    )
+    # fixed-order sum: one pivoted column per term (tf is unique per
+    # (doc, term), so max() extracts, never FP-reduces)
+    per_term = scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("__t") == t, F.col("__s"))).alias(f"__s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    top = (
+        per_term.select(F.col(id_col), round6_col(total).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.select(
+        F.row_number().over(wr).cast("int").alias("rank"), id_col, "score"
+    )

@@ -592,3 +592,40 @@ def test_vocab_topk_k_truncates_and_skips_empty(spark):
     assert [(r["rank"], r["token"], r["n_occurrences"]) for r in rows] == [
         (1, "y", 2)
     ]
+
+
+def test_bm25_hand_computed(spark):
+    """Score formula checked against a from-scratch Python replay on a
+    corpus small enough to verify by eye; absent terms contribute 0;
+    docs with no query term never appear."""
+    import math
+
+    from cityfinder_spark.operators.textops import bm25_topk
+
+    texts = ["a b c d", "a a b", "c c c", "d d"]
+    docs = _docs(spark, texts)
+    rows = bm25_topk(docs, ["a", "b", "zz"], k=10).collect()
+    got = {r["doc_id"]: (r["rank"], r["score"]) for r in rows}
+    assert set(got) == {0, 1}  # docs 2 and 3 contain no query term
+
+    n, avgdl = 4.0, (4 + 3 + 3 + 2) / 4.0
+    k1, b = 1.2, 0.75
+
+    def s(tf, dl, df):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    exp0 = math.floor((s(1, 4, 2) + s(1, 4, 2)) * 1e6 + 0.5) / 1e6
+    exp1 = math.floor((s(2, 3, 2) + s(1, 3, 2)) * 1e6 + 0.5) / 1e6
+    assert got[1] == (1, exp1)  # doc 1: tf(a)=2 on a shorter doc
+    assert got[0] == (2, exp0)
+    assert exp1 > exp0
+
+
+def test_bm25_tie_breaks_on_doc_id(spark):
+    from cityfinder_spark.operators.textops import bm25_topk
+
+    docs = _docs(spark, ["a x", "a x", "y y"])
+    rows = bm25_topk(docs, ["a"], k=5).collect()
+    assert [(r["rank"], r["doc_id"]) for r in rows] == [(1, 0), (2, 1)]
+    assert rows[0]["score"] == rows[1]["score"]
