@@ -113,6 +113,7 @@ HEADLINE = [
     "audio_features",
     "audio_pipeline",
     "events_windowed",
+    "events_asof",
     "events_sessionize",
     "events_props",
     "streaming_dedup_exact",
@@ -187,6 +188,7 @@ _FACT_TABLE = {
     "kmeans_assign": "embeddings",
     "semdedup": "embeddings",
     "events_windowed": "events",
+    "events_asof": "events",
     "events_sessionize": "events",
     "events_props": "events",
     "running_user_totals": "events",

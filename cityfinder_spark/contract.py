@@ -1443,6 +1443,38 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(_events(spark, sf_dir))
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click attributed to the user's most recent
+    at-or-before view (ties -> max event_id). One keyed exchange +
+    ordered window sweep (operators/asof.py) — never the O(|L| x |R|)
+    ranked theta-join the oracle runs. lag_us in exact integer
+    microseconds, so the row set value-hashes with no FP anywhere."""
+    from cityfinder_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        clicks, views, right_cols=("event_id", "ts", "value"), prefix="v_"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("v_event_id").alias("view_id"),
+        # events ts is TIMESTAMP_NTZ; the ntz->ltz cast applies the same
+        # session-tz offset to both sides, so the difference is exact
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("v_ts").cast("timestamp"))
+        ).alias("lag_us"),
+        F.col("v_value").alias("view_value"),
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30 min gap) per user via F.session_window;
     oracle is the classic gaps-and-islands SQL."""
@@ -3207,6 +3239,32 @@ def _o_events_windowed() -> str:
     """
 
 
+def _o_events_asof() -> str:
+    """Ranked theta-join replay of the as-of semantics (fine at oracle
+    scale; the engine runs the windowed sweep instead): best view per
+    click = max (ts, event_id) among same-user views with ts <= click
+    ts; clicks with no prior view keep NULL columns."""
+    return """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    views AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'view'),
+    pairs AS (
+      SELECT c.event_id AS click_id, v.event_id AS view_id,
+             epoch_us(c.ts) - epoch_us(v.ts) AS lag_us, v.value AS vv,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM clicks c JOIN views v
+        ON v.user_id = c.user_id AND v.ts <= c.ts)
+    SELECT c.event_id, c.user_id, p.view_id, p.lag_us,
+           p.vv AS view_value
+    FROM clicks c
+    LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) p
+      ON p.click_id = c.event_id
+    """
+
+
 def _o_events_sessionize() -> str:
     # gaps-and-islands; >= matches session_window's exclusive end
     # (windows [a,a+gap) and [b,b+gap) merge iff b < a+gap).
@@ -3335,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_pipeline": q_audio_pipeline,
         "events_windowed": q_events_windowed,
+        "events_asof": q_events_asof,
         "events_sessionize": q_events_sessionize,
         "events_props": q_events_props,
         "nearest_city_tiled": q_nearest_city_tiled,
@@ -3400,6 +3459,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_quantized": _o_cosine_topk_quantized(),
         "cosine_dedup": _o_cosine_dedup(),
         "events_windowed": _o_events_windowed(),
+        "events_asof": _o_events_asof(),
         "events_sessionize": _o_events_sessionize(),
         "events_props": _o_events_props(),
         "nearest_city_tiled": _o_nearest_city(),
