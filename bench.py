@@ -84,6 +84,7 @@ HEADLINE = [
     "token_percentiles",
     "vocab_topk",
     "bm25_search",
+    "tokenize_ids",
     "quality_topk",
     "doc_fingerprint",
     "pack_sequences",
@@ -163,6 +164,7 @@ _FACT_TABLE = {
     "token_percentiles": "documents",
     "vocab_topk": "documents",
     "bm25_search": "documents",
+    "tokenize_ids": "documents",
     "quality_topk": "documents",
     "doc_fingerprint": "documents",
     "pack_sequences": "documents",

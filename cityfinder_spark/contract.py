@@ -875,6 +875,20 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_docs(spark, sf_dir), k=VOCAB_K)
 
 
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-input tokenization: map every corpus token to its
+    vocab id (vocab = the vocab_topk ranks), OOV -> 0. posexplode is a
+    codegen generator and the vocab map is a broadcast join — the
+    corpus never shuffles."""
+    from cityfinder_spark.operators.textops import tokenize_ids, vocab_topk
+
+    docs = _docs(spark, sf_dir)
+    vocab = vocab_topk(docs, k=VOCAB_K).select(
+        F.col("rank").alias("token_id"), "token"
+    )
+    return tokenize_ids(docs, vocab)
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword search: top-k docs for a term bag. One filtered
     projection pass over the corpus (dl rides the explode, no join
@@ -2105,6 +2119,34 @@ def _o_mixture_sample() -> str:
     SELECT b.doc_id, b.source, b.n_tok
     FROM base b JOIN thr USING (source)
     WHERE (b.doc_id * 48271) % 100000 < thr.t
+    """
+
+
+def _o_tokenize_ids() -> str:
+    """Vocab CTE = the vocab_topk ranking; positions via DuckDB's
+    aligned parallel unnest (generate_series zipped with the token
+    list); OOV and the empty token both coalesce to id 0."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    c AS (
+      SELECT token, count(*) AS n_occurrences
+      FROM tok WHERE token <> '' GROUP BY token),
+    v AS (
+      SELECT cast(row_number() OVER
+               (ORDER BY n_occurrences DESC, token ASC) AS INT) AS token_id,
+             token
+      FROM c ORDER BY n_occurrences DESC, token ASC LIMIT {VOCAB_K}),
+    d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(l))) AS ppos,
+             unnest(l) AS token
+      FROM d)
+    SELECT p.doc_id, cast(ppos - 1 AS INT) AS pos,
+           cast(coalesce(v.token_id, 0) AS INT) AS token_id
+    FROM p LEFT JOIN v USING (token)
     """
 
 
@@ -3359,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_percentiles": q_token_percentiles,
         "vocab_topk": q_vocab_topk,
         "bm25_search": q_bm25_search,
+        "tokenize_ids": q_tokenize_ids,
         "quality_topk": q_quality_topk,
         "ngram_containment": q_ngram_containment,
         "lang_id": q_lang_id,
@@ -3442,6 +3485,7 @@ def oracle_sql() -> dict[str, str]:
         "token_percentiles": _o_token_percentiles(),
         "vocab_topk": _o_vocab_topk(),
         "bm25_search": _o_bm25_search(),
+        "tokenize_ids": _o_tokenize_ids(),
         "quality_topk": _o_quality_topk(),
         "lang_id": _o_lang_id(),
         "doc_fingerprint": _o_fingerprint(),

@@ -463,3 +463,33 @@ def bm25_topk(
     return top.select(
         F.row_number().over(wr).cast("int").alias("rank"), id_col, "score"
     )
+
+
+def tokenize_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Tokenization against a fixed vocabulary — the step that turns a
+    curated corpus into trainer input. VOCAB is a (token, token_id)
+    table (e.g. `vocab_topk` ranks); output one row per corpus token:
+    (doc_id, pos, token_id), pos 0-based within the doc, OOV -> oov_id.
+
+    Scale shape: posexplode(split) is a codegen generator; the vocab
+    map is a BROADCAST left join (a real tokenizer vocab is 32-256k
+    rows — always broadcastable), so the corpus never shuffles at all.
+    The exploded stream feeds `pack_sequences` downstream without
+    re-keying. No Python anywhere."""
+    w = _words(text_col)
+    tok = docs.select(
+        F.col(id_col), F.posexplode(w).alias("pos", "__t")
+    )
+    return tok.join(
+        F.broadcast(vocab), tok["__t"] == vocab["token"], "left"
+    ).select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        F.coalesce(vocab["token_id"], F.lit(oov_id)).cast("int").alias("token_id"),
+    )

@@ -629,3 +629,32 @@ def test_bm25_tie_breaks_on_doc_id(spark):
     rows = bm25_topk(docs, ["a"], k=5).collect()
     assert [(r["rank"], r["doc_id"]) for r in rows] == [(1, 0), (2, 1)]
     assert rows[0]["score"] == rows[1]["score"]
+
+
+def test_tokenize_ids_hand_computed(spark):
+    """Vocab-id mapping, 0-based positions, OOV -> 0, empty tokens
+    from double spaces -> 0 (not in vocab)."""
+    from cityfinder_spark.operators.textops import tokenize_ids, vocab_topk
+
+    docs = _docs(spark, ["b a b", "a  z"])  # double space -> empty token
+    vocab = vocab_topk(docs, k=2).selectExpr("rank as token_id", "token")
+    # vocab: a(3 occ... wait: a:2, b:2 -> tie -> a rank 1, b rank 2
+    rows = tokenize_ids(docs, vocab).collect()
+    got = sorted((r["doc_id"], r["pos"], r["token_id"]) for r in rows)
+    assert got == [
+        (0, 0, 2), (0, 1, 1), (0, 2, 2),   # b a b
+        (1, 0, 1), (1, 1, 0), (1, 2, 0),   # a <empty> z (z is OOV, k=2)
+    ]
+
+
+def test_tokenize_ids_plan_has_no_shuffle_of_corpus(spark):
+    from cityfinder_spark.operators.textops import tokenize_ids, vocab_topk
+
+    docs = _docs(spark, ["a b", "b c"])
+    vocab = vocab_topk(docs, k=3).selectExpr("rank as token_id", "token")
+    plan = (
+        tokenize_ids(docs, vocab)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
