@@ -410,19 +410,27 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("__tf"),
         F.first("__dl").alias("__dl"),
     )
-    # avgdl as explicit sum/count: dl values are integers, so the sum
-    # is exact in double regardless of combine order (never avg() —
-    # engines differ in incremental-mean algorithms)
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
-        (
-            F.sum(F.size(w).cast("double")) / F.count(F.lit(1)).cast("double")
-        ).alias("__avgdl"),
-    )
+    # Corpus scalars (N, avgdl) via ONE tiny scalar action, embedded as
+    # literals: a crossJoin of the 1-row stats would plan as a nested-
+    # loop node (plan-hygiene net) and a constant-key equi-join folds
+    # back into one. avgdl is explicit sum/count — dl values are
+    # integers, so the sum is exact in double under any combine order
+    # (never avg(): engines differ in incremental-mean algorithms) and
+    # the final division is the same IEEE op in Python and SQL.
+    n_docs, dl_sum = docs.agg(
+        F.count(F.lit(1)).cast("double"),
+        F.sum(F.size(w).cast("double")),
+    ).first()
     dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("double").alias("__df"))
     scored = (
         tf.join(F.broadcast(dfreq), "__t")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("__n", F.lit(float(n_docs)))
+        .withColumn(
+            # empty corpus: tf is empty anyway; 1.0 only avoids the
+            # Python-side zero division
+            "__avgdl",
+            F.lit(float(dl_sum) / float(n_docs) if n_docs else 1.0),
+        )
         .withColumn(
             "__idf",
             F.log(
