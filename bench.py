@@ -50,6 +50,7 @@ HEADLINE = [
     "cell_assign",
     "hot_cells",
     "cell_pyramid",
+    "tile_render",
     "name_lookup",
     "name_lookup_exact",
     "postal_lookup",
@@ -133,6 +134,7 @@ _FACT_TABLE = {
     "cell_assign": "orders",
     "hot_cells": "orders",
     "cell_pyramid": "orders",
+    "tile_render": "orders",
     "name_lookup": "orders",
     "name_lookup_exact": "orders",
     "postal_lookup": "orders",

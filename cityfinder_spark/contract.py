@@ -534,6 +534,47 @@ def _o_cell_pyramid() -> str:
     )
 
 
+def q_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-tile rendering, gated through the PNG bytes: points ->
+    fine-cell pixel counts (ONE map-side-combined exchange) -> per-tile
+    16x16 grayscale PNG via the real stdlib-zlib encoder -> CRC-checked
+    real decode -> lit pixels joined back to their counts. The value
+    hash covers intensity AS READ FROM THE DECODED PNG, so the gate
+    proves cell math, the count aggregate, the integer intensity
+    scaling, and the PNG encode/decode loop in one row set. Oracle
+    replays the arithmetic relationally (operators/tiles.py)."""
+    from cityfinder_spark.operators.tiles import render_tiles_checked
+
+    pts = _points(spark, sf_dir).select("lat", "lon")
+    return render_tiles_checked(pts, level=CELL_LEVEL, grid_levels=4)
+
+
+def _o_tile_render() -> str:
+    fine = CELL_LEVEL + 4
+    stride = sc.LEVEL_STRIDE
+    nlon_f = 2 << fine
+    nlon_t = 2 << CELL_LEVEL
+    p = 16
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+    f AS (SELECT {sc.cell_sql("lat", "lon", fine)} AS cf FROM pts),
+    ij AS (SELECT (cf - {fine} * {stride}) // {nlon_f} AS i_f,
+                  (cf - {fine} * {stride}) % {nlon_f} AS j_f
+           FROM f),
+    pxl AS (SELECT cast({CELL_LEVEL} AS BIGINT) * {stride}
+                     + (i_f // {p}) * {nlon_t} + (j_f // {p}) AS tile_id,
+                   j_f % {p} AS px, i_f % {p} AS py
+            FROM ij),
+    cnt AS (SELECT tile_id, px, py, count(*) AS n_points
+            FROM pxl GROUP BY 1, 2, 3),
+    mx AS (SELECT tile_id, max(n_points) AS mx FROM cnt GROUP BY 1)
+    SELECT c.tile_id, c.px, c.py, c.n_points,
+           greatest(cast(1 AS BIGINT), (c.n_points * 255) // m.mx)
+             AS intensity
+    FROM cnt c JOIN mx m USING (tile_id)
+    """
+
+
 def q_box_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial range join: every point x every query rectangle it
     falls in (bounds inclusive), including antimeridian-crossing and
@@ -3389,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rollup": q_geo_rollup,
         "box_range_join": q_box_range_join,
         "cell_pyramid": q_cell_pyramid,
+        "tile_render": q_tile_render,
         "trajectory_stats": q_trajectory_stats,
         "geonames_scan": q_geonames_scan,
         "postal_scan": q_postal_scan,
@@ -3473,6 +3515,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_rollup": _o_geo_rollup(),
         "box_range_join": _o_box_range_join(),
         "cell_pyramid": _o_cell_pyramid(),
+        "tile_render": _o_tile_render(),
         "trajectory_stats": _o_trajectory_stats(),
         "geonames_scan": _o_geonames_scan(),
         "postal_scan": _o_postal_scan(),

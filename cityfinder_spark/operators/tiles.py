@@ -1,0 +1,176 @@
+"""Density-tile rendering: the raster side of raster<->vector tiling.
+
+`map_raster_tiles` (operators/raster.py) goes raster -> vector; this
+module goes the other way — aggregate geotagged fact rows into map
+tiles and RENDER each tile as a real grayscale PNG (the slippy-map /
+datashader shape: a tile server over a 100 TB point table). Replaces
+nothing in the reference (cityFinder has no raster sink); it is the
+north-rule "raster-tile <-> vector-cell mapping" closed as a loop:
+points -> cells -> pixel counts -> PNG bytes -> decoded pixels, with
+the decode proving the encode.
+
+Scale shape (the part that must survive 100 TB):
+  * stage 1 (`density_pixels`): fine-cell id is a codegen projection;
+    ONE map-side-combined groupBy — the exchange carries
+    (tile, px, py, count) partials, bounded by occupied pixels
+    (<= tiles x P^2), never fact rows.
+  * stage 2 (`render_density_tiles`): applyInPandas keyed by tile;
+    per-group state is one P x P uint8 raster (P=16 default). The
+    exchange re-keys pixel aggregates only.
+  * stage 3 (`decode_tile_pixels`): mapInPandas, zero exchange.
+
+Pixel grid = spatial cells `grid_levels` finer than the tile level
+(the grid halves per level, so a tile splits into exactly P x P =
+(2^grid_levels)^2 pixel cells and tile/px/py derive from the fine
+cell id by EXACT integer arithmetic — same argument as cell_pyramid's
+parent derivation, operators/raster.py:54).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from cityfinder_spark.codecs.fakeimage import decode_real, encode_png_real
+from cityfinder_spark.geo.cells import cell_col
+from cityfinder_spark.sqlcompat import LEVEL_STRIDE
+
+RENDER_SCHEMA = (
+    "tile_id long, w int, h int, max_n long, n_occupied int, png binary"
+)
+PIXELS_SCHEMA = "tile_id long, px long, py long, intensity long"
+
+
+def density_pixels(
+    points: DataFrame,
+    *,
+    level: int,
+    grid_levels: int = 4,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-pixel point counts: (tile_id, px, py, n_points), one row
+    per OCCUPIED pixel. tile_id is the level-`level` cell id; (px,
+    py) index the P x P pixel grid inside the tile, px east-ward,
+    py north-ward (py=0 is the tile's southernmost pixel row)."""
+    fine = level + grid_levels
+    p = 1 << grid_levels
+    nlon_f = 2 << fine
+    nlon_t = 2 << level
+    rem = cell_col(lat_col, lon_col, fine) - F.lit(fine).cast("long") * F.lit(
+        LEVEL_STRIDE
+    )
+    i_f = F.floor(rem / nlon_f).cast("long")
+    j_f = F.pmod(rem, F.lit(nlon_f))
+    tile = (
+        F.lit(level).cast("long") * F.lit(LEVEL_STRIDE)
+        + F.floor(i_f / p).cast("long") * nlon_t
+        + F.floor(j_f / p).cast("long")
+    )
+    return (
+        points.select(
+            tile.alias("tile_id"),
+            F.pmod(j_f, F.lit(p)).alias("px"),
+            F.pmod(i_f, F.lit(p)).alias("py"),
+        )
+        .groupBy("tile_id", "px", "py")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def render_density_tiles(
+    pixels: DataFrame, *, grid_levels: int = 4
+) -> DataFrame:
+    """Render each tile's pixel counts as a real grayscale PNG
+    (spec-compliant, stdlib zlib — codecs/fakeimage.py:103).
+
+    intensity = greatest(1, n*255 // max_n_in_tile): pure integer
+    arithmetic, so occupied <=> intensity > 0 and the scaling replays
+    exactly in SQL. Raster row 0 is the tile's NORTH edge (image
+    convention), i.e. raster[P-1-py, px]."""
+    p = 1 << grid_levels
+
+    def _render(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_id = int(pdf["tile_id"].iloc[0])
+        px = pdf["px"].to_numpy(np.int64)
+        py = pdf["py"].to_numpy(np.int64)
+        n = pdf["n_points"].to_numpy(np.int64)
+        grid = np.zeros((p, p), dtype=np.int64)
+        grid[py, px] = n
+        max_n = int(n.max())
+        inten = np.where(
+            grid > 0, np.maximum(1, (grid * 255) // max_n), 0
+        ).astype(np.uint8)
+        raster = inten[::-1, :]  # flip: row 0 = north
+        png = encode_png_real(np.ascontiguousarray(raster)[:, :, None])
+        return pd.DataFrame(
+            [
+                {
+                    "tile_id": tile_id,
+                    "w": p,
+                    "h": p,
+                    "max_n": max_n,
+                    "n_occupied": int((n > 0).sum()),
+                    "png": png,
+                }
+            ]
+        )
+
+    return pixels.groupBy("tile_id").applyInPandas(_render, RENDER_SCHEMA)
+
+
+def decode_tile_pixels(tiles: DataFrame, *, grid_levels: int = 4) -> DataFrame:
+    """Decode every tile PNG back to pixels (CRC-checked real PNG
+    parse) and emit one row per lit pixel: (tile_id, px, py,
+    intensity). Zero exchange; proves the rendered bytes."""
+    p = 1 << grid_levels
+    cols = tiles.select("tile_id", "png")
+
+    def _decode(batches):
+        for pdf in batches:
+            out: list[dict] = []
+            for tile_id, buf in zip(pdf["tile_id"], pdf["png"]):
+                pix = decode_real(bytes(buf))[:, :, 0]
+                ys, xs = np.nonzero(pix)
+                for y, x in zip(ys.tolist(), xs.tolist()):
+                    out.append(
+                        {
+                            "tile_id": int(tile_id),
+                            "px": int(x),
+                            "py": int(p - 1 - y),
+                            "intensity": int(pix[y, x]),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["tile_id", "px", "py", "intensity"]
+            )
+
+    return cols.mapInPandas(_decode, schema=PIXELS_SCHEMA)
+
+
+def render_tiles_checked(
+    points: DataFrame,
+    *,
+    level: int,
+    grid_levels: int = 4,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """The full loop for the contract gate: counts -> render -> decode
+    -> inner-join decoded pixels back to their counts. The join is
+    pixel-grain (tiny) and doubles as an assertion that the decoded
+    lit-pixel set EQUALS the occupied-count set — any encode/decode
+    drift changes the row count."""
+    pix = density_pixels(
+        points,
+        level=level,
+        grid_levels=grid_levels,
+        lat_col=lat_col,
+        lon_col=lon_col,
+    )
+    tiles = render_density_tiles(pix, grid_levels=grid_levels)
+    decoded = decode_tile_pixels(tiles, grid_levels=grid_levels)
+    return pix.join(decoded, ["tile_id", "px", "py"], "inner").select(
+        "tile_id", "px", "py", "n_points", "intensity"
+    )
