@@ -51,6 +51,7 @@ HEADLINE = [
     "hot_cells",
     "cell_pyramid",
     "tile_render",
+    "distinct_sketch",
     "name_lookup",
     "name_lookup_exact",
     "postal_lookup",
@@ -135,6 +136,7 @@ _FACT_TABLE = {
     "hot_cells": "orders",
     "cell_pyramid": "orders",
     "tile_render": "orders",
+    "distinct_sketch": "orders",
     "name_lookup": "orders",
     "name_lookup_exact": "orders",
     "postal_lookup": "orders",

@@ -575,6 +575,68 @@ def _o_tile_render() -> str:
     """
 
 
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HyperLogLog distinct-count sketch vs the exact count:
+    registers use trailing-zero rank (exactly SQL-expressible bit
+    ops), the register sum is an exact DECIMAL(38,0) integer, and the
+    raw harmonic-mean estimate is one double division — so an
+    APPROXIMATE-counting operator value-hashes bit-for-bit against
+    the DuckDB splitmix64 replay (operators/sketch.py). Exchange
+    volume: <= 256 register rows per group, input-size-independent."""
+    from cityfinder_spark.operators.sketch import hll_vs_exact
+
+    load_views(spark, sf_dir, ("orders",))
+    return hll_vs_exact(
+        spark.table("orders"),
+        "o_orderpriority",
+        "o_custkey",
+        p=8,
+        hash_mode="splitmix",
+    )
+
+
+def _o_distinct_sketch() -> str:
+    est_raw = (
+        "(((cast(0.7213 AS DOUBLE) / (cast(1.0 AS DOUBLE)"
+        " + (cast(1.079 AS DOUBLE) / cast(256.0 AS DOUBLE))))"
+        " * cast(65536.0 AS DOUBLE)) * cast(144115188075855872.0 AS DOUBLE))"
+        " / cast(s_present + cast(n_zero AS HUGEINT) * 144115188075855872"
+        " AS DOUBLE)"
+    )
+    rel = (
+        "(est_distinct - cast(exact_distinct AS DOUBLE))"
+        " / cast(exact_distinct AS DOUBLE)"
+    )
+    return f"""
+    WITH src AS (SELECT o_orderpriority AS grp,
+                        cast(o_custkey AS HUGEINT) AS x0
+                 FROM orders),
+    {_duck_mix64("src")},
+    br AS (SELECT grp,
+                  cast(z // 72057594037927936 AS BIGINT) AS bucket,
+                  cast(z % 72057594037927936 AS BIGINT) AS w
+           FROM mx),
+    rr AS (SELECT grp, bucket,
+                  CASE WHEN w = 0 THEN 57
+                       ELSE bit_count((w & (-w)) - 1) + 1 END AS rho
+           FROM br),
+    regs AS (SELECT grp, bucket, max(rho) AS rho FROM rr GROUP BY 1, 2),
+    agg AS (SELECT grp,
+                   sum(cast(1 AS BIGINT) << cast(57 - rho AS INT))
+                     AS s_present,
+                   cast(256 - count(*) AS BIGINT) AS n_zero
+            FROM regs GROUP BY 1),
+    est AS (SELECT grp, n_zero, {sc.round6_sql(est_raw)} AS est_distinct
+            FROM agg),
+    ex AS (SELECT o_orderpriority AS grp,
+                  count(DISTINCT o_custkey) AS exact_distinct
+           FROM orders GROUP BY 1)
+    SELECT est.grp, est.n_zero, est.est_distinct, ex.exact_distinct,
+           {sc.round6_sql(rel)} AS rel_err
+    FROM est JOIN ex USING (grp)
+    """
+
+
 def q_box_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial range join: every point x every query rectangle it
     falls in (bounds inclusive), including antimeridian-crossing and
@@ -3431,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_range_join": q_box_range_join,
         "cell_pyramid": q_cell_pyramid,
         "tile_render": q_tile_render,
+        "distinct_sketch": q_distinct_sketch,
         "trajectory_stats": q_trajectory_stats,
         "geonames_scan": q_geonames_scan,
         "postal_scan": q_postal_scan,
@@ -3516,6 +3579,7 @@ def oracle_sql() -> dict[str, str]:
         "box_range_join": _o_box_range_join(),
         "cell_pyramid": _o_cell_pyramid(),
         "tile_render": _o_tile_render(),
+        "distinct_sketch": _o_distinct_sketch(),
         "trajectory_stats": _o_trajectory_stats(),
         "geonames_scan": _o_geonames_scan(),
         "postal_scan": _o_postal_scan(),
