@@ -86,6 +86,7 @@ HEADLINE = [
     "token_percentiles",
     "vocab_topk",
     "bm25_search",
+    "lm_score",
     "tokenize_ids",
     "quality_topk",
     "doc_fingerprint",
@@ -168,6 +169,7 @@ _FACT_TABLE = {
     "token_percentiles": "documents",
     "vocab_topk": "documents",
     "bm25_search": "documents",
+    "lm_score": "documents",
     "tokenize_ids": "documents",
     "quality_topk": "documents",
     "doc_fingerprint": "documents",

@@ -996,6 +996,46 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_ids(docs, vocab)
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (KenLM/CCNet quality-filter shape),
+    self-trained on the corpus: P(w2|w1) add-one smoothed, each
+    token's ln(p) fixed-pointed to integer micro-nats BEFORE the
+    per-doc sum, so the rollup is order-free and value-hashes against
+    the DuckDB replay (operators/textops.py::lm_score)."""
+    from cityfinder_spark.operators.textops import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
+def _o_lm_score() -> str:
+    p = "(cast(n12 AS DOUBLE) + 1.0) / (cast(n1 AS DOUBLE) + (SELECT v FROM v))"
+    avg = (
+        "(cast(cast(sum(lp) AS BIGINT) AS DOUBLE) / 1000000.0)"
+        " / cast(count(*) AS DOUBLE)"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    di AS (SELECT doc_id, l,
+                  unnest(generate_series(1, len(l) - 1)) AS i
+           FROM d),
+    bg AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram, l[i] AS w1
+           FROM di),
+    c12 AS (SELECT bigram, count(*) AS n12 FROM bg GROUP BY 1),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+    v AS (SELECT cast(count(DISTINCT t) AS DOUBLE) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS t
+                FROM documents)),
+    scored AS (
+      SELECT bg.doc_id,
+             cast(floor(ln({p}) * 1000000.0 + 0.5) AS BIGINT) AS lp
+      FROM bg JOIN c12 USING (bigram) JOIN c1 USING (w1))
+    SELECT doc_id, count(*) AS n_bigrams,
+           cast(sum(lp) AS BIGINT) AS sum_lp_micro,
+           {sc.round6_sql(avg)} AS avg_logp
+    FROM scored GROUP BY 1
+    """
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword search: top-k docs for a term bag. One filtered
     projection pass over the corpus (dl rides the explode, no join
@@ -3510,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_percentiles": q_token_percentiles,
         "vocab_topk": q_vocab_topk,
         "bm25_search": q_bm25_search,
+        "lm_score": q_lm_score,
         "tokenize_ids": q_tokenize_ids,
         "quality_topk": q_quality_topk,
         "ngram_containment": q_ngram_containment,
@@ -3596,6 +3637,7 @@ def oracle_sql() -> dict[str, str]:
         "token_percentiles": _o_token_percentiles(),
         "vocab_topk": _o_vocab_topk(),
         "bm25_search": _o_bm25_search(),
+        "lm_score": _o_lm_score(),
         "tokenize_ids": _o_tokenize_ids(),
         "quality_topk": _o_quality_topk(),
         "lang_id": _o_lang_id(),

@@ -501,3 +501,87 @@ def tokenize_ids(
         F.col("pos").cast("int").alias("pos"),
         F.coalesce(vocab["token_id"], F.lit(oov_id)).cast("int").alias("token_id"),
     )
+
+
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, int]:
+    """Train an add-one-smoothed bigram language model over the corpus
+    (the KenLM/CCNet shape: score documents by how 'corpus-like' their
+    word transitions are, filter the tail). Returns (lm, vocab_size):
+    LM rows are (bigram, w1, n12, n1) with n1 = occurrences of w1 as a
+    bigram PREFIX (the conditional denominator), derived from the
+    bigram counts themselves — one corpus explode, one map-side-
+    combined exchange; the prefix rollup is LM-sized. vocab_size is
+    ONE scalar action (a literal hyper-parameter of the trained model,
+    same pattern as bm25's corpus stats)."""
+    w = _words(text_col)
+    bg = docs.select(F.explode(_grams_col(w, 2)).alias("bigram"))
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n12"))
+    c12 = c12.withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    lm = c12.join(c1, "w1").select("bigram", "w1", "n12", "n1")
+    vocab_size = int(
+        docs.select(F.explode(w).alias("t"))
+        .agg(F.count_distinct("t"))
+        .first()[0]
+    )
+    return lm, vocab_size
+
+
+def lm_score(
+    docs: DataFrame,
+    lm: DataFrame | None = None,
+    vocab_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram-LM log-probability — the perplexity-style
+    quality signal used to filter web corpora against a trusted LM.
+    With lm=None the model trains on `docs` itself (self-scoring: a
+    repetitive/templated doc scores HIGH, an out-of-distribution doc
+    scores LOW). Output one row per doc with >= 1 bigram: (doc_id,
+    n_bigrams, sum_lp_micro, avg_logp).
+
+    Hash-exact despite logs: P(w2|w1) = (n12+1)/(n1+V) is two adds and
+    one division (IEEE-identical cross-engine); each token's ln(p) is
+    fixed-pointed to integer micro-nats BEFORE summation, so the
+    per-doc rollup is an order-free integer sum, never an FP
+    reduction (same discipline as trajectory_stats / kmeans).
+
+    Scale shape: bigram counting is one map-side-combined exchange;
+    scoring is one equi-join of the exploded corpus against the LM on
+    the bigram key (broadcast when the LM is vocab-truncated, shuffle
+    otherwise) plus one map-side-combined doc rollup. The trained LM
+    is a reusable artifact — persist it once, score every new crawl
+    batch against it."""
+    if lm is None:
+        lm, vocab_size = train_bigram_lm(docs, text_col=text_col)
+    if vocab_size is None:
+        raise ValueError("vocab_size required when passing a prebuilt lm")
+    w = _words(text_col)
+    bg = docs.select(
+        F.col(id_col), F.explode(_grams_col(w, 2)).alias("bigram")
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    # LEFT joins so held-out docs score too: an unseen bigram gets the
+    # add-one mass (n12 -> 0), an unseen prefix the uniform floor
+    # (n1 -> 0, p = 1/V). Self-scoring never takes either branch.
+    p = (F.coalesce(F.col("n12"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.coalesce(F.col("n1"), F.lit(0)).cast("double")
+        + F.lit(float(vocab_size))
+    )
+    lp = F.floor(F.log(p) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    scored = (
+        bg.join(lm.select("bigram", "n12"), "bigram", "left")
+        .join(lm.select("w1", "n1").distinct(), "w1", "left")
+        .select(F.col(id_col), lp.alias("__lp"))
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("__lp")
+    return scored.groupBy(id_col).agg(
+        n.alias("n_bigrams"),
+        s.alias("sum_lp_micro"),
+        round6_col(
+            (s.cast("double") / F.lit(1000000.0)) / n.cast("double")
+        ).alias("avg_logp"),
+    )

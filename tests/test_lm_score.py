@@ -1,0 +1,80 @@
+"""Bigram-LM scoring (textops.train_bigram_lm / lm_score)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from cityfinder_spark.operators.textops import lm_score, train_bigram_lm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+CORPUS = [
+    ("d1", "the cat sat on the mat"),
+    ("d2", "the cat sat on the rug"),
+    ("d3", "the dog sat on the mat"),
+    ("d4", "zq xv qqq zz yy"),  # out-of-distribution transitions
+]
+
+
+def test_self_scoring_ranks_in_distribution_docs_higher(spark):
+    out = {r.doc_id: r for r in lm_score(_docs(spark, CORPUS)).collect()}
+    assert set(out) == {"d1", "d2", "d3", "d4"}
+    # the templated docs share transitions -> higher avg log-prob
+    assert out["d1"].avg_logp > out["d4"].avg_logp
+    assert out["d2"].avg_logp > out["d4"].avg_logp
+    n_tokens = {d: len(t.split(" ")) for d, t in CORPUS}
+    for r in out.values():
+        assert r.n_bigrams == n_tokens[r.doc_id] - 1
+        assert r.avg_logp < 0.0
+
+
+def test_score_matches_python_replay(spark):
+    docs = _docs(spark, CORPUS)
+    out = {r.doc_id: r for r in lm_score(docs).collect()}
+    # python replay
+    toks = {d: t.split(" ") for d, t in CORPUS}
+    bigrams = [
+        (w[i], w[i + 1]) for w in toks.values() for i in range(len(w) - 1)
+    ]
+    c12: dict = {}
+    c1: dict = {}
+    for b in bigrams:
+        c12[b] = c12.get(b, 0) + 1
+        c1[b[0]] = c1.get(b[0], 0) + 1
+    v = len({t for w in toks.values() for t in w})
+    for d, w in toks.items():
+        lps = []
+        for i in range(len(w) - 1):
+            p = (c12[(w[i], w[i + 1])] + 1.0) / (c1[w[i]] + float(v))
+            lps.append(math.floor(math.log(p) * 1e6 + 0.5))
+        assert out[d].sum_lp_micro == sum(lps)
+        n = len(lps)
+        want = math.floor(((sum(lps) / 1e6) / n) * 1e6 + 0.5) / 1e6
+        assert out[d].avg_logp == want
+
+
+def test_heldout_scoring_with_pretrained_lm(spark):
+    lm, v = train_bigram_lm(_docs(spark, CORPUS[:3]))
+    held = _docs(
+        spark,
+        [
+            ("h_in", "the cat sat on the mat"),  # fully in-model
+            ("h_oov", "purple elephant flies sideways now"),  # all unseen
+        ],
+    )
+    out = {r.doc_id: r for r in lm_score(held, lm=lm, vocab_size=v).collect()}
+    assert out["h_in"].avg_logp > out["h_oov"].avg_logp
+    # fully-unseen transitions floor at p = 1/V
+    assert abs(out["h_oov"].avg_logp - math.floor(math.log(1.0 / v) * 1e6 + 0.5) / 1e6) < 1e-6
+
+
+def test_short_docs_dropped(spark):
+    out = lm_score(_docs(spark, [("one", "solo"), ("two", "a b")])).collect()
+    assert {r.doc_id for r in out} == {"two"}
