@@ -112,6 +112,7 @@ HEADLINE = [
     "image_pipeline",
     "image_decode_stats",
     "phash_near_dup",
+    "phash_dedup_resolve",
     "image_resize",
     "video_frame_sample",
     "audio_features",

@@ -1533,6 +1533,101 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup(inp, max_dist=3)
 
 
+def q_phash_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup story end-to-end: decode -> phash64 -> banded
+    hamming pairs (q_phash_near_dup's population) -> connected
+    components -> canonical assignment per IMAGE (keep-list =
+    ~is_dup). String image ids map to long CC nodes by the structured
+    id itself (2*i for base, 2*i+1 for planted dups) — deterministic,
+    so the DuckDB oracle replays the whole chain closed-form including
+    a recursive-CTE transitive closure. Same scale shape as
+    dedup_resolve: only (node,label) longs shuffle in the CC loop."""
+    from cityfinder_spark.operators.components import connected_components
+    from cityfinder_spark.operators.images_ops import (
+        perturb_variants,
+        phash_near_dup,
+    )
+
+    n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
+    imgs = _media_table(spark, "images", n)
+    inp = imgs.select("image_id", "bytes").unionByName(perturb_variants(imgs))
+    pairs = phash_near_dup(inp, max_dist=3)
+
+    def node(c: str) -> F.Column:
+        num = F.substring(F.col(c), 4, 12).cast("long")
+        return F.when(
+            F.col(c).startswith("dup"), num * 2 + 1
+        ).otherwise(num * 2)
+
+    labels = connected_components(
+        pairs.select(node("img_a").alias("src"), node("img_b").alias("dst")),
+        src="src",
+        dst="dst",
+    )
+    ids = inp.select("image_id").withColumn("node", node("image_id"))
+    canon = F.coalesce(F.col("label"), F.col("node"))
+    canon_id = F.when(
+        canon % 2 == 1,
+        F.format_string("dup%012d", (canon / 2).cast("long")),
+    ).otherwise(F.format_string("img%012d", (canon / 2).cast("long")))
+    return (
+        ids.join(labels.withColumnRenamed("node", "node_"), ids["node"] == F.col("node_"), "left")
+        .select(
+            "image_id",
+            canon_id.alias("canonical_id"),
+            (canon != F.col("node")).alias("is_dup"),
+        )
+    )
+
+
+def _o_phash_dedup_resolve() -> str:
+    node = (
+        "CASE WHEN gid LIKE 'dup%' THEN 2 * cast(substr(gid, 4) AS BIGINT) + 1"
+        " ELSE 2 * cast(substr(gid, 4) AS BIGINT) END"
+    )
+    return f"""
+    WITH RECURSIVE {_duck_images_cte(20)},
+    {_duck_mix64("px")},
+    base AS (SELECT {_DUCK_IMG_ID} AS gid, i, w, h, j,
+                    {_DUCK_IMG_BYTE} AS b
+             FROM mx),
+    allb AS (
+      SELECT gid, w, h, j, b FROM base
+      UNION ALL
+      SELECT 'dup' || lpad(cast(i AS VARCHAR), 12, '0') AS gid, w, h, j,
+             CASE WHEN j < 96 THEN xor(b, 68) ELSE b END AS b
+      FROM base WHERE i % 5 = 0),
+    blks AS (SELECT gid, {_DUCK_IMG_BLK} AS blk,
+                    sum(b) AS s_blk, count(*) AS c_blk
+             FROM allb GROUP BY gid, {_DUCK_IMG_BLK}),
+    {_DUCK_PHASH_FROM_BLKS},
+    pop AS (SELECT gid, {node} AS node FROM ph),
+    pr AS (
+      SELECT a.node AS u, b.node AS v
+      FROM pop a JOIN ph pa ON a.gid = pa.gid
+           JOIN ph pb ON bit_count(xor(pa.phash, pb.phash)) <= 3
+           JOIN pop b ON b.gid = pb.gid
+      WHERE a.gid < b.gid),
+    ed AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+    reach(n, m) AS (
+      SELECT u, u FROM ed
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN ed e ON e.u = r.m
+    ),
+    canon AS (SELECT n AS node, MIN(m) AS label FROM reach GROUP BY 1),
+    lab AS (SELECT pop.gid, pop.node,
+                   COALESCE(canon.label, pop.node) AS c
+            FROM pop LEFT JOIN canon USING (node))
+    SELECT gid AS image_id,
+           CASE WHEN c % 2 = 1
+                THEN 'dup' || lpad(cast(c // 2 AS VARCHAR), 12, '0')
+                ELSE 'img' || lpad(cast(c // 2 AS VARCHAR), 12, '0')
+           END AS canonical_id,
+           (c <> node) AS is_dup
+    FROM lab
+    """
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2x box-downsample + re-encode, then decode back: gates the full
     resample kernel end-to-end (decode -> 2x2 exact-integer box mean
@@ -3581,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline": q_image_pipeline,
         "image_decode_stats": q_image_decode_stats,
         "phash_near_dup": q_phash_near_dup,
+        "phash_dedup_resolve": q_phash_dedup_resolve,
         "image_resize": q_image_resize,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
@@ -3696,6 +3792,7 @@ def oracle_sql() -> dict[str, str]:
         "image_pipeline": _o_image_pipeline(),
         "image_decode_stats": _o_image_decode_stats(),
         "phash_near_dup": _o_phash_near_dup(),
+        "phash_dedup_resolve": _o_phash_dedup_resolve(),
         "image_resize": _o_image_resize(),
         "video_frame_sample": _o_video_frame_sample(),
         "audio_features": _o_audio_features(),
