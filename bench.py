@@ -60,6 +60,7 @@ HEADLINE = [
     "point_in_polygon",
     "geo_rollup",
     "box_range_join",
+    "radius_join",
     "trajectory_stats",
     "geonames_scan",
     "postal_scan",
@@ -146,6 +147,7 @@ _FACT_TABLE = {
     "point_in_polygon": "orders",
     "geo_rollup": "orders",
     "box_range_join": "orders",
+    "radius_join": "orders",
     "trajectory_stats": "orders",
     "index_roundtrip": "orders",
     "index_roundtrip_postal": "orders",

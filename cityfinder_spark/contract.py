@@ -575,6 +575,35 @@ def _o_tile_render() -> str:
     """
 
 
+RADIUS_JOIN_KM = 200.0
+
+
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band join: every (point, city) pair within 200 km plus
+    the rounded distance — the 'everything near this geotag'
+    complement to kNN. Discs reduce to (possibly antimeridian-
+    wrapping) bounding boxes that ride the gridded bbox cover; the
+    refine is the shared-rounded haversine, so the oracle is the
+    brute-force inequality join (operators/range_join.py::radius_join,
+    never the O(N*B) nested loop Spark would plan natively)."""
+    from cityfinder_spark.operators.range_join import radius_join
+
+    pts = _points(spark, sf_dir).select("pt_id", "lat", "lon")
+    return radius_join(
+        pts, _cities(spark, sf_dir), RADIUS_JOIN_KM, level=CELL_LEVEL
+    )
+
+
+def _o_radius_join() -> str:
+    hav = sc.haversine_rounded_sql("p.lat", "p.lon", "c.lat", "c.lon")
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+    cities AS ({sc.cities_from_customer_sql()})
+    SELECT p.pt_id, c.city_id, {hav} AS dist_km
+    FROM pts p JOIN cities c ON {hav} <= {RADIUS_JOIN_KM!r}
+    """
+
+
 def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped HyperLogLog distinct-count sketch vs the exact count:
     registers use trailing-zero rank (exactly SQL-expressible bit
@@ -3629,6 +3658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_pyramid": q_cell_pyramid,
         "tile_render": q_tile_render,
         "distinct_sketch": q_distinct_sketch,
+        "radius_join": q_radius_join,
         "trajectory_stats": q_trajectory_stats,
         "geonames_scan": q_geonames_scan,
         "postal_scan": q_postal_scan,
@@ -3717,6 +3747,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_pyramid": _o_cell_pyramid(),
         "tile_render": _o_tile_render(),
         "distinct_sketch": _o_distinct_sketch(),
+        "radius_join": _o_radius_join(),
         "trajectory_stats": _o_trajectory_stats(),
         "geonames_scan": _o_geonames_scan(),
         "postal_scan": _o_postal_scan(),

@@ -162,3 +162,93 @@ def bbox_join(
         .where(inside_lat & inside_lon)
         .select(pt_id_col, box_id_col)
     )
+
+
+def radius_join(
+    points: DataFrame,
+    cities: DataFrame,
+    radius_km: float,
+    level: int = 6,
+    pt_id_col: str = "pt_id",
+    city_id_col: str = "city_id",
+    broadcast_cities: bool = True,
+) -> DataFrame:
+    """Distance-band join: every (point, city) pair within `radius_km`
+    great-circle km, with the rounded distance — the "what's near this
+    geotag" complement to the kNN join (kNN answers "closest one",
+    this answers "everything within R").
+
+    The disc reduces to the bbox machinery above: each city expands to
+    its bounding box — meridian arc gives the EXACT latitude extent;
+    longitude uses the tangent bound dlon = asin(sin(r)/cos(lat))
+    (Bourke's bounding-box formula; grows toward the poles, full lon
+    ring inside the polar cap where |lat|+r_deg >= 90). The bound is
+    inflated by 1e-9 relative so float rounding can't shave a
+    qualifying cell; correctness never rests on the cover (the refine
+    is the exact shared-rounded haversine, identical IEEE text to the
+    DuckDB oracle; the cover only bounds the CANDIDATE count).
+
+    Scale shape: identical to bbox_join — fact side gets one codegen
+    cell column and never shuffles while the city covers broadcast;
+    candidates are linear in disc-area/cell-area; refine is O(1) per
+    candidate. Antimeridian wrap rides the bbox cover's modulo walk.
+    Output: (pt_id_col, city_id_col, dist_km)."""
+    import math
+
+    from cityfinder_spark.geo.distance import haversine_rounded_col
+
+    r_deg = radius_km / 111.19492664455873
+    rad = radius_km / 6371.0  # EARTH_RADIUS_KM
+    lat = F.col("__clat")
+    lat_min = F.greatest(lat - F.lit(r_deg), F.lit(-90.0))
+    lat_max = F.least(lat + F.lit(r_deg), F.lit(90.0))
+    # polar cap: the tangent bound diverges -> full longitude ring
+    polar = (F.abs(lat) + F.lit(r_deg)) >= F.lit(90.0)
+    dlon = F.degrees(
+        F.asin(
+            F.least(
+                F.lit(1.0),
+                F.lit(math.sin(rad)) / F.cos(F.radians(lat)),
+            )
+        )
+    ) * F.lit(1.000000001)
+    full = polar | (dlon >= F.lit(180.0))
+    raw_min = F.col("__clon") - dlon
+    raw_max = F.col("__clon") + dlon
+    lon_min = F.when(full, F.lit(-180.0)).otherwise(
+        F.when(raw_min < -180.0, raw_min + 360.0).otherwise(raw_min)
+    )
+    lon_max = F.when(full, F.lit(180.0)).otherwise(
+        F.when(raw_max > 180.0, raw_max - 360.0).otherwise(raw_max)
+    )
+    boxes = cities.select(
+        F.col(city_id_col),
+        F.col("lat").alias("__clat"),
+        F.col("lon").alias("__clon"),
+    ).select(
+        city_id_col,
+        "__clat",
+        "__clon",
+        lat_min.alias("lat_min"),
+        lat_max.alias("lat_max"),
+        lon_min.alias("lon_min"),
+        lon_max.alias("lon_max"),
+    )
+    cover = box_cover(
+        boxes, level, id_col=city_id_col, extra_cols=("__clat", "__clon")
+    )
+    if broadcast_cities:
+        cover = F.broadcast(cover)
+    pts = points.select(
+        pt_id_col,
+        F.col("lat").alias("__plat"),
+        F.col("lon").alias("__plon"),
+        cell_col("lat", "lon", level).alias("cell"),
+    )
+    dist = haversine_rounded_col("__plat", "__plon", "__clat", "__clon")
+    return (
+        pts.join(cover, "cell")
+        .withColumn("dist_km", dist)
+        .where(F.col("dist_km") <= F.lit(float(radius_km)))
+        .select(pt_id_col, city_id_col, "dist_km")
+    )

@@ -133,3 +133,71 @@ def test_box_cover_walk_is_bounded_and_unique(spark):
     by_id = {r.box_id: (r.n, r.nd) for r in rows}
     assert by_id[1][0] == by_id[1][1] <= 16 * 32
     assert by_id[2][0] == by_id[2][1] <= 2 * 32
+
+
+# ---------------- radius_join (distance-band join) ----------------
+
+def test_radius_join_matches_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+
+    from cityfinder_spark.geo.distance import haversine_np
+    from cityfinder_spark.operators.range_join import radius_join
+
+    rng = np.random.default_rng(11)
+    plat = rng.uniform(-89, 89, 300).round(3)
+    plon = rng.uniform(-180, 180, 300).round(3)
+    clat = rng.uniform(-85, 85, 40).round(3)
+    clon = rng.uniform(-180, 180, 40).round(3)
+    # force antimeridian + near-polar coverage
+    clat[:4] = [84.9, -84.9, 10.0, -10.0]
+    clon[:4] = [179.9, -179.9, 179.95, -179.95]
+    plat[:4] = [84.8, -84.8, 10.1, -10.1]
+    plon[:4] = [-179.8, 179.8, -179.9, 179.9]
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt_id": range(300), "lat": plat, "lon": plon})
+    )
+    cities = spark.createDataFrame(
+        pd.DataFrame({"city_id": range(40), "lat": clat, "lon": clon})
+    )
+    r = 250.0
+    got = {
+        (x.pt_id, x.city_id): x.dist_km
+        for x in radius_join(pts, cities, r, level=6).collect()
+    }
+    # brute force with the same rounding discipline
+    d = haversine_np(
+        plat[:, None], plon[:, None], clat[None, :], clon[None, :]
+    )
+    d = np.floor(d * 10000.0 + 0.5) / 10000.0
+    want = {
+        (i, j): d[i, j]
+        for i in range(300)
+        for j in range(40)
+        if d[i, j] <= r
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
+    # the planted antimeridian pairs must be present
+    assert any(p < 4 and c < 4 for (p, c) in got)
+
+
+def test_radius_join_polar_cap_full_ring(spark):
+    import pandas as pd
+
+    from cityfinder_spark.operators.range_join import radius_join
+
+    # city inside the polar cap: every longitude qualifies at tiny
+    # lat separation, including the far side of the pole
+    cities = spark.createDataFrame(
+        pd.DataFrame({"city_id": [0], "lat": [89.5], "lon": [0.0]})
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"pt_id": [0, 1, 2], "lat": [89.4, 89.5, 88.0],
+             "lon": [170.0, -90.0, 0.0]}
+        )
+    )
+    got = {r.pt_id for r in radius_join(pts, cities, 200.0, level=6).collect()}
+    assert {0, 1, 2} == got
