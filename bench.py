@@ -124,6 +124,7 @@ HEADLINE = [
     "events_props",
     "streaming_dedup_exact",
     "streaming_hot_cells",
+    "streaming_distinct_sketch",
     "streaming_late_data",
     "running_user_totals",
 ]
@@ -183,6 +184,7 @@ _FACT_TABLE = {
     "lang_id": "documents",
     "streaming_dedup_exact": "documents",
     "streaming_hot_cells": "orders",
+    "streaming_distinct_sketch": "orders",
     "streaming_late_data": "events",
     "cosine_topk": "embeddings",
     "cosine_dedup": "embeddings",

@@ -1903,6 +1903,40 @@ def q_streaming_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 driver gate: the HLL distinct sketch as a REAL stream.
+    Orders are staged into 3 id-ordered files and streamed one per
+    micro-batch; the register aggregation groupBy(grp, bucket).max(rho)
+    runs as a streaming aggregation in update mode (state = register
+    rows, bounded by |groups| x 2^p REGARDLESS of stream length — the
+    sketch's whole point as streaming state). Registers merge with
+    MAX, so the final emission per register equals the batch sketch
+    bit-for-bit and the key SHARES the distinct_sketch oracle. Only
+    possible if register state survives the micro-batch boundary."""
+    from cityfinder_spark.operators.sketch import finish_sketch, hll_registers
+
+    load_views(spark, sf_dir, ("orders",))
+    src_df = spark.table("orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    src = _stage_id_ordered(
+        spark, src_df, "o_orderkey", f"orders-sketch|{sf_dir}", n_files=3
+    )
+    schema = spark.read.parquet(src).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    regs = hll_registers(
+        stream_in, "o_orderpriority", "o_custkey", p=8, hash_mode="splitmix"
+    )
+    out = _run_stream_to_table(spark, regs, mode="update")
+    return finish_sketch(
+        out, spark.table("orders"), "o_orderpriority", "o_custkey", p=8
+    )
+
+
 def _stage_ranked(
     spark: SparkSession, df: DataFrame, okey, tag: str, n_files: int
 ) -> str:
@@ -3722,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resumable_rollup": q_resumable_rollup,
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "streaming_hot_cells": q_streaming_hot_cells,
+        "streaming_distinct_sketch": q_streaming_distinct_sketch,
         "streaming_late_data": q_streaming_late_data,
         "running_user_totals": q_running_user_totals,
     }
@@ -3798,6 +3833,7 @@ def oracle_sql() -> dict[str, str]:
         # the stream's final per-cell emissions must equal the batch
         # hot-cell aggregate — shared oracle
         "streaming_hot_cells": _o_hot_cells(),
+        "streaming_distinct_sketch": _o_distinct_sketch(),
         "streaming_late_data": _o_streaming_late_data(),
         "running_user_totals": _o_running_user_totals(),
         # ann_lsh / ann_ivf are APPROXIMATE in recall but fully

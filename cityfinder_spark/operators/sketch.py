@@ -148,6 +148,43 @@ def hll_distinct(
     )
 
 
+def finish_sketch(
+    registers: DataFrame,
+    exact_src: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    p: int = 8,
+) -> DataFrame:
+    """Turn a registers table (grp, bucket, rho — e.g. the final
+    emissions of a STREAMING register aggregation) into the
+    hll_vs_exact output shape, measuring against the exact distinct
+    count over `exact_src`. Registers merge with MAX, so feeding
+    per-batch update-mode emissions reduced by max(rho) here is
+    exactly the batch sketch — the streaming/batch parity the
+    streaming_distinct_sketch gate proves."""
+    from cityfinder_spark.colutils import round_digits_col
+
+    regs = registers.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
+    out = _estimate(regs, p)
+    est = out.select(
+        "grp",
+        "n_zero",
+        round_digits_col(F.col("est_raw"), 6).alias("est_distinct"),
+    )
+    exact = exact_src.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count_distinct(F.col(id_col)).alias("exact_distinct")
+    )
+    rel = round_digits_col(
+        (F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+        / F.col("exact_distinct").cast("double"),
+        6,
+    )
+    return est.join(exact, "grp").select(
+        "grp", "n_zero", "est_distinct", "exact_distinct", rel.alias("rel_err")
+    )
+
+
 def hll_vs_exact(
     df: DataFrame,
     group_col: str,
