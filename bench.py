@@ -88,6 +88,7 @@ HEADLINE = [
     "vocab_topk",
     "bm25_search",
     "lm_score",
+    "pii_redact",
     "tokenize_ids",
     "quality_topk",
     "doc_fingerprint",
@@ -174,6 +175,7 @@ _FACT_TABLE = {
     "vocab_topk": "documents",
     "bm25_search": "documents",
     "lm_score": "documents",
+    "pii_redact": "documents",
     "tokenize_ids": "documents",
     "quality_topk": "documents",
     "doc_fingerprint": "documents",

@@ -1065,6 +1065,40 @@ def _o_lm_score() -> str:
     """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing gate: documents with deterministically planted
+    emails/phones/IPs (sqlcompat.pii_docs_sql — identical expression
+    text both engines), redacted by the regexp_replace chain and
+    counted by regexp_extract_all. The value hash covers the exact
+    redacted strings, so Java-regex vs RE2 semantic agreement on the
+    conservative pattern subset is itself under test."""
+    from cityfinder_spark.operators.textops import redact_pii
+
+    load_views(spark, sf_dir, ("documents",))
+    return redact_pii(spark.sql(sc.pii_docs_sql()))
+
+
+def _o_pii_redact() -> str:
+    from cityfinder_spark.operators.textops import PII_PATTERNS
+
+    red = "text"
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+        counts.append(
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        )
+    total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    return f"""
+    WITH src AS ({sc.pii_docs_sql()}),
+    r AS (SELECT doc_id, {red} AS text_redacted, {", ".join(counts)}
+          FROM src)
+    SELECT doc_id, text_redacted, n_email, n_phone, n_ipv4,
+           ({total}) AS n_pii
+    FROM r
+    """
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword search: top-k docs for a term bag. One filtered
     projection pass over the corpus (dl rides the explode, no join
@@ -3710,6 +3744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "bm25_search": q_bm25_search,
         "lm_score": q_lm_score,
+        "pii_redact": q_pii_redact,
         "tokenize_ids": q_tokenize_ids,
         "quality_topk": q_quality_topk,
         "ngram_containment": q_ngram_containment,
@@ -3800,6 +3835,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _o_vocab_topk(),
         "bm25_search": _o_bm25_search(),
         "lm_score": _o_lm_score(),
+        "pii_redact": _o_pii_redact(),
         "tokenize_ids": _o_tokenize_ids(),
         "quality_topk": _o_quality_topk(),
         "lang_id": _o_lang_id(),

@@ -585,3 +585,45 @@ def lm_score(
             (s.cast("double") / F.lit(1000000.0)) / n.cast("double")
         ).alias("avg_logp"),
     )
+
+
+# PII patterns: conservative regex syntax valid in BOTH Java regex
+# (Spark) and RE2 (DuckDB) — classes, bounded repeats, \d, \b only.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII scrubbing — the compliance pass every training corpus runs
+    before packing: emails/phones/IPs replaced with typed placeholders
+    ('<EMAIL>', ...). Pure codegen projection (regexp_replace chain +
+    regexp_extract_all counts): zero shuffle, zero Python, pushdown-
+    friendly. Output: (id, text_redacted, n_email, n_phone, n_ipv4,
+    n_pii). Patterns deliberately use the regex subset whose semantics
+    agree between Java regex and RE2, so the DuckDB oracle replays the
+    exact redacted strings (leftmost match, global replace)."""
+    pats = patterns or PII_PATTERNS
+    out = F.col(text_col)
+    counts = []
+    for name, pat in pats.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    total = None
+    for name in pats:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return docs.select(
+        F.col(id_col), out.alias("text_redacted"), *counts
+    ).withColumn("n_pii", total)

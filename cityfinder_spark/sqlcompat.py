@@ -202,6 +202,32 @@ def postal_queries_sql(orders: str = "orders", customer: str = "customer", natio
     """
 
 
+def pii_docs_sql(documents: str = "documents") -> str:
+    """PII-bearing corpus: the documents table with deterministic
+    planted identifiers (email always; phone on doc_id%3=0; ipv4 on
+    doc_id%4=0) derived from the doc's own id — identical expression
+    text in Spark and DuckDB, so both engines see byte-identical
+    input text for the redaction gate."""
+    return f"""
+    SELECT doc_id,
+           text || ' contact u' || cast(doc_id as string)
+                || '@mail-' || cast(doc_id % 7 as string) || '.org now'
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' call '
+                             || lpad(cast((doc_id * 7) % 1000 as string), 3, '0')
+                             || '-'
+                             || lpad(cast((doc_id * 13) % 1000 as string), 3, '0')
+                             || '-'
+                             || lpad(cast((doc_id * 31) % 10000 as string), 4, '0')
+                        ELSE '' END
+                || CASE WHEN doc_id % 4 = 0
+                        THEN ' ip 10.' || cast(doc_id % 256 as string)
+                             || '.0.' || cast((doc_id * 3) % 256 as string)
+                        ELSE '' END AS text
+    FROM {documents}
+    """
+
+
 def images_from_orders_sql(orders: str = "orders") -> str:
     """Image-shaped fact rows (geotag + raster dims) for tiling ops."""
     return f"""

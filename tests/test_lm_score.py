@@ -78,3 +78,25 @@ def test_heldout_scoring_with_pretrained_lm(spark):
 def test_short_docs_dropped(spark):
     out = lm_score(_docs(spark, [("one", "solo"), ("two", "a b")])).collect()
     assert {r.doc_id for r in out} == {"two"}
+
+
+# ---------------- PII redaction ----------------
+
+def test_redact_pii_placeholders_and_counts(spark):
+    from cityfinder_spark.operators.textops import redact_pii
+
+    docs = _docs(
+        spark,
+        [
+            ("a", "mail me at jo.doe+x@sub.example.org or 555-123-4567"),
+            ("b", "server 192.168.1.30 and 10.0.0.1 are fine"),
+            ("c", "nothing sensitive here"),
+        ],
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out["a"].text_redacted == "mail me at <EMAIL> or <PHONE>"
+    assert (out["a"].n_email, out["a"].n_phone, out["a"].n_ipv4) == (1, 1, 0)
+    assert out["b"].text_redacted == "server <IPV4> and <IPV4> are fine"
+    assert out["b"].n_pii == 2
+    assert out["c"].text_redacted == "nothing sensitive here"
+    assert out["c"].n_pii == 0
