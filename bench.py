@@ -115,6 +115,7 @@ HEADLINE = [
     "image_decode_stats",
     "phash_near_dup",
     "phash_dedup_resolve",
+    "multimodal_curation",
     "image_resize",
     "video_frame_sample",
     "audio_features",

@@ -1691,6 +1691,91 @@ def _o_phash_dedup_resolve() -> str:
     """
 
 
+def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north star's own composite: curate an image+caption corpus.
+    Base images (real captions) + planted perturbed variants (short
+    'dup variant N' captions) -> decode -> phash64 -> banded hamming
+    pairs -> CC canonical resolution + caption length gate -> one
+    verdict row per image (keep = not near-dup AND caption ok). Both
+    gates fire: variants lose on BOTH axes, some base images lose on
+    the caption floor. Everything replays closed-form in DuckDB —
+    pixels via splitmix64, captions via string concat of the id-derived
+    dims, clusters via a recursive-CTE closure."""
+    from cityfinder_spark.operators.images_ops import perturb_variants
+    from cityfinder_spark.operators.multimodal import curate_image_captions
+
+    n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
+    imgs = _media_table(spark, "images", n)
+    var = perturb_variants(imgs).withColumn(
+        "caption",
+        F.concat(
+            F.lit("dup variant "),
+            F.substring("image_id", 4, 12).cast("long").cast("string"),
+        ),
+    )
+    inp = imgs.select("image_id", "bytes", "caption").unionByName(var)
+    return curate_image_captions(inp, max_dist=3, min_caption_chars=40)
+
+
+def _o_multimodal_curation() -> str:
+    node = (
+        "CASE WHEN gid LIKE 'dup%' THEN 2 * cast(substr(gid, 4) AS BIGINT) + 1"
+        " ELSE 2 * cast(substr(gid, 4) AS BIGINT) END"
+    )
+    caption = (
+        "CASE WHEN meta.gid LIKE 'dup%'"
+        " THEN 'dup variant '"
+        " || cast(cast(substr(meta.gid, 4) AS BIGINT) as string)"
+        " ELSE 'caption for image ' || cast(meta.i as string) || ': a '"
+        " || cast(meta.w as string) || 'x' || cast(meta.h as string)"
+        " || ' ' || meta.fmt || ' scene' END"
+    )
+    return f"""
+    WITH RECURSIVE {_duck_images_cte(20)},
+    {_duck_mix64("px")},
+    base AS (SELECT {_DUCK_IMG_ID} AS gid, i, w, h, fmt, j,
+                    {_DUCK_IMG_BYTE} AS b
+             FROM mx),
+    allb AS (
+      SELECT gid, i, w, h, fmt, j, b FROM base
+      UNION ALL
+      SELECT 'dup' || lpad(cast(i AS VARCHAR), 12, '0') AS gid, i, w, h,
+             fmt, j,
+             CASE WHEN j < 96 THEN xor(b, 68) ELSE b END AS b
+      FROM base WHERE i % 5 = 0),
+    blks AS (SELECT gid, {_DUCK_IMG_BLK} AS blk,
+                    sum(b) AS s_blk, count(*) AS c_blk
+             FROM allb GROUP BY gid, {_DUCK_IMG_BLK}),
+    {_DUCK_PHASH_FROM_BLKS},
+    meta AS (SELECT gid, any_value(i) AS i, any_value(w) AS w,
+                    any_value(h) AS h, any_value(fmt) AS fmt
+             FROM allb GROUP BY gid),
+    pop AS (SELECT gid, {node} AS node FROM ph),
+    pr AS (
+      SELECT a.node AS u, b.node AS v
+      FROM pop a JOIN ph pa ON a.gid = pa.gid
+           JOIN ph pb ON bit_count(xor(pa.phash, pb.phash)) <= 3
+           JOIN pop b ON b.gid = pb.gid
+      WHERE a.gid < b.gid),
+    ed AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+    reach(n, m) AS (
+      SELECT u, u FROM ed
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN ed e ON e.u = r.m
+    ),
+    canon AS (SELECT n AS node, MIN(m) AS label FROM reach GROUP BY 1),
+    verd AS (
+      SELECT meta.gid AS gid, meta.fmt AS fmt,
+             (COALESCE(canon.label, pop.node) <> pop.node) AS is_dup,
+             (length({caption}) >= 40) AS caption_ok
+      FROM meta JOIN pop ON meta.gid = pop.gid
+      LEFT JOIN canon ON canon.node = pop.node)
+    SELECT gid AS image_id, fmt, is_dup, caption_ok,
+           ((NOT is_dup) AND caption_ok) AS keep
+    FROM verd
+    """
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2x box-downsample + re-encode, then decode back: gates the full
     resample kernel end-to-end (decode -> 2x2 exact-integer box mean
@@ -3776,6 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": q_image_decode_stats,
         "phash_near_dup": q_phash_near_dup,
         "phash_dedup_resolve": q_phash_dedup_resolve,
+        "multimodal_curation": q_multimodal_curation,
         "image_resize": q_image_resize,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
@@ -3896,6 +3982,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_stats": _o_image_decode_stats(),
         "phash_near_dup": _o_phash_near_dup(),
         "phash_dedup_resolve": _o_phash_dedup_resolve(),
+        "multimodal_curation": _o_multimodal_curation(),
         "image_resize": _o_image_resize(),
         "video_frame_sample": _o_video_frame_sample(),
         "audio_features": _o_audio_features(),
