@@ -85,6 +85,7 @@ HEADLINE = [
     "text_quality",
     "repetition_stats",
     "token_percentiles",
+    "length_buckets",
     "vocab_topk",
     "bm25_search",
     "lm_score",
@@ -173,6 +174,7 @@ _FACT_TABLE = {
     "text_quality": "documents",
     "repetition_stats": "documents",
     "token_percentiles": "documents",
+    "length_buckets": "documents",
     "vocab_topk": "documents",
     "bm25_search": "documents",
     "lm_score": "documents",

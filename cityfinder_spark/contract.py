@@ -1127,6 +1127,39 @@ def _o_token_percentiles() -> str:
     """
 
 
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching: exact quartile boundaries of the
+    token-length distribution (type-1 percentiles, deterministic) +
+    a zero-shuffle bucket projection. The oracle re-derives the same
+    boundaries relationally, so the assignment value-hashes."""
+    from cityfinder_spark.operators.textops import length_buckets
+
+    return length_buckets(_docs(spark, sf_dir))
+
+
+def _o_length_buckets() -> str:
+    return """
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT n_tokens AS v, count(*) AS cnt FROM t GROUP BY 1),
+    cum AS (SELECT v, cast(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+            FROM c),
+    tot AS (SELECT count(*) AS total FROM t),
+    qs AS (SELECT p, min(v) AS q
+           FROM cum, tot, (SELECT unnest([0.25, 0.5, 0.75]) AS p)
+           WHERE cum >= ceil(p * total)
+           GROUP BY p)
+    SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
+           cast((CASE WHEN n_tokens > (SELECT q FROM qs WHERE p = 0.25)
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN n_tokens > (SELECT q FROM qs WHERE p = 0.5)
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN n_tokens > (SELECT q FROM qs WHERE p = 0.75)
+                      THEN 1 ELSE 0 END) AS INT) AS bucket
+    FROM t
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
@@ -3826,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
         "token_percentiles": q_token_percentiles,
+        "length_buckets": q_length_buckets,
         "vocab_topk": q_vocab_topk,
         "bm25_search": q_bm25_search,
         "lm_score": q_lm_score,
@@ -3918,6 +3952,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _o_text_quality(),
         "repetition_stats": _o_repetition_stats(),
         "token_percentiles": _o_token_percentiles(),
+        "length_buckets": _o_length_buckets(),
         "vocab_topk": _o_vocab_topk(),
         "bm25_search": _o_bm25_search(),
         "lm_score": _o_lm_score(),

@@ -627,3 +627,36 @@ def redact_pii(
     return docs.select(
         F.col(id_col), out.alias("text_redacted"), *counts
     ).withColumn("n_pii", total)
+
+
+def length_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Length-bucketed batching assignment (the curriculum / padding-
+    efficiency pass: group docs of similar token length so packed
+    batches waste minimal padding). Bucket boundaries are the EXACT
+    type-1 percentiles of the token-length distribution
+    (exact_percentiles — deterministic, unlike approx_percentile), so
+    the assignment replays bit-for-bit in SQL. Output: (id, n_tokens,
+    bucket) with bucket = #boundaries strictly below n_tokens.
+
+    Scale shape: the boundary fit is the count-by-value percentile job
+    (corpus collapses to |distinct lengths| counts); boundaries are a
+    tiny collected artifact (same pattern as bm25's corpus stats / the
+    trained LM); assignment itself is a ZERO-shuffle codegen
+    projection — re-runnable on every new batch against frozen
+    boundaries."""
+    n = F.size(_words(text_col)).cast("long")
+    base = docs.select(F.col(id_col), n.alias("n_tokens"))
+    qs = sorted(
+        (r.p, int(r.value))
+        for r in exact_percentiles(base, "n_tokens", ps).collect()
+    )
+    bucket = None
+    for _, q in qs:
+        term = (F.col("n_tokens") > F.lit(q)).cast("int")
+        bucket = term if bucket is None else bucket + term
+    return base.select(id_col, "n_tokens", bucket.alias("bucket"))
