@@ -44,8 +44,13 @@ def curate_image_captions(
     from cityfinder_spark.operators.dedup import hamming_pairs
 
     node = id_to_node if id_to_node is not None else default_id_to_node()
-    stats = decode_stats(images.select("image_id", "bytes")).select(
-        "image_id", "fmt", "phash"
+    # one slim post-decode persist: stats feeds BOTH the pair branch
+    # and the final fmt join — without it every payload decodes twice
+    # (id-grain rows only; bytes are dropped before the persist)
+    stats = (
+        decode_stats(images.select("image_id", "bytes"))
+        .select("image_id", "fmt", "phash")
+        .persist()
     )
     pairs = hamming_pairs(
         stats.select("image_id", "phash"),
