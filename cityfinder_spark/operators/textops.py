@@ -557,6 +557,11 @@ def lm_score(
     batch against it."""
     if lm is None:
         lm, vocab_size = train_bigram_lm(docs, text_col=text_col)
+        # the freshly-trained LM feeds two join branches (bigram
+        # probabilities + prefix counts); persist the LM-sized table so
+        # the training aggregation runs once — callers with a prebuilt
+        # LM manage its storage themselves
+        lm = lm.persist()
     if vocab_size is None:
         raise ValueError("vocab_size required when passing a prebuilt lm")
     w = _words(text_col)
