@@ -129,6 +129,7 @@ HEADLINE = [
     "streaming_hot_cells",
     "streaming_distinct_sketch",
     "streaming_late_data",
+    "streaming_stream_join",
     "running_user_totals",
 ]
 
@@ -191,6 +192,7 @@ _FACT_TABLE = {
     "streaming_hot_cells": "orders",
     "streaming_distinct_sketch": "orders",
     "streaming_late_data": "events",
+    "streaming_stream_join": "events",
     "cosine_topk": "embeddings",
     "cosine_dedup": "embeddings",
     "embedding_quantize": "embeddings",

@@ -2254,6 +2254,68 @@ def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SSJOIN_ATTR_MIN = 240  # click attributed to views in the prior 4 hours
+_SSJOIN_DELAY = "12 hours"  # conservative: >> cross-side staging skew
+
+
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 driver gate: watermarked STREAM-STREAM interval join as a
+    REAL two-source stream. Views and clicks are staged separately
+    into 3 ts-ordered files each and streamed one file per source per
+    micro-batch through view_click_interval_join (streaming/joins.py):
+    both sides watermarked, closed time-range condition, so Spark's
+    symmetric hash join buffers state it can EVICT. Matches span
+    micro-batch boundaries (a view buffered from batch k joins a click
+    arriving in batch k+1 — guaranteed here: each staged file spans
+    ~10 days, the window is 4h, so every cross-file-adjacent pair
+    crosses a batch). Inner-join emissions are exactly the matched
+    pairs whatever the batching, so the gate hashes against the plain
+    DuckDB interval join. The 12h watermark delay exceeds any skew
+    between the two sides' independent tertile boundaries (same
+    underlying ts distribution), so no row is ever late — late-drop
+    mechanics are pinned separately by streaming_late_data."""
+    from cityfinder_spark.streaming.joins import view_click_interval_join
+
+    ev = _events(spark, sf_dir)
+    sides = {}
+    for kind in ("view", "click"):
+        side = (
+            ev.where(F.col("event_type") == kind)
+            .select("event_id", "user_id", "ts")
+            .withColumn("ord", F.unix_micros(F.col("ts").cast("timestamp")))
+        )
+        src = _stage_id_ordered(
+            spark, side, "ord", f"ssjoin-{kind}|{sf_dir}", n_files=3
+        )
+        schema = spark.read.parquet(src).schema
+        sides[kind] = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .drop("ord")
+        )
+    joined = view_click_interval_join(
+        sides["view"],
+        sides["click"],
+        attr_minutes=_SSJOIN_ATTR_MIN,
+        delay=_SSJOIN_DELAY,
+    )
+    return _run_stream_to_table(spark, joined, mode="append")
+
+
+def _o_streaming_stream_join() -> str:
+    return f"""
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view') v
+      ON v.user_id = c.user_id AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL {_SSJOIN_ATTR_MIN} MINUTE
+    """
+
+
 # ---------------- DuckDB oracles ----------------
 
 def _o_nearest_city() -> str:
@@ -3913,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hot_cells": q_streaming_hot_cells,
         "streaming_distinct_sketch": q_streaming_distinct_sketch,
         "streaming_late_data": q_streaming_late_data,
+        "streaming_stream_join": q_streaming_stream_join,
         "running_user_totals": q_running_user_totals,
     }
 
@@ -3992,6 +4055,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hot_cells": _o_hot_cells(),
         "streaming_distinct_sketch": _o_distinct_sketch(),
         "streaming_late_data": _o_streaming_late_data(),
+        # inner stream-stream join emissions = the batch interval join
+        # (no late rows by construction), so the plain SQL is exact
+        "streaming_stream_join": _o_streaming_stream_join(),
         "running_user_totals": _o_running_user_totals(),
         # ann_lsh / ann_ivf are APPROXIMATE in recall but fully
         # deterministic in mechanism (md5 sign family, exact folds,

@@ -426,3 +426,74 @@ def test_streaming_late_data_gate_really_drops(spark):
     n_events = spark.read.parquet(f"{SF}/events.parquet").count()
     assert 0 < total_kept < 0.75 * n_events  # real drops, not a no-op
     assert out.where(F.col("event_type") == "sentinel").count() == 0
+
+
+def test_stream_stream_interval_join_cross_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join: a view buffered in
+    batch-1 join state must match a click arriving in batch 2; the
+    emission set equals the batch interval join."""
+    from cityfinder_spark.streaming.joins import view_click_interval_join
+
+    vschema = "event_id long, user_id long, ts timestamp"
+    views_b1 = [(101, 1, "2024-01-01 00:00:00"), (102, 2, "2024-01-01 00:05:00")]
+    views_b2 = [(103, 1, "2024-01-01 01:00:00")]
+    clicks_b1 = [(201, 2, "2024-01-01 00:07:00")]
+    clicks_b2 = [(202, 1, "2024-01-01 00:08:00"), (203, 1, "2024-01-01 01:05:00")]
+
+    def _write(rows, path):
+        df = spark.createDataFrame(
+            [(i, u, t) for i, u, t in rows], "event_id long, user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.parquet(path)
+
+    for name, rows in (
+        ("v/f1", views_b1), ("v/f2", views_b2),
+        ("c/f1", clicks_b1), ("c/f2", clicks_b2),
+    ):
+        _write(rows, str(tmp_path / name))
+
+    def _stream(sub):
+        return (
+            spark.readStream.schema(vschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / sub / "*"))
+        )
+
+    joined = view_click_interval_join(
+        _stream("v"), _stream("c"), attr_minutes=10, delay="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2  # really multi-batch
+
+    got = sorted(
+        tuple(r)
+        for r in spark.table("ssjoin_gate")
+        .select("click_id", "view_id", "user_id", "lag_us")
+        .collect()
+    )
+    vb = spark.createDataFrame(
+        [(i, u, t) for i, u, t in views_b1 + views_b2],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cb = spark.createDataFrame(
+        [(i, u, t) for i, u, t in clicks_b1 + clicks_b2],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = sorted(
+        tuple(r)
+        for r in view_click_interval_join(vb, cb, attr_minutes=10)
+        .select("click_id", "view_id", "user_id", "lag_us")
+        .collect()
+    )
+    assert got == want
+    # the decisive pair: view 101 arrived in batch 1, click 202 in
+    # batch 2 — only possible if view state crossed the boundary
+    assert (202, 101, 1, 8 * 60 * 1_000_000) in got
+    assert len(got) == 3
