@@ -90,6 +90,7 @@ HEADLINE = [
     "bm25_search",
     "lm_score",
     "pii_redact",
+    "url_curation",
     "tokenize_ids",
     "quality_topk",
     "doc_fingerprint",
@@ -130,6 +131,7 @@ HEADLINE = [
     "streaming_distinct_sketch",
     "streaming_late_data",
     "streaming_stream_join",
+    "streaming_knn",
     "running_user_totals",
 ]
 
@@ -180,6 +182,7 @@ _FACT_TABLE = {
     "bm25_search": "documents",
     "lm_score": "documents",
     "pii_redact": "documents",
+    "url_curation": "documents",
     "tokenize_ids": "documents",
     "quality_topk": "documents",
     "doc_fingerprint": "documents",
@@ -193,6 +196,7 @@ _FACT_TABLE = {
     "streaming_distinct_sketch": "orders",
     "streaming_late_data": "events",
     "streaming_stream_join": "events",
+    "streaming_knn": "orders",
     "cosine_topk": "embeddings",
     "cosine_dedup": "embeddings",
     "embedding_quantize": "embeddings",

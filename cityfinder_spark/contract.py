@@ -1078,6 +1078,53 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(spark.sql(sc.pii_docs_sql()))
 
 
+_URL_QUOTA = 9  # < the 13 paths/site ceiling, so domain caps really bind
+
+
+def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation gate (C4/RefinedWeb shape): documents with
+    deterministic crawl URLs (sqlcompat.url_docs_sql — identical
+    expression text both engines; scheme-case/www/query/fragment/
+    trailing-slash noise planted), canonicalized by the regexp chain,
+    URL-deduped by a lag window, domain-capped by an md5-ordered
+    row_number — ONE exchange on domain for both windows. The value
+    hash covers the exact canonical strings AND the verdict bits, so
+    Java-regex vs RE2 agreement and the window semantics are both
+    under test."""
+    from cityfinder_spark.operators.urlops import curate_urls
+
+    load_views(spark, sf_dir, ("documents",))
+    return curate_urls(spark.sql(sc.url_docs_sql()), quota=_URL_QUOTA)
+
+
+def _o_url_curation() -> str:
+    canon = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "lower(url), '^https?://', ''), '^www\\.', ''), '[?#].*$', ''),"
+        " '/$', '')"
+    )
+    return f"""
+    WITH src AS ({sc.url_docs_sql()}),
+    c AS (SELECT doc_id, {canon} AS canon_url FROM src),
+    d AS (SELECT doc_id, canon_url,
+                 regexp_extract(canon_url, '^[^/]+', 0) AS domain
+          FROM c),
+    du AS (SELECT *,
+             coalesce(lag(canon_url) OVER (PARTITION BY domain
+                        ORDER BY canon_url, doc_id) = canon_url,
+                      false) AS is_dup
+           FROM d),
+    r AS (SELECT *,
+            row_number() OVER (PARTITION BY domain
+              ORDER BY is_dup, md5(canon_url), canon_url, doc_id)
+              AS domain_rank
+          FROM du)
+    SELECT doc_id, canon_url, domain, is_dup, domain_rank,
+           (NOT is_dup AND domain_rank <= {_URL_QUOTA}) AS keep
+    FROM r
+    """
+
+
 def _o_pii_redact() -> str:
     from cityfinder_spark.operators.textops import PII_PATTERNS
 
@@ -1973,22 +2020,40 @@ def _stage_id_ordered(
     return memo_value(spark, ("stream-src", tag), build)
 
 
-def _run_stream_to_table(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFrame:
+def _run_stream_to_table(
+    spark: SparkSession, sdf: DataFrame, mode: str, shuffle_parts: int = 8
+) -> DataFrame:
     """Drive a streaming DataFrame to completion with
     trigger(availableNow=True) into a memory sink; return the table.
     This is a REAL multi-micro-batch Structured Streaming run (the
     source is split into files and fed one per trigger), not a batch
-    rewrite — the gate proves cross-batch state survives."""
+    rewrite — the gate proves cross-batch state survives.
+
+    Stateful-operator parallelism is pinned at stream start: every
+    shuffle partition owns a state-store instance that each micro-batch
+    must open, snapshot, and commit (a stream-stream join keeps FOUR
+    per partition), so partition count is a per-batch fixed cost —
+    size it to the micro-batch volume (10^4-row gate batches -> 8),
+    not to the host's core count; at production volume this is the
+    knob you RAISE (state stores shard across executors). Results are
+    partitioning-independent; the conf is restored after the run.
+    Measured on streaming_stream_join at sf0.1: 19.9s at 32 -> 5.0s
+    at 8 (every other streaming gate got 1.2-1.8x too)."""
     _STREAM_SEQ[0] += 1
     name = f"cf_stream_gate_{_STREAM_SEQ[0]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if len(q.recentProgress) < 2:
         raise RuntimeError(
             f"stream gate expected multiple micro-batches, got "
@@ -2314,6 +2379,35 @@ def _o_streaming_stream_join() -> str:
       ON v.user_id = c.user_id AND c.ts >= v.ts
      AND c.ts <= v.ts + INTERVAL {_SSJOIN_ATTR_MIN} MINUTE
     """
+
+
+def q_streaming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 driver gate: the FLAGSHIP kNN join on a real multi-batch
+    stream (the Distributed Stream kNN Join shape): the contract's
+    geotagged points are staged into 3 pt_id-ordered files and
+    streamed one per micro-batch through the same nearest_city_join
+    the batch flagship runs — broadcast CityIndex + scalar pandas UDF
+    are streaming-compatible as-is, stateless per row, so ingestion
+    enrichment needs no second code path (SURVEY §7.0's one-codebase
+    stance). Emissions are batch-invariant and share the nearest_city
+    oracle."""
+    pts = _points(spark, sf_dir).select("pt_id", "caption", "lat", "lon")
+    src = _stage_id_ordered(
+        spark, pts, "pt_id", f"knn-pts|{sf_dir}", n_files=3
+    )
+    schema = spark.read.parquet(src).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = nearest_city_join(
+        stream_in, _cities(spark, sf_dir), cache_key=("cities", sf_dir)
+    )
+    out = _run_stream_to_table(spark, enriched, mode="append")
+    return out.select(
+        "pt_id", "caption", "city_id", "name", "country", "dist_km"
+    )
 
 
 # ---------------- DuckDB oracles ----------------
@@ -3926,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "lm_score": q_lm_score,
         "pii_redact": q_pii_redact,
+        "url_curation": q_url_curation,
         "tokenize_ids": q_tokenize_ids,
         "quality_topk": q_quality_topk,
         "ngram_containment": q_ngram_containment,
@@ -3976,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_distinct_sketch": q_streaming_distinct_sketch,
         "streaming_late_data": q_streaming_late_data,
         "streaming_stream_join": q_streaming_stream_join,
+        "streaming_knn": q_streaming_knn,
         "running_user_totals": q_running_user_totals,
     }
 
@@ -4020,6 +4116,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _o_bm25_search(),
         "lm_score": _o_lm_score(),
         "pii_redact": _o_pii_redact(),
+        "url_curation": _o_url_curation(),
         "tokenize_ids": _o_tokenize_ids(),
         "quality_topk": _o_quality_topk(),
         "lang_id": _o_lang_id(),
@@ -4058,6 +4155,8 @@ def oracle_sql() -> dict[str, str]:
         # inner stream-stream join emissions = the batch interval join
         # (no late rows by construction), so the plain SQL is exact
         "streaming_stream_join": _o_streaming_stream_join(),
+        # stateless enrichment: stream emissions = the batch flagship
+        "streaming_knn": _o_nearest_city(),
         "running_user_totals": _o_running_user_totals(),
         # ann_lsh / ann_ivf are APPROXIMATE in recall but fully
         # deterministic in mechanism (md5 sign family, exact folds,
