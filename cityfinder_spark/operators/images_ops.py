@@ -178,7 +178,9 @@ def perturb_variants(
     return cols.mapInPandas(op, schema="image_id string, bytes binary")
 
 
-def phash_near_dup(images: DataFrame, max_dist: int = 3) -> DataFrame:
+def phash_near_dup(
+    images: DataFrame, max_dist: int = 3, cache_key: tuple | None = None
+) -> DataFrame:
     """Image near-duplicate pairs by perceptual-hash hamming distance:
     decode -> 64-bit integer-exact phash (one Arrow pass, zero
     shuffle) -> banded hamming self-join. The banding is EXACT, not
@@ -189,10 +191,23 @@ def phash_near_dup(images: DataFrame, max_dist: int = 3) -> DataFrame:
     payloads never leave the decode stage. That is the 10^12-image
     dedup shape: linear candidate generation at fixed bucket
     occupancy, constant per-pair refinement (one xor+popcount).
-    Output: (img_a, img_b, hamming)."""
+    Output: (img_a, img_b, hamming).
+
+    The banded join references the signature table on BOTH sides, and
+    Spark recomputes each reference's lineage — without a cache the
+    Arrow decode pass runs twice. cache_key (same stance as
+    minhash_lsh_pairs' band memo) persists the slim (image_id, phash)
+    table once per session; payload bytes are dropped before the
+    persist."""
+    from cityfinder_spark.bcast import memo_table
     from cityfinder_spark.operators.dedup import hamming_pairs
 
-    sig = decode_stats(images).select("image_id", "phash")
+    key = None if cache_key is None else ("phash-sig", *cache_key)
+    sig = memo_table(
+        images.sparkSession,
+        key,
+        lambda: decode_stats(images).select("image_id", "phash"),
+    )
     return hamming_pairs(
         sig,
         max_dist=max_dist,
