@@ -89,6 +89,7 @@ HEADLINE = [
     "vocab_topk",
     "bm25_search",
     "lm_score",
+    "importance_sample",
     "pii_redact",
     "url_curation",
     "tokenize_ids",
@@ -181,6 +182,7 @@ _FACT_TABLE = {
     "vocab_topk": "documents",
     "bm25_search": "documents",
     "lm_score": "documents",
+    "importance_sample": "documents",
     "pii_redact": "documents",
     "url_curation": "documents",
     "tokenize_ids": "documents",

@@ -1078,6 +1078,74 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(spark.sql(sc.pii_docs_sql()))
 
 
+_DSIR_TARGET = "src0"  # target domain: one source; candidates = the rest
+_DSIR_TAU = -150000  # micro-nats/bigram, ~the candidate median -> both verdicts occur
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection gate: treat one source as the target
+    domain (the 'select web data that resembles Wikipedia' shape),
+    train add-one bigram LMs on target and candidates, score every
+    candidate by the integer micro-nat log importance ratio, accept on
+    the cross-multiplied average threshold. tau sits near the
+    candidate median so accepts AND rejects both occur. Hash-exact end
+    to end (same micro-nat discipline as lm_score); the oracle replays
+    both LMs and the merged-join scoring closed-form."""
+    from cityfinder_spark.operators.textops import importance_sample
+
+    docs = _docs(spark, sf_dir)
+    return importance_sample(
+        docs.where(F.col("source") != _DSIR_TARGET),
+        docs.where(F.col("source") == _DSIR_TARGET),
+        tau_micro=_DSIR_TAU,
+    )
+
+
+def _o_importance_sample() -> str:
+    def lp(n12: str, n1: str, v: str) -> str:
+        return (
+            f"cast(floor(ln((cast(coalesce({n12}, 0) AS DOUBLE) + 1.0)"
+            f" / (cast(coalesce({n1}, 0) AS DOUBLE) + (SELECT v FROM {v})))"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        )
+
+    avg = (
+        "(cast(cast(sum(dlp) AS BIGINT) AS DOUBLE) / 1000000.0)"
+        " / cast(count(*) AS DOUBLE)"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS l
+               FROM documents),
+    di AS (SELECT doc_id, source, l,
+                  unnest(generate_series(1, len(l) - 1)) AS i
+           FROM d),
+    bg AS (SELECT doc_id, source, l[i] || ' ' || l[i + 1] AS bigram,
+                  l[i] AS w1
+           FROM di),
+    bgt AS (SELECT * FROM bg WHERE source = '{_DSIR_TARGET}'),
+    bgc AS (SELECT * FROM bg WHERE source <> '{_DSIR_TARGET}'),
+    c12t AS (SELECT bigram, count(*) AS n12_t FROM bgt GROUP BY 1),
+    c1t AS (SELECT w1, count(*) AS n1_t FROM bgt GROUP BY 1),
+    c12s AS (SELECT bigram, count(*) AS n12_s FROM bgc GROUP BY 1),
+    c1s AS (SELECT w1, count(*) AS n1_s FROM bgc GROUP BY 1),
+    vt AS (SELECT cast(count(DISTINCT t) AS DOUBLE) AS v
+           FROM (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents)),
+    vs AS (SELECT v FROM vt),
+    scored AS (
+      SELECT bgc.doc_id,
+             {lp("n12_t", "n1_t", "vt")} - {lp("n12_s", "n1_s", "vs")}
+               AS dlp
+      FROM bgc LEFT JOIN c12t USING (bigram) LEFT JOIN c1t USING (w1)
+               LEFT JOIN c12s USING (bigram) LEFT JOIN c1s USING (w1))
+    SELECT doc_id, count(*) AS n_bigrams,
+           cast(sum(dlp) AS BIGINT) AS delta_micro,
+           {sc.round6_sql(avg)} AS avg_delta,
+           (cast(sum(dlp) AS BIGINT) >= {_DSIR_TAU} * count(*)) AS accept
+    FROM scored GROUP BY 1
+    """
+
+
 _URL_QUOTA = 9  # < the 13 paths/site ceiling, so domain caps really bind
 
 
@@ -4033,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "pii_redact": q_pii_redact,
         "url_curation": q_url_curation,
+        "importance_sample": q_importance_sample,
         "tokenize_ids": q_tokenize_ids,
         "quality_topk": q_quality_topk,
         "ngram_containment": q_ngram_containment,
@@ -4129,6 +4198,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _o_lm_score(),
         "pii_redact": _o_pii_redact(),
         "url_curation": _o_url_curation(),
+        "importance_sample": _o_importance_sample(),
         "tokenize_ids": _o_tokenize_ids(),
         "quality_topk": _o_quality_topk(),
         "lang_id": _o_lang_id(),

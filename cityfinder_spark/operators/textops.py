@@ -592,6 +592,106 @@ def lm_score(
     )
 
 
+def importance_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    tau_micro: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, 'Data Selection
+    for Language Models via Importance Resampling'): score every
+    candidate document by the log importance ratio between a TARGET-
+    domain n-gram LM and the raw-corpus LM, keep the docs whose
+    transitions look more target-like than source-like. This is the
+    'select web data that resembles Wikipedia' step of a pretraining
+    mix, downstream of dedup and upstream of mixture_sample.
+
+    Output per candidate doc with >= 1 bigram: (doc_id, n_bigrams,
+    delta_micro, avg_delta, accept) where delta_micro is the integer
+    micro-nat sum of per-bigram ln p_target - ln p_source and accept
+    is the cross-multiplied average-threshold test
+    delta_micro >= tau_micro * n_bigrams (order-free integer
+    arithmetic throughout — same hash-exact discipline as lm_score;
+    full DSIR samples ~ exp(delta) via Gumbel top-k, which composes
+    here as sample_rate / a top-k over delta when a fixed budget
+    matters).
+
+    Both LMs smooth over the SAME event space — V = the union
+    vocabulary of target + candidates — otherwise a tiny target vocab
+    makes the unseen-bigram fallback 1/V_t spuriously large and alien
+    text scores target-like (the add-one analogue of DSIR's shared
+    hashed-ngram buckets).
+
+    Scale shape: two LM trainings (each one map-side-combined
+    bigram exchange over its corpus; the target corpus is small by
+    construction), LMs merged bigram-wise/prefix-wise and persisted
+    (LM-sized artifacts — train once, score every crawl batch), then
+    ONE candidate-corpus explode joined against the merged LM + ONE
+    map-side-combined doc rollup — the same single-pass cost as
+    lm_score despite scoring under two models."""
+    lm_t, _ = train_bigram_lm(target, text_col=text_col)
+    lm_s, _ = train_bigram_lm(docs, text_col=text_col)
+    w_all = _words(text_col)
+    v_shared = int(
+        docs.select(F.explode(w_all).alias("t"))
+        .unionByName(target.select(F.explode(w_all).alias("t")))
+        .agg(F.count_distinct("t"))
+        .first()[0]
+    )
+    v_t = v_s = v_shared
+    # merged LM: bigram-level numerators + prefix-level denominators
+    # from BOTH models, so scoring pays one join chain, not two
+    mbg = (
+        lm_t.select("bigram", F.col("n12").alias("n12_t"))
+        .join(
+            lm_s.select("bigram", F.col("n12").alias("n12_s")),
+            "bigram",
+            "full_outer",
+        )
+        .persist()
+    )
+    mw1 = (
+        lm_t.select("w1", "n1").distinct()
+        .withColumnRenamed("n1", "n1_t")
+        .join(
+            lm_s.select("w1", "n1").distinct().withColumnRenamed("n1", "n1_s"),
+            "w1",
+            "full_outer",
+        )
+        .persist()
+    )
+    w = _words(text_col)
+    bg = docs.select(
+        F.col(id_col), F.explode(_grams_col(w, 2)).alias("bigram")
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+
+    def lp(n12, n1, v: int) -> F.Column:
+        p = (F.coalesce(n12, F.lit(0)).cast("double") + F.lit(1.0)) / (
+            F.coalesce(n1, F.lit(0)).cast("double") + F.lit(float(v))
+        )
+        return F.floor(F.log(p) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+    dlp = lp(F.col("n12_t"), F.col("n1_t"), v_t) - lp(
+        F.col("n12_s"), F.col("n1_s"), v_s
+    )
+    scored = (
+        bg.join(mbg, "bigram", "left")
+        .join(mw1, "w1", "left")
+        .select(F.col(id_col), dlp.alias("__dlp"))
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("__dlp")
+    return scored.groupBy(id_col).agg(
+        n.alias("n_bigrams"),
+        s.alias("delta_micro"),
+        round6_col(
+            (s.cast("double") / F.lit(1000000.0)) / n.cast("double")
+        ).alias("avg_delta"),
+        (s >= F.lit(int(tau_micro)) * n).alias("accept"),
+    )
+
+
 # PII patterns: conservative regex syntax valid in BOTH Java regex
 # (Spark) and RE2 (DuckDB) — classes, bounded repeats, \d, \b only.
 PII_PATTERNS = {

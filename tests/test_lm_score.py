@@ -100,3 +100,34 @@ def test_redact_pii_placeholders_and_counts(spark):
     assert out["b"].n_pii == 2
     assert out["c"].text_redacted == "nothing sensitive here"
     assert out["c"].n_pii == 0
+
+
+def test_importance_sample_selects_target_like_docs(spark):
+    """DSIR shape: candidates whose transitions match the target LM
+    accept at tau=0; alien-transition candidates reject."""
+    from cityfinder_spark.operators.textops import importance_sample
+
+    target = _docs(
+        spark,
+        [
+            ("t1", "the cat sat on the mat"),
+            ("t2", "the cat sat on the rug"),
+            ("t3", "the dog sat on the mat"),
+        ],
+    )
+    cands = _docs(
+        spark,
+        [
+            ("c1", "the cat sat on the mat"),  # pure target style
+            ("c2", "zq xv qqq zz yy zq xv"),   # alien transitions
+            ("c3", "aa bb cc dd ee ff gg"),    # alien transitions
+        ],
+    )
+    out = {r.doc_id: r for r in importance_sample(cands, target).collect()}
+    assert set(out) == {"c1", "c2", "c3"}
+    assert out["c1"].accept and out["c1"].delta_micro > 0
+    assert not out["c2"].accept and out["c2"].delta_micro < 0
+    assert not out["c3"].accept
+    # delta is the integer micro-nat sum; avg ties out with n_bigrams
+    r = out["c1"]
+    assert abs(r.avg_delta - r.delta_micro / 1e6 / r.n_bigrams) < 1e-6
