@@ -1416,6 +1416,23 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_resolve(docs, pairs)
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split BY NEAR-DUP CLUSTER: the
+    split hash is applied to the canonical_id from the same
+    MinHash-LSH -> connected-components resolution as dedup_resolve,
+    so paraphrase clusters never straddle the eval boundary. Adds
+    zero exchanges on top of dedup_resolve (a codegen'd CASE over the
+    resolve output); the DuckDB oracle replays pairs, closure, and
+    MINSTD split bit-for-bit."""
+    from cityfinder_spark.operators.sampling import cluster_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, n=3, threshold=JACCARD_T, cache_key=("docs", sf_dir)
+    )
+    return cluster_split(docs, pairs)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_embs(spark, sf_dir), k=5, cache_key=("embs", sf_dir))
 
@@ -2930,6 +2947,34 @@ def _o_dedup_resolve() -> str:
     """
 
 
+def _o_cluster_split() -> str:
+    from cityfinder_spark.operators.sampling import HASH_M, SPLIT_A
+
+    val_hi = int(0.05 * HASH_M)
+    test_hi = val_hi + int(0.05 * HASH_M)
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    ed AS (SELECT doc_a AS u, doc_b AS v FROM pr
+           UNION SELECT doc_b, doc_a FROM pr),
+    reach(n, m) AS (
+      SELECT u, u FROM ed
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN ed e ON e.u = r.m
+    ),
+    canon AS (SELECT n AS doc_id, MIN(m) AS label FROM reach GROUP BY 1),
+    res AS (SELECT d.doc_id,
+                   COALESCE(c.label, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN canon c USING (doc_id))
+    SELECT doc_id, canonical_id,
+           CASE WHEN (canonical_id * {SPLIT_A}) % {HASH_M} < {val_hi}
+                THEN 'val'
+                WHEN (canonical_id * {SPLIT_A}) % {HASH_M} < {test_hi}
+                THEN 'test'
+                ELSE 'train' END AS split
+    FROM res
+    """
+
+
 def _o_dedup_exact() -> str:
     return """
     SELECT doc_id,
@@ -4114,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quota": q_sample_quota,
         "mixture_sample": q_mixture_sample,
         "dedup_resolve": q_dedup_resolve,
+        "cluster_split": q_cluster_split,
         "corpus_pipeline": q_corpus_pipeline,
         "cosine_topk": q_cosine_topk,
         "embedding_quantize": q_embedding_quantize,
@@ -4211,6 +4257,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_quota": _o_sample_quota(),
         "mixture_sample": _o_mixture_sample(),
         "dedup_resolve": _o_dedup_resolve(),
+        "cluster_split": _o_cluster_split(),
         "corpus_pipeline": _o_corpus_pipeline(),
         "cosine_topk": _o_cosine_topk(),
         "embedding_quantize": _o_embedding_quantize(),

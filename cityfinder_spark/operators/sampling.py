@@ -183,3 +183,49 @@ def mixture_sample(
         .where(sample_hash(id_col) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def cluster_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    val_rate: float = 0.05,
+    test_rate: float = 0.05,
+) -> DataFrame:
+    """Leakage-safe train/val/test split BY NEAR-DUP CLUSTER:
+    (doc_id, canonical_id, split), where every member of a duplicate
+    cluster lands on the same side of the boundary.
+
+    `corpus_split` alone is leakage-safe against re-runs (membership
+    is a pure function of the id) but NOT against near-duplicates: two
+    paraphrases with different ids can straddle train/val, and the
+    eval set silently scores memorization. The fix is to hash the
+    CLUSTER, not the row — canonical ids come from the same
+    connected-components resolution as `dedup_resolve` (pairs from any
+    candidate generator: MinHash-LSH, SimHash, phash), and the split
+    hash is applied to `canonical_id`, so the whole cluster moves
+    together by construction.
+
+    Scale shape: the CC loop shuffles only (node, label) longs
+    (`operators/components.py`); the split itself adds ZERO exchanges
+    on top of `dedup_resolve` — one codegen'd projection of the hash
+    CASE over the resolve output, then the id-grain join back to docs
+    that dedup_resolve already pays. Deterministic end-to-end (md5
+    pair candidates + min-label CC + MINSTD split hash), so the DuckDB
+    oracle replays the full assignment bit-for-bit."""
+    from cityfinder_spark.operators.components import dedup_resolve
+
+    resolved = dedup_resolve(docs, pairs, id_col, pair_a, pair_b)
+    h = split_hash("canonical_id")
+    val_hi = int(val_rate * HASH_M)
+    test_hi = val_hi + int(test_rate * HASH_M)
+    return resolved.select(
+        "doc_id",
+        "canonical_id",
+        F.when(h < val_hi, F.lit("val"))
+        .when(h < test_hi, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

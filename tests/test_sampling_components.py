@@ -282,3 +282,51 @@ def test_mixture_sample_zero_fact_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------- cluster_split
+
+
+def test_cluster_split_clusters_never_straddle(spark):
+    """Every member of a duplicate cluster gets the SAME split — the
+    leakage property corpus_split alone cannot give."""
+    from cityfinder_spark.operators.sampling import cluster_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 121)], "doc_id long, text string"
+    )
+    # clusters: {1..5}, {10,11}, {20,21,22}; everything else isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    out = cluster_split(docs, pairs, val_rate=0.3, test_rate=0.3).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 120
+    for cluster in [{1, 2, 3, 4, 5}, {10, 11}, {20, 21, 22}]:
+        splits = {by_id[i]["split"] for i in cluster}
+        canons = {by_id[i]["canonical_id"] for i in cluster}
+        assert len(splits) == 1, f"cluster {cluster} straddles: {splits}"
+        assert canons == {min(cluster)}
+
+
+def test_cluster_split_matches_corpus_split_on_canonical(spark):
+    """The split label is exactly corpus_split's hash CASE applied to
+    canonical_id, and isolated docs match plain corpus_split."""
+    from cityfinder_spark.operators.sampling import (
+        HASH_M, SPLIT_A, cluster_split, corpus_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(1, 201)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(7, 8)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in cluster_split(docs, pairs).collect()}
+    plain = {r["doc_id"]: r["split"] for r in corpus_split(docs).collect()}
+    for i in range(1, 201):
+        canon = 7 if i in (7, 8) else i
+        h = (canon * SPLIT_A) % HASH_M
+        want = "val" if h < 5000 else ("test" if h < 10000 else "train")
+        assert out[i]["split"] == want
+        if i not in (7, 8):
+            assert out[i]["split"] == plain[i]
