@@ -98,6 +98,8 @@ HEADLINE = [
     "pack_sequences",
     "bin_manifest",
     "corpus_split",
+    "cluster_split",
+    "count_min_df",
     "decontaminate",
     "lang_id",
     "cosine_topk",
@@ -130,6 +132,7 @@ HEADLINE = [
     "streaming_dedup_exact",
     "streaming_hot_cells",
     "streaming_distinct_sketch",
+    "streaming_heavy_hitters",
     "streaming_late_data",
     "streaming_stream_join",
     "streaming_knn",

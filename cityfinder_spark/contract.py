@@ -2251,6 +2251,58 @@ def q_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_HH_THRESHOLD = 5
+
+
+def q_count_min_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of shingle DOCUMENT FREQUENCY vs the exact
+    count: (shingle, est_count, exact_count, overest). The DF question
+    is the one word_shingles' max_df hot-shingle bound needs; exact DF
+    at 10^12 docs shuffles the full distinct-key stream, the CMS
+    answers it in depth x width longs (one map-side-combined exchange,
+    counter state input-size-independent). overest >= 0 row-wise by
+    the one-sided CMS guarantee; md5-affine hashing makes every
+    counter and every min-probe DuckDB-replayable bit-for-bit."""
+    from cityfinder_spark.operators.dedup import word_shingles
+    from cityfinder_spark.operators.sketch import cms_vs_exact
+
+    sh = word_shingles(_docs(spark, sf_dir), n=3)
+    return cms_vs_exact(sh, "shingle")
+
+
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 driver gate: CMS frequency counters as a REAL stream.
+    Documents are staged into 3 id-ordered files and streamed one per
+    micro-batch; per-doc shingle sets are built statelessly in the
+    same arrow pass as batch word_shingles, and the counter
+    aggregation groupBy(row_i, bucket).count runs as a streaming
+    update-mode aggregation — state = the counter table, bounded at
+    depth x width longs REGARDLESS of stream length. Counters are
+    monotone sums, so the final emission per counter (max over
+    update-mode emissions) equals the batch sketch bit-for-bit; the
+    batch key set then probes the streamed counters and keeps
+    est >= CMS_HH_THRESHOLD — the no-false-negative heavy-hitter
+    superset. Only possible if counter state survives the micro-batch
+    boundary."""
+    from cityfinder_spark.operators.dedup import word_shingles
+    from cityfinder_spark.operators.sketch import cms_counters, cms_probe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    src = _stage_id_ordered(spark, docs, "doc_id", f"docs-cms|{sf_dir}", n_files=3)
+    schema = spark.read.parquet(src).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counters = cms_counters(word_shingles(stream_in, n=3), "shingle")
+    out = _run_stream_to_table(spark, counters, mode="update")
+    final = out.groupBy("row_i", "bucket").agg(F.max("cnt").alias("cnt"))
+    keys = word_shingles(_docs(spark, sf_dir), n=3).select("shingle").distinct()
+    est = cms_probe(final, keys, "shingle")
+    return est.where(F.col("est_count") >= F.lit(CMS_HH_THRESHOLD))
+
+
 def _stage_ranked(
     spark: SparkSession, df: DataFrame, okey, tag: str, n_files: int
 ) -> str:
@@ -2944,6 +2996,47 @@ def _o_dedup_resolve() -> str:
            COALESCE(c.label, d.doc_id) AS canonical_id,
            (COALESCE(c.label, d.doc_id) <> d.doc_id) AS is_dup
     FROM documents d LEFT JOIN canon c USING (doc_id)
+    """
+
+
+def _cms_ctes() -> str:
+    """Shared CTE chain ending in `cprobe` = (shingle, exact, est):
+    the count-min counters and min-probes over the per-doc-distinct
+    shingle stream, replaying the Spark md5-affine family exactly."""
+    from cityfinder_spark.operators.sketch import CMS_P, CMS_WIDTH, cms_funcs
+
+    funcs_values = ", ".join(f"({i}, {a}, {b})" for i, a, b in cms_funcs())
+    x = _DUCK_MD5_INT.format(x="shingle")
+    return f"""{_SHINGLES_CTE},
+    cfuncs AS (SELECT * FROM (VALUES {funcs_values}) cf(i, a, b)),
+    cx AS (SELECT {x} AS x FROM sh),
+    ccnt AS (SELECT i, ((a * x + b) % {CMS_P}) % {CMS_WIDTH} AS bucket,
+                    count(*) AS cnt
+             FROM cx CROSS JOIN cfuncs GROUP BY 1, 2),
+    ckeys AS (SELECT shingle, {x} AS x, count(*) AS exact
+              FROM sh GROUP BY 1, 2),
+    cprobe AS (SELECT k.shingle, k.exact, min(c.cnt) AS est
+               FROM ckeys k CROSS JOIN cfuncs f
+               JOIN ccnt c
+                 ON c.i = f.i
+                AND c.bucket = ((f.a * k.x + f.b) % {CMS_P}) % {CMS_WIDTH}
+               GROUP BY 1, 2)"""
+
+
+def _o_count_min_df() -> str:
+    return f"""
+    WITH {_cms_ctes()}
+    SELECT shingle, est AS est_count, exact AS exact_count,
+           est - exact AS overest
+    FROM cprobe
+    """
+
+
+def _o_streaming_heavy_hitters() -> str:
+    return f"""
+    WITH {_cms_ctes()}
+    SELECT shingle, est AS est_count
+    FROM cprobe WHERE est >= {CMS_HH_THRESHOLD}
     """
 
 
@@ -4196,6 +4289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "streaming_hot_cells": q_streaming_hot_cells,
         "streaming_distinct_sketch": q_streaming_distinct_sketch,
+        "count_min_df": q_count_min_df,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "streaming_late_data": q_streaming_late_data,
         "streaming_stream_join": q_streaming_stream_join,
         "streaming_knn": q_streaming_knn,
@@ -4280,6 +4375,8 @@ def oracle_sql() -> dict[str, str]:
         # hot-cell aggregate — shared oracle
         "streaming_hot_cells": _o_hot_cells(),
         "streaming_distinct_sketch": _o_distinct_sketch(),
+        "count_min_df": _o_count_min_df(),
+        "streaming_heavy_hitters": _o_streaming_heavy_hitters(),
         "streaming_late_data": _o_streaming_late_data(),
         # inner stream-stream join emissions = the batch interval join
         # (no late rows by construction), so the plain SQL is exact

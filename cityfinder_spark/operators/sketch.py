@@ -211,3 +211,150 @@ def hll_vs_exact(
     return est.join(exact, "grp").select(
         "grp", "n_zero", "est_distinct", "exact_distinct", rel.alias("rel_err")
     )
+
+
+# ------------------------------------------------------- count-min sketch
+
+CMS_P = 2147483647  # 2^31 - 1; a < 2^15 keeps a*x inside int64 (x = md5 int48)
+CMS_DEPTH = 4
+CMS_WIDTH = 16384
+
+
+def cms_funcs(depth: int = CMS_DEPTH) -> list[tuple[int, int, int]]:
+    """The CMS affine hash family (i, a, b): h_i(x) = ((a*x + b) % P) % W.
+    Same overflow-safe construction as MINHASH_FUNCS, different
+    multipliers so the two sketches decorrelate on shared keys."""
+    return [(i, 2 * i + 5, (15485863 * (i + 1)) % CMS_P) for i in range(depth)]
+
+
+def _cms_funcs_df(df: DataFrame, depth: int) -> DataFrame:
+    return df.sparkSession.createDataFrame(cms_funcs(depth), "i int, a long, b long")
+
+
+def _cms_key_hash(key_col: str) -> Column:
+    from cityfinder_spark.operators.dedup import MD5_INT_SPARK
+
+    return F.expr(MD5_INT_SPARK.format(x=key_col))
+
+
+def cms_counters(
+    keyed: DataFrame,
+    key_col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch counter table over a key stream:
+    (row_i, bucket, cnt), one row per occupied counter.
+
+    The frequency question at 100 TB ("how often does this shingle /
+    domain / n-gram occur?") exactly, needs a groupBy(key) whose
+    exchange carries the full distinct-key stream — for web shingles
+    that is the corpus again. The CMS answers every point query with
+    +eps*N one-sided error in depth x width LONGS: here the input is
+    multiplied by `depth` map-side (a broadcast crossJoin with the
+    hash-family literals — no fact exchange), then ONE map-side-
+    combined groupBy collapses each task to <= depth*width partial
+    rows before the only shuffle. Counter state is input-size-
+    independent; width scales ~N/eps at constant memory-per-accuracy.
+
+    Deterministic end-to-end: md5-int48 key hash + affine family →
+    the DuckDB oracle rebuilds every counter exactly. Counters are
+    plain sums, so they merge across days/streams by addition and run
+    unchanged as a Structured Streaming update-mode aggregation
+    (state = the counter table; see contract streaming_heavy_hitters)."""
+    funcs = F.broadcast(_cms_funcs_df(keyed, depth))
+    return (
+        keyed.select(_cms_key_hash(key_col).alias("__x"))
+        .crossJoin(funcs)
+        .groupBy(
+            F.col("i").alias("row_i"),
+            (
+                ((F.col("a") * F.col("__x") + F.col("b")) % F.lit(CMS_P))
+                % F.lit(width)
+            ).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_probe(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point estimates for a key set: (key, est_count) with est =
+    min_i counter[i][h_i(key)] — never an underestimate, overshoot
+    bounded by eps*N. The counter table (<= depth*width rows) is
+    BROADCAST; the probe side pays no exchange beyond its own
+    depth-fold explode + the final groupBy(key) min (keys arriving
+    distinct collapse map-side)."""
+    funcs = F.broadcast(_cms_funcs_df(keys, depth))
+    probes = (
+        keys.select(F.col(key_col), _cms_key_hash(key_col).alias("__x"))
+        .crossJoin(funcs)
+        .select(
+            key_col,
+            F.col("i"),
+            (
+                ((F.col("a") * F.col("__x") + F.col("b")) % F.lit(CMS_P))
+                % F.lit(width)
+            ).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(
+            F.broadcast(counters),
+            (probes["i"] == counters["row_i"])
+            & (probes["bucket"] == counters["bucket"]),
+            "left",
+        )
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_vs_exact(
+    keyed: DataFrame,
+    key_col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Gate shape: (key, est_count, exact_count, overest) for every
+    distinct key — overest = est - exact is >= 0 BY CONSTRUCTION (the
+    CMS one-sided guarantee; the pytest asserts it row-wise). The
+    exact groupBy(key) is the cost the sketch exists to avoid at
+    scale; here it is the ruler."""
+    counters = cms_counters(keyed, key_col, depth=depth, width=width)
+    exact = keyed.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_probe(counters, exact, key_col, depth=depth, width=width)
+    return est.join(exact, key_col).select(
+        key_col,
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overest"),
+    )
+
+
+def heavy_hitters(
+    keyed: DataFrame,
+    key_col: str,
+    *,
+    threshold: int,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Keys whose CMS estimate >= threshold: a SUPERSET of the true
+    heavy hitters (no false negatives — est >= exact always), with
+    false positives bounded by the eps*N overshoot. The production
+    shape for "hot shingles / hot domains" gating (word_shingles'
+    max_df bound, URL quota pre-screens) without a key-grain exact
+    aggregation."""
+    counters = cms_counters(keyed, key_col, depth=depth, width=width)
+    probes = keyed.select(key_col).distinct()
+    est = cms_probe(counters, probes, key_col, depth=depth, width=width)
+    return est.where(F.col("est_count") >= F.lit(threshold))

@@ -92,3 +92,78 @@ def test_tiny_sets_hit_documented_raw_floor(spark):
     for r in out:
         assert r.n_zero >= 250  # nearly all registers untouched
         assert 150 < r.est_distinct < 230
+
+
+# ------------------------------------------------------- count-min sketch
+
+
+def _keyed(spark, n_keys=400, parts=4):
+    """Zipf-ish key stream: key k appears (n_keys // (k+1)) + 1 times."""
+    rows = []
+    for k in range(n_keys):
+        rows.extend([(f"key_{k}",)] * (n_keys // (k + 1) + 1))
+    return spark.createDataFrame(rows, "shingle string").repartition(parts)
+
+
+def test_cms_never_underestimates(spark):
+    """The one-sided CMS guarantee, row-wise, at a width small enough
+    to force collisions."""
+    from cityfinder_spark.operators.sketch import cms_vs_exact
+
+    out = cms_vs_exact(_keyed(spark), "shingle", depth=4, width=64).collect()
+    assert len(out) == 400
+    assert all(r.overest >= 0 for r in out)
+    assert any(r.overest > 0 for r in out)  # width=64 must collide
+
+
+def test_cms_exact_when_collision_free(spark):
+    """Wide enough sketch -> est == exact for every key."""
+    from cityfinder_spark.operators.sketch import cms_vs_exact
+
+    out = cms_vs_exact(
+        _keyed(spark, n_keys=50), "shingle", depth=4, width=65536
+    ).collect()
+    assert all(r.overest == 0 for r in out)
+
+
+def test_cms_partition_independent(spark):
+    from cityfinder_spark.operators.sketch import cms_vs_exact
+
+    a = sorted(map(tuple, cms_vs_exact(
+        _keyed(spark, parts=1), "shingle", depth=4, width=256).collect()))
+    b = sorted(map(tuple, cms_vs_exact(
+        _keyed(spark, parts=13), "shingle", depth=4, width=256).collect()))
+    assert a == b
+
+
+def test_heavy_hitters_superset_no_false_negatives(spark):
+    """Every true-frequent key appears; FPs allowed but bounded here."""
+    from cityfinder_spark.operators.sketch import heavy_hitters
+
+    df = _keyed(spark)
+    exact = {r.shingle: r.cnt for r in
+             df.groupBy("shingle").count().withColumnRenamed("count", "cnt").collect()}
+    got = {r.shingle for r in
+           heavy_hitters(df, "shingle", threshold=20, depth=4, width=4096).collect()}
+    true_hh = {k for k, c in exact.items() if c >= 20}
+    assert true_hh <= got
+    assert len(got) <= len(true_hh) + 20  # wide sketch: few FPs
+
+
+def test_cms_counters_merge_by_addition(spark):
+    """Counters over a union == counter-wise sum of the two halves —
+    the property that makes the sketch stream/day-partition mergeable."""
+    from pyspark.sql import functions as F
+    from cityfinder_spark.operators.sketch import cms_counters
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(50) for _ in range(3)],
+                              "shingle string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(50, 90) for _ in range(5)],
+                              "shingle string")
+    whole = cms_counters(a.union(b), "shingle", depth=4, width=128)
+    summed = (
+        cms_counters(a, "shingle", depth=4, width=128)
+        .union(cms_counters(b, "shingle", depth=4, width=128))
+        .groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, summed.collect()))
