@@ -49,6 +49,7 @@ HEADLINE = [
     "nearest_city_10m",
     "cell_assign",
     "hot_cells",
+    "focal_stats",
     "cell_pyramid",
     "tile_render",
     "distinct_sketch",

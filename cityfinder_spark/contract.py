@@ -166,6 +166,16 @@ def q_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster focal statistics (3x3 moving-window density) over the
+    cell lattice: the convolution shape of heat-map smoothing, with
+    exact clamped-window means. One corpus exchange (the hot_cells
+    count), then grid-bounded scatter/gather only."""
+    from cityfinder_spark.operators.raster import focal_stats
+
+    return focal_stats(_points(spark, sf_dir), level=CELL_LEVEL, k=1)
+
+
 def q_name_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + fuzzy city-by-name lookup (SURVEY §2.3 J2/J3/J6).
 
@@ -2648,6 +2658,43 @@ def _o_hot_cells() -> str:
     """
 
 
+def _o_focal_stats() -> str:
+    level, k = CELL_LEVEL, 1
+    nlat, nlon = 1 << level, 2 << level
+    stride = level * sc.LEVEL_STRIDE
+    offs = ", ".join(
+        f"({di}, {dj})" for di in range(-k, k + 1) for dj in range(-k, k + 1)
+    )
+    mean = sc.round6_sql(
+        "f.focal_sum / ((least(d.i + {k}, {top}) - greatest(d.i - {k}, 0) + 1)"
+        " * {cols}) ".format(k=k, top=nlat - 1, cols=2 * k + 1)
+    )
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+    c AS (SELECT {sc.cell_sql("lat", "lon", level)} AS cell_id,
+                 count(*) AS n_points
+          FROM pts GROUP BY 1),
+    d AS (SELECT cell_id, n_points,
+                 cast(floor((cell_id - {stride}) / {nlon}) as bigint) AS i,
+                 (cell_id - {stride}) % {nlon} AS j
+          FROM c),
+    offs AS (SELECT * FROM (VALUES {offs}) o(di, dj)),
+    contrib AS (SELECT {stride} + (d.i + o.di) * {nlon}
+                       + (((d.j + o.dj) % {nlon}) + {nlon}) % {nlon} AS center,
+                       d.n_points AS nb_points
+                FROM d CROSS JOIN offs o
+                WHERE d.i + o.di BETWEEN 0 AND {nlat - 1}),
+    f AS (SELECT center AS cell_id, cast(sum(nb_points) as bigint) AS focal_sum,
+                 max(nb_points) AS focal_max,
+                 count(*) AS n_occupied_nb
+          FROM contrib GROUP BY 1)
+    SELECT d.cell_id, d.n_points, f.focal_sum,
+           {mean} AS focal_mean,
+           f.focal_max, f.n_occupied_nb
+    FROM d JOIN f USING (cell_id)
+    """
+
+
 def _o_name_lookup(fuzzy: bool = True) -> str:
     fuzzy_cte = """
          fuzzy AS (
@@ -4204,6 +4251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_city_topk": q_nearest_city_topk,
         "cell_assign": q_cell_assign,
         "hot_cells": q_hot_cells,
+        "focal_stats": q_focal_stats,
         "hotspot_clusters": q_hotspot_clusters,
         "nearest_city_adaptive": q_nearest_city_adaptive,
         "salted_agg": q_salted_agg,
@@ -4304,6 +4352,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_city_topk": _o_nearest_city_topk(),
         "cell_assign": _o_cell_assign(),
         "hot_cells": _o_hot_cells(),
+        "focal_stats": _o_focal_stats(),
         "hotspot_clusters": _o_hotspot_clusters(),
         "nearest_city_adaptive": _o_nearest_city(),
         "salted_agg": _o_salted_agg(),

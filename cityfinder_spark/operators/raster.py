@@ -102,3 +102,73 @@ def cell_pyramid(
         .groupBy("level", "cell_id")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
+
+
+def focal_stats(
+    pts: DataFrame,
+    *,
+    level: int,
+    k: int = 1,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Focal (moving-window) statistics over the cell lattice: for
+    every OCCUPIED cell, the density aggregate of its Chebyshev-ring-k
+    neighborhood — the raster convolution shape (heat-map smoothing,
+    density gradients, edge detection pre-pass) computed vector-side.
+
+    Output grain: one row per occupied cell —
+      (cell_id, n_points, focal_sum, focal_mean, focal_max,
+       n_occupied_nb)
+    where focal_sum/max aggregate the per-cell counts over the
+    (2k+1)^2 window (lon wraps, lat clamps — polar windows are
+    smaller) and focal_mean divides by the EXACT valid window size
+    (clamped rows x full wrap columns), counting empty cells as zero —
+    raster semantics, not sparse-average semantics.
+
+    Scale shape: ONE corpus-sized exchange (the map-side-combined
+    groupBy(cell) count — identical to hot_cells); everything after is
+    GRID-BOUNDED: each occupied cell scatters its count to its <=
+    (2k+1)^2 window centers (ring membership is symmetric under the
+    clamp/wrap rules, so gather == scatter), a second groupBy reduces
+    <= (2k+1)^2 x |occupied| tiny rows, and the final join back to the
+    occupied-cell table is dimension-sized (AQE broadcasts it). At
+    10^12 points the corpus is touched exactly once.
+    """
+    from cityfinder_spark.colutils import round_digits_col
+    from cityfinder_spark.geo.cells import grid_dims, ring_cells_col
+    from cityfinder_spark.sqlcompat import LEVEL_STRIDE
+
+    nlat, _nlon = grid_dims(level)
+    counts = (
+        pts.select(cell_col(lat_col, lon_col, level).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    contrib = counts.select(
+        F.explode(ring_cells_col(F.col("cell_id"), k, level)).alias("center"),
+        F.col("n_points").alias("nb_points"),
+    )
+    focal = contrib.groupBy("center").agg(
+        F.sum("nb_points").alias("focal_sum"),
+        F.max("nb_points").alias("focal_max"),
+        F.count(F.lit(1)).alias("n_occupied_nb"),
+    )
+    i = F.floor((F.col("cell_id") - F.lit(level * LEVEL_STRIDE)) / F.lit(_nlon))
+    rows_valid = (
+        F.least(i + F.lit(k), F.lit(nlat - 1))
+        - F.greatest(i - F.lit(k), F.lit(0))
+        + F.lit(1)
+    )
+    win = (rows_valid * F.lit(2 * k + 1)).cast("double")
+    return (
+        counts.join(focal, counts["cell_id"] == focal["center"])
+        .select(
+            "cell_id",
+            "n_points",
+            "focal_sum",
+            round_digits_col(F.col("focal_sum") / win, 6).alias("focal_mean"),
+            "focal_max",
+            "n_occupied_nb",
+        )
+    )

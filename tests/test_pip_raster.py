@@ -172,3 +172,70 @@ def test_trajectory_stats_partition_invariant(spark):
     a = sorted(map(tuple, trajectory_stats(df.repartition(1)).collect()))
     b = sorted(map(tuple, trajectory_stats(df.repartition(32)).collect()))
     assert a == b and len(a) == 37
+
+
+# --------------------------------------------------------------- focal stats
+
+
+def test_focal_stats_hand_computed_level2(spark):
+    """Level 2: 4 lat bands x 8 lon cols, cells 45 deg square. Three
+    occupied cells: two Chebyshev-adjacent, one far away."""
+    from cityfinder_spark.operators.raster import focal_stats
+
+    # cell centers: band i covers [-90+45i, -45+45i), col j covers
+    # [-180+45j, -135+45j). Pick points well inside cells.
+    pts = spark.createDataFrame(
+        [
+            (1, 10.0, 10.0),   # i=2, j=4  (cell A) x3 points
+            (2, 10.0, 10.0),
+            (3, 10.0, 10.0),
+            (4, 10.0, 50.0),   # i=2, j=5  (cell B, adjacent to A) x1
+            (5, -80.0, -170.0) # i=0, j=0  (cell C, far) x1
+        ],
+        "pt_id long, lat double, lon double",
+    )
+    out = {r["cell_id"]: r for r in focal_stats(pts, level=2, k=1).collect()}
+    assert len(out) == 3
+    from cityfinder_spark.sqlcompat import LEVEL_STRIDE
+    a = 2 * LEVEL_STRIDE + 2 * 8 + 4
+    b = 2 * LEVEL_STRIDE + 2 * 8 + 5
+    c = 2 * LEVEL_STRIDE + 0 * 8 + 0
+    assert out[a]["n_points"] == 3 and out[a]["focal_sum"] == 4  # A+B
+    assert out[b]["n_points"] == 1 and out[b]["focal_sum"] == 4
+    assert out[a]["focal_max"] == 3 and out[a]["n_occupied_nb"] == 2
+    # full interior window = 9 cells
+    assert abs(out[a]["focal_mean"] - 4 / 9) < 1e-6
+    # C: bottom band -> clamped window = 2 rows x 3 cols = 6
+    assert out[c]["focal_sum"] == 1 and abs(out[c]["focal_mean"] - 1 / 6) < 1e-6
+
+
+def test_focal_stats_lon_wrap(spark):
+    """Cells at j=0 and j=nlon-1 are neighbors across the
+    antimeridian: their focal sums must see each other."""
+    from cityfinder_spark.operators.raster import focal_stats
+    from cityfinder_spark.sqlcompat import LEVEL_STRIDE
+
+    pts = spark.createDataFrame(
+        [(1, 10.0, -179.0), (2, 10.0, 179.0)],
+        "pt_id long, lat double, lon double",
+    )
+    out = {r["cell_id"]: r for r in focal_stats(pts, level=2, k=1).collect()}
+    west = 2 * LEVEL_STRIDE + 2 * 8 + 0
+    east = 2 * LEVEL_STRIDE + 2 * 8 + 7
+    assert out[west]["focal_sum"] == 2
+    assert out[east]["focal_sum"] == 2
+
+
+def test_focal_stats_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.raster import focal_stats
+
+    pts = spark.range(500).select(
+        F.col("id").alias("pt_id"),
+        ((F.col("id") * 37 % 160) - 80.0).cast("double").alias("lat"),
+        ((F.col("id") * 91 % 360) - 180.0).cast("double").alias("lon"),
+    )
+    a = sorted(map(tuple, focal_stats(pts.repartition(1), level=4).collect()))
+    b = sorted(map(tuple, focal_stats(pts.repartition(17), level=4).collect()))
+    assert a == b
