@@ -101,6 +101,7 @@ HEADLINE = [
     "corpus_split",
     "cluster_split",
     "count_min_df",
+    "bloom_decontaminate",
     "decontaminate",
     "lang_id",
     "cosine_topk",

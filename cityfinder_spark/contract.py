@@ -886,6 +886,21 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the held-out side compressed to a 2^20-bit
+    Bloom filter: the eval set becomes a 128 KB broadcast artifact and
+    the train side probes it inside the shingle-building Arrow pass —
+    zero fact-sized exchanges (vs the exact gate's full shingle-key
+    semi-join). Superset guarantee: n_flagged >= exact n_shared
+    row-wise. md5 double-hashing makes filter and probes
+    DuckDB-replayable bit-for-bit."""
+    from cityfinder_spark.operators.dedup import bloom_decontaminate
+
+    return bloom_decontaminate(
+        _docs(spark, sf_dir), n=3, cache_key=("bloomdecon", sf_dir)
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination gate: per TRAIN doc, the count of its
     distinct 3-gram shingles occurring anywhere in the held-out
@@ -3208,6 +3223,43 @@ def _o_decontaminate() -> str:
     """
 
 
+def _o_bloom_decontaminate() -> str:
+    from cityfinder_spark.operators.dedup import BLOOM_K, BLOOM_M
+
+    h1 = _DUCK_MD5_INT.format(x="shingle")
+    h2 = _DUCK_MD5_INT.format(x="'#' || shingle")
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM idx),
+    sp AS (SELECT doc_id,
+                  CASE WHEN (doc_id * 16807) % 100000 < 10000
+                       THEN 'held' ELSE 'train' END AS split
+           FROM documents),
+    js AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS jj),
+    ev AS (SELECT DISTINCT shingle
+           FROM sh JOIN sp USING (doc_id) WHERE split = 'held'),
+    evh AS (SELECT {h1} AS h1, {h2} AS h2 FROM ev),
+    evpos AS (SELECT DISTINCT (h1 + jj * h2) % {BLOOM_M} AS pos
+              FROM evh CROSS JOIN js),
+    trh AS (SELECT sh.doc_id, sh.shingle, {h1} AS h1, {h2} AS h2
+            FROM sh JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+    trpos AS (SELECT doc_id, shingle, (h1 + jj * h2) % {BLOOM_M} AS pos
+              FROM trh CROSS JOIN js),
+    hit AS (SELECT doc_id, shingle FROM trpos JOIN evpos USING (pos)
+            GROUP BY doc_id, shingle HAVING count(*) = {BLOOM_K}),
+    hits AS (SELECT doc_id, count(*) AS n_flagged FROM hit GROUP BY 1)
+    SELECT s.doc_id,
+           coalesce(n_flagged, 0) AS n_flagged,
+           coalesce(n_flagged, 0) > 0 AS contaminated
+    FROM sp s LEFT JOIN hits USING (doc_id)
+    WHERE s.split = 'train'
+    """
+
+
 def _o_corpus_split() -> str:
     return """
     SELECT doc_id,
@@ -4278,6 +4330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_manifest": q_bin_manifest,
         "corpus_split": q_corpus_split,
         "decontaminate": q_decontaminate,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
         "token_percentiles": q_token_percentiles,
@@ -4379,6 +4432,7 @@ def oracle_sql() -> dict[str, str]:
         "bin_manifest": _o_bin_manifest(),
         "corpus_split": _o_corpus_split(),
         "decontaminate": _o_decontaminate(),
+        "bloom_decontaminate": _o_bloom_decontaminate(),
         "text_quality": _o_text_quality(),
         "repetition_stats": _o_repetition_stats(),
         "token_percentiles": _o_token_percentiles(),

@@ -582,3 +582,108 @@ def decontaminate(
             (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+BLOOM_M = 1 << 20  # filter bits; ~eval-shingle count * 10 for low FP at gate scale
+BLOOM_K = 4        # probes per key; positions via double hashing h1 + j*h2
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    cache_key: tuple | None = None,
+) -> DataFrame:
+    """`decontaminate` with the held-out side compressed to a BLOOM
+    FILTER: one row per TRAIN document — (doc_id, n_flagged,
+    contaminated), where n_flagged counts the doc's distinct n-gram
+    shingles whose k filter bits are ALL set. A superset gate:
+    n_flagged >= the exact n_shared row-wise (no false negatives —
+    a contaminated doc can never slip through), false positives
+    bounded by the classic (1 - e^{-kN/m})^k.
+
+    Why it exists at 100 TB: exact `decontaminate` pays one exchange
+    of the FULL train shingle stream on the shingle key (the semi-join
+    must co-locate train and eval shingles). Here the eval side
+    collapses to an m-BIT ARTIFACT (2^20 bits = 128 KB packed —
+    eval-set-size-independent) built from a tiny eval-only aggregation,
+    broadcast once; the train side then probes it INSIDE the same
+    Arrow pass that builds the shingle sets — the fact table is
+    scanned once and NOTHING fact-sized enters any exchange. This is
+    the membership-gate shape for any small-set-vs-corpus screen
+    (eval decontamination, blocklists, seen-URL filters).
+
+    Determinism: bit positions are (h1 + j*h2) % m with h1/h2 the
+    md5-int48 of the shingle and '#'+shingle — exactly replayable in
+    SQL, so the DuckDB oracle rebuilds the filter and every probe
+    bit-for-bit (h1 + j*h2 <= 2^50: no overflow ambiguity anywhere)."""
+    from cityfinder_spark.bcast import memo_broadcast
+    from cityfinder_spark.operators.sampling import corpus_split
+
+    spark = docs.sparkSession
+    h1c = F.expr(MD5_INT_SPARK.format(x="shingle"))
+    h2c = F.expr(MD5_INT_SPARK.format(x="concat('#', shingle)"))
+    ev_pos = (
+        corpus_split(word_shingles(docs, n, id_col, text_col), id_col=id_col)
+        .where(F.col("split") != "train")
+        .select("shingle")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[(h1c + F.lit(j) * h2c) % F.lit(m) for j in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+    def build() -> np.ndarray:
+        pos = np.array([r["pos"] for r in ev_pos.collect()], dtype=np.int64)
+        bits = np.zeros(m, dtype=np.bool_)
+        if pos.size:
+            bits[pos] = True
+        return np.packbits(bits)
+
+    _, bc = memo_broadcast(spark, cache_key, build)
+    train = (
+        corpus_split(docs.select(id_col, text_col), id_col=id_col)
+        .where(F.col("split") == "train")
+        .drop("split")
+    )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType, True),
+            T.StructField("n_flagged", T.LongType(), True),
+        ]
+    )
+    offs = np.arange(k, dtype=np.int64)[None, :]
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.unpackbits(bc.value).view(np.bool_)
+        for pdf in batches:
+            ids, flags = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split(" ")
+                uniq = (
+                    list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+                    if len(toks) >= n
+                    else []
+                )
+                if not uniq:
+                    ids.append(doc_id)
+                    flags.append(0)
+                    continue
+                h1 = _md5_int_np(uniq)
+                h2 = _md5_int_np(["#" + s for s in uniq])
+                pos = (h1[:, None] + offs * h2[:, None]) % m
+                ids.append(doc_id)
+                flags.append(int(bits[pos].all(axis=1).sum()))
+            yield pd.DataFrame({id_col: ids, "n_flagged": flags})
+
+    return train.mapInPandas(probe, schema).select(
+        id_col,
+        "n_flagged",
+        (F.col("n_flagged") > 0).alias("contaminated"),
+    )

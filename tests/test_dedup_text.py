@@ -658,3 +658,54 @@ def test_tokenize_ids_plan_has_no_shuffle_of_corpus(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ------------------------------------------------------ bloom decontaminate
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, docs):
+    """No false negatives: every exactly-contaminated doc is flagged,
+    and n_flagged >= n_shared row-wise."""
+    from cityfinder_spark.operators.dedup import bloom_decontaminate, decontaminate
+
+    exact = {r["doc_id"]: r["n_shared"] for r in decontaminate(docs, n=3).collect()}
+    bloom = {r["doc_id"]: r["n_flagged"]
+             for r in bloom_decontaminate(docs, n=3).collect()}
+    assert set(bloom) == set(exact)
+    for doc_id, n_shared in exact.items():
+        assert bloom[doc_id] >= n_shared
+    # at m=2^20 / gate-scale eval sets, FPs should be rare: totals close
+    assert sum(bloom.values()) <= sum(exact.values()) + 25
+
+
+def test_bloom_probe_side_has_no_exchange(spark, docs):
+    """The 100 TB property: the train probe is scan -> filter ->
+    mapInPandas, with the eval side living entirely in the broadcast
+    filter — no exchange anywhere in the returned plan."""
+    from cityfinder_spark.operators.dedup import bloom_decontaminate
+
+    out = bloom_decontaminate(docs, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bloom_tiny_filter_still_superset(spark):
+    """Degenerate m forces heavy FP collisions; the one-sided
+    guarantee must hold anyway."""
+    from cityfinder_spark.operators.dedup import bloom_decontaminate, decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i%7} tok{(i*3)%11} tok{(i*5)%13} shared phrase here")
+         for i in range(1, 200)],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"]: r["n_shared"] for r in decontaminate(docs, n=3).collect()}
+    bloom = {r["doc_id"]: r["n_flagged"]
+             for r in bloom_decontaminate(docs, n=3, m=64, k=2).collect()}
+    assert set(bloom) == set(exact)
+    assert all(bloom[d] >= s for d, s in exact.items())
