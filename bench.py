@@ -102,6 +102,7 @@ HEADLINE = [
     "cluster_split",
     "count_min_df",
     "bloom_decontaminate",
+    "image_sharpness",
     "decontaminate",
     "lang_id",
     "cosine_topk",

@@ -1978,6 +1978,20 @@ def _o_multimodal_curation() -> str:
     """
 
 
+def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplacian blur gate per image: integer-exact 4-neighbor
+    Laplacian energy over channel-0 interior pixels, the pre-GPU
+    quality screen. Zero shuffle (one mapInPandas over the payload
+    scan); the DuckDB oracle regenerates every pixel closed-form and
+    recomputes the convolution via j-offset self-joins, so energy,
+    6-digit mean, and the integer-cross-multiplied verdict all
+    value-hash."""
+    from cityfinder_spark.operators.images_ops import sharpness_stats
+
+    n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
+    return sharpness_stats(_media_table(spark, "images", n))
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2x box-downsample + re-encode, then decode back: gates the full
     resample kernel end-to-end (decode -> 2x2 exact-integer box mean
@@ -3650,6 +3664,35 @@ def _o_phash_near_dup() -> str:
     """
 
 
+def _o_image_sharpness() -> str:
+    from cityfinder_spark.operators.images_ops import SHARP_LAP_T
+
+    mean = sc.round6_sql("lap_energy / greatest(n_interior, 1)")
+    return f"""
+    WITH {_duck_images_cte(20)},
+    {_duck_mix64("px")},
+    pxv AS (SELECT i, w, h, j, {_DUCK_IMG_BYTE} AS b FROM mx),
+    ctr AS (SELECT i, w, h, j, b FROM pxv
+            WHERE j % 3 = 0
+              AND (j // 3) % w BETWEEN 1 AND w - 2
+              AND j // (3 * w) BETWEEN 1 AND h - 2),
+    lap AS (SELECT c.i, 4 * c.b - l.b - r.b - u.b - d.b AS lp
+            FROM ctr c
+            JOIN pxv l ON l.i = c.i AND l.j = c.j - 3
+            JOIN pxv r ON r.i = c.i AND r.j = c.j + 3
+            JOIN pxv u ON u.i = c.i AND u.j = c.j - 3 * c.w
+            JOIN pxv d ON d.i = c.i AND d.j = c.j + 3 * c.w),
+    agg AS (SELECT i, count(*) AS n_interior,
+                   cast(sum(lp * lp) AS BIGINT) AS lap_energy
+            FROM lap GROUP BY 1)
+    SELECT {_DUCK_IMG_ID} AS image_id, n_interior, lap_energy,
+           {mean} AS sharpness,
+           n_interior > 0 AND lap_energy >= {SHARP_LAP_T} * n_interior
+             AS is_sharp
+    FROM agg JOIN imgs USING (i)
+    """
+
+
 def _o_image_resize() -> str:
     """Replays resize_half + re-encode + decode_stats: crop to even
     dims, 2x2 box mean with uint8 truncation (= exact integer sum//4),
@@ -4371,6 +4414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "image_pipeline": q_image_pipeline,
         "image_decode_stats": q_image_decode_stats,
+        "image_sharpness": q_image_sharpness,
         "phash_near_dup": q_phash_near_dup,
         "phash_dedup_resolve": q_phash_dedup_resolve,
         "multimodal_curation": q_multimodal_curation,
@@ -4509,6 +4553,7 @@ def oracle_sql() -> dict[str, str]:
         # touches the binary payloads (see _duck_mix64)
         "image_pipeline": _o_image_pipeline(),
         "image_decode_stats": _o_image_decode_stats(),
+        "image_sharpness": _o_image_sharpness(),
         "phash_near_dup": _o_phash_near_dup(),
         "phash_dedup_resolve": _o_phash_dedup_resolve(),
         "multimodal_curation": _o_multimodal_curation(),

@@ -303,3 +303,59 @@ def test_hamming_pairs_64bit_sign_bit_safe(spark):
     # exact expectation: brute force over the five signatures
     sigs = dict(rows)
     assert sorted((a, b, h) for (a, b), h in pairs.items()) == _brute_phash_pairs(sigs, 3)
+
+
+# ------------------------------------------------------------- sharpness
+
+
+def test_sharpness_constant_image_is_blurry(spark):
+    """A flat image has zero Laplacian everywhere -> energy 0, not
+    sharp; pure noise has huge energy -> sharp."""
+    from cityfinder_spark.codecs.fakeimage import encode, gen_pixels
+    from cityfinder_spark.operators.images_ops import sharpness_stats
+
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    noise = gen_pixels(7, 16, 16)
+    df = spark.createDataFrame(
+        [("flat", bytearray(encode(flat, "png"))),
+         ("noise", bytearray(encode(noise, "png")))],
+        "image_id string, bytes binary",
+    )
+    out = {r["image_id"]: r for r in sharpness_stats(df).collect()}
+    assert out["flat"]["lap_energy"] == 0 and not out["flat"]["is_sharp"]
+    assert out["flat"]["n_interior"] == 14 * 14
+    assert out["noise"]["lap_energy"] > 0 and out["noise"]["is_sharp"]
+    # hand-check one interior pixel's contribution bound
+    assert out["noise"]["sharpness"] > 5000
+
+
+def test_sharpness_matches_numpy_reference(spark):
+    """Row-wise equality with a direct NumPy recomputation."""
+    from cityfinder_spark.codecs.fakeimage import encode, gen_pixels
+    from cityfinder_spark.operators.images_ops import sharpness_stats
+
+    rows, want = [], {}
+    for seed, (w, h) in enumerate([(8, 8), (12, 9), (33, 21)]):
+        pix = gen_pixels(seed * 31 + 1, w, h)
+        rows.append((f"i{seed}", bytearray(encode(pix, "jpeg"))))
+        q = ((pix >> 2) << 2)[:, :, 0].astype(np.int64)
+        lap = (4 * q[1:-1, 1:-1] - q[:-2, 1:-1] - q[2:, 1:-1]
+               - q[1:-1, :-2] - q[1:-1, 2:])
+        want[f"i{seed}"] = ((h - 2) * (w - 2), int((lap * lap).sum()))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = {r["image_id"]: r for r in sharpness_stats(df).collect()}
+    for k, (n_int, energy) in want.items():
+        assert (out[k]["n_interior"], out[k]["lap_energy"]) == (n_int, energy)
+
+
+def test_sharpness_degenerate_size_not_sharp(spark):
+    from cityfinder_spark.codecs.fakeimage import encode, gen_pixels
+    from cityfinder_spark.operators.images_ops import sharpness_stats
+
+    tiny = gen_pixels(3, 2, 2)
+    df = spark.createDataFrame(
+        [("tiny", bytearray(encode(tiny, "png")))], "image_id string, bytes binary"
+    )
+    (r,) = sharpness_stats(df).collect()
+    assert r["n_interior"] == 0 and r["lap_energy"] == 0
+    assert r["sharpness"] == 0.0 and not r["is_sharp"]
