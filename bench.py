@@ -103,6 +103,7 @@ HEADLINE = [
     "count_min_df",
     "bloom_decontaminate",
     "image_sharpness",
+    "length_outliers",
     "decontaminate",
     "lang_id",
     "cosine_topk",

@@ -852,6 +852,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir), key_expr="substr(text, 1, 80)")
 
 
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length z-score gate, integer-exact: moments
+    are decimal integer sums (order-free at any parallelism) and the
+    outlier verdict is the cross-multiplied comparison
+    (n*x - s)^2 > z^2 * (n*ss - s^2) — no float anywhere but the
+    final reported z (one division + one IEEE-correctly-rounded sqrt,
+    cross-engine stable). One tiny moments agg + broadcast stamp."""
+    from cityfinder_spark.operators.textops import length_outliers
+
+    return length_outliers(_docs(spark, sf_dir), group_col="source", z=2)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
@@ -3284,6 +3296,26 @@ def _o_corpus_split() -> str:
     """
 
 
+def _o_length_outliers() -> str:
+    zsq = 4  # z=2 in q_length_outliers
+    zexpr = sc.round6_sql("cast(nxs AS DOUBLE) / sqrt(cast(den AS DOUBLE))")
+    return f"""
+    WITH t AS (SELECT doc_id, source,
+                      cast(len(string_split(text, ' ')) AS HUGEINT) AS x
+               FROM documents),
+    m AS (SELECT source, cast(count(*) AS HUGEINT) AS n,
+                 sum(x) AS s, sum(x * x) AS ss
+          FROM t GROUP BY 1),
+    j AS (SELECT doc_id, source, x,
+                 n * x - s AS nxs, n * ss - s * s AS den
+          FROM t JOIN m USING (source))
+    SELECT doc_id, source, cast(x AS BIGINT) AS n_tokens,
+           CASE WHEN den > 0 THEN {zexpr} ELSE 0.0 END AS z_score,
+           nxs * nxs > {zsq} * den AS is_outlier
+    FROM j
+    """
+
+
 def _o_text_quality() -> str:
     stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
     return f"""
@@ -4369,6 +4401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_roundtrip_postal": q_index_roundtrip_postal,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "length_outliers": q_length_outliers,
         "pack_sequences": q_pack_sequences,
         "bin_manifest": q_bin_manifest,
         "corpus_split": q_corpus_split,
@@ -4472,6 +4505,7 @@ def oracle_sql() -> dict[str, str]:
         "index_roundtrip_postal": _o_postal_lookup(),
         "dedup_exact": _o_dedup_exact(),
         "token_stats": _o_token_stats(),
+        "length_outliers": _o_length_outliers(),
         "pack_sequences": _o_pack_sequences(),
         "bin_manifest": _o_bin_manifest(),
         "corpus_split": _o_corpus_split(),

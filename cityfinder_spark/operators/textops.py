@@ -765,3 +765,64 @@ def length_buckets(
         term = (F.col("n_tokens") > F.lit(q)).cast("int")
         bucket = term if bucket is None else bucket + term
     return base.select(id_col, "n_tokens", bucket.alias("bucket"))
+
+
+def length_outliers(
+    docs: DataFrame,
+    group_col: str = "source",
+    z: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-length z-score outlier gate, INTEGER-EXACT:
+    (doc_id, group, n_tokens, z_score, is_outlier) — the "drop docs
+    whose length is alien for their source" curation screen (truncated
+    crawls, concatenation bugs, boilerplate walls).
+
+    Why it can be value-hashed at any parallelism: the group moments
+    are pure integer sums (n, s = sum x, ss = sum x^2, accumulated in
+    decimal(38,0) — order-free, unlike a float variance whose partial-
+    aggregation order shifts ulps), and the verdict never touches a
+    float:   |x - mu| > z*sigma  <=>  (n*x - s)^2 > z^2 * (n*ss - s^2)
+    — cross-multiplied through by n^2, every side an exact integer.
+    The reported z_score is one double division/sqrt at the very end
+    (IEEE sqrt is correctly rounded, so it is cross-engine stable);
+    a constant group (den = 0) scores 0.0 and is never an outlier —
+    the same algebra gives 0 > 0 automatically.
+
+    Scale shape: one map-side-combined moments agg (output = |groups|
+    rows), then a broadcast join stamps each row's verdict — the
+    mixture_sample shape; the corpus is scanned once and never
+    shuffled. decimal(38,0) bounds: fine through n ~ 1e12 rows/group
+    at x ~ 1e5 tokens (n*ss ~ 1e34 < 1e38); beyond that, drop to
+    per-group sharded moments first."""
+    x = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        x.alias("__x"),
+    )
+    xd = F.col("__x").cast("decimal(19,0)")
+    mom = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(F.col("__x").cast("decimal(38,0)")).alias("__s"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("__ss"),
+    )
+    j = base.join(F.broadcast(mom), group_col)
+    nxs = (F.col("__n") * F.col("__x").cast("decimal(38,0)") - F.col("__s")).cast(
+        "decimal(38,0)"
+    )
+    den = (F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")).cast(
+        "decimal(38,0)"
+    )
+    z_col = F.when(
+        den > 0,
+        round6_col(nxs.cast("double") / F.sqrt(den.cast("double"))),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        id_col,
+        group_col,
+        F.col("__x").alias("n_tokens"),
+        z_col.alias("z_score"),
+        (nxs * nxs > F.lit(z * z).cast("decimal(38,0)") * den).alias("is_outlier"),
+    )

@@ -709,3 +709,54 @@ def test_bloom_tiny_filter_still_superset(spark):
              for r in bloom_decontaminate(docs, n=3, m=64, k=2).collect()}
     assert set(bloom) == set(exact)
     assert all(bloom[d] >= s for d, s in exact.items())
+
+
+# -------------------------------------------------------- length outliers
+
+
+def test_length_outliers_hand_computed(spark):
+    """Group of nine 10-token docs + one 100-token doc: only the long
+    one is beyond 2 sigma; z-scores match a direct computation."""
+    import math
+
+    from cityfinder_spark.operators.textops import length_outliers
+
+    rows = [(i, "g", " ".join(["w"] * 10)) for i in range(9)]
+    rows.append((9, "g", " ".join(["w"] * 100)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in length_outliers(docs, z=2).collect()}
+    xs = [10] * 9 + [100]
+    n, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
+    for i, x in enumerate(xs):
+        want_z = (n * x - s) / math.sqrt(n * ss - s * s)
+        assert abs(out[i]["z_score"] - want_z) < 1e-6
+        assert out[i]["is_outlier"] == ((n * x - s) ** 2 > 4 * (n * ss - s * s))
+    assert out[9]["is_outlier"] and not out[0]["is_outlier"]
+
+
+def test_length_outliers_constant_group_never_flags(spark):
+    from cityfinder_spark.operators.textops import length_outliers
+
+    docs = spark.createDataFrame(
+        [(i, "g", "a b c") for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    out = length_outliers(docs).collect()
+    assert all(r["z_score"] == 0.0 and not r["is_outlier"] for r in out)
+
+
+def test_length_outliers_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.textops import length_outliers
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("tok"), (F.col("id") % 40 + 1).cast("int"))
+        ).alias("text"),
+    )
+    a = sorted(map(tuple, length_outliers(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, length_outliers(docs.repartition(23)).collect()))
+    assert a == b
