@@ -50,6 +50,7 @@ HEADLINE = [
     "cell_assign",
     "hot_cells",
     "focal_stats",
+    "zorder_key",
     "cell_pyramid",
     "tile_render",
     "distinct_sketch",

@@ -166,6 +166,17 @@ def q_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) spatial storage key per point: the layout
+    column that makes parquet row-group min/max stats prune any
+    cell/bbox predicate on a z-sorted 10^12-row table. Pure codegen
+    bit math (magic-mask spread chain), replayed step-for-step in
+    SQL."""
+    from cityfinder_spark.geo.cells import zorder_col
+
+    return _points(spark, sf_dir).select("pt_id", zorder_col("lat", "lon"))
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster focal statistics (3x3 moving-window density) over the
     cell lattice: the convolution shape of heat-map smoothing, with
@@ -2699,6 +2710,24 @@ def _o_hot_cells() -> str:
     """
 
 
+def _o_zorder_key() -> str:
+    n = 1 << 16
+
+    def spread(x: str) -> str:
+        for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            x = f"(({x} | ({x} << {sh})) & {mask})"
+        return x
+
+    yi = f"least(greatest(cast(floor((lat + 90.0) / 180.0 * {n}) as bigint), 0), {n - 1})"
+    xi = f"(((cast(floor((lon + 180.0) / 360.0 * {n}) as bigint) % {n}) + {n}) % {n})"
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+    ij AS (SELECT pt_id, {xi} AS xi, {yi} AS yi FROM pts)
+    SELECT pt_id, {spread('xi')} | ({spread('yi')} << 1) AS zorder
+    FROM ij
+    """
+
+
 def _o_focal_stats() -> str:
     level, k = CELL_LEVEL, 1
     nlat, nlon = 1 << level, 2 << level
@@ -4379,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assign": q_cell_assign,
         "hot_cells": q_hot_cells,
         "focal_stats": q_focal_stats,
+        "zorder_key": q_zorder_key,
         "hotspot_clusters": q_hotspot_clusters,
         "nearest_city_adaptive": q_nearest_city_adaptive,
         "salted_agg": q_salted_agg,
@@ -4483,6 +4513,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_assign": _o_cell_assign(),
         "hot_cells": _o_hot_cells(),
         "focal_stats": _o_focal_stats(),
+        "zorder_key": _o_zorder_key(),
         "hotspot_clusters": _o_hotspot_clusters(),
         "nearest_city_adaptive": _o_nearest_city(),
         "salted_agg": _o_salted_agg(),

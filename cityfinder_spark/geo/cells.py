@@ -175,3 +175,59 @@ def make_ring_udf(k: int):
         return cell.map(lambda c: ring_neighbors_np(int(c), k).tolist())
 
     return ring_of
+
+
+# ---------- Z-order (Morton) spatial storage keys ----------
+
+ZORDER_BITS = 16  # 2^16 bands x 2^16 cols ~ 2.7 m x 600 m cells at the equator
+
+# magic-number bit spread: 16 bits -> even bit positions of 32
+_SPREAD_STEPS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread_bits(c: Column) -> Column:
+    """Interleave-ready spread of a 16-bit int into even bit positions
+    (the classic magic-mask chain) — pure codegen shifts/ands, and
+    exactly the same five integer steps in the DuckDB oracle."""
+    for sh, mask in _SPREAD_STEPS:
+        c = (c.bitwiseOR(F.shiftleft(c, sh))).bitwiseAND(F.lit(mask))
+    return c
+
+
+def zorder_col(
+    lat: str | Column, lon: str | Column, bits: int = ZORDER_BITS
+) -> Column:
+    """Morton (Z-order) key interleaving the latitude-band and
+    longitude-column indices at 2^bits resolution — the SPATIAL
+    STORAGE LAYOUT key: sorting a table by this key co-locates spatial
+    neighbors into the same parquet row groups, so min/max column
+    statistics prune scans for any cell/bbox/radius predicate (the
+    Iceberg/Delta z-ordering story, here as a plain codegen column).
+
+    Unlike cell_id (one level's equality key), the z-key is a TOTAL
+    ORDER whose prefixes are the whole cell pyramid at once: any
+    level-L cell is a contiguous key range, so range predicates
+    replace equality joins for storage pruning. bits <= 16 keeps the
+    interleaved key in 32 bits (fits long with headroom); the bit
+    spread is the branch-free magic-mask chain, identical in Spark
+    codegen and the SQL oracle."""
+    if not 1 <= bits <= 16:
+        raise ValueError("bits must be in [1, 16]")
+    n = 1 << bits
+    latc = F.col(lat) if isinstance(lat, str) else lat
+    lonc = F.col(lon) if isinstance(lon, str) else lon
+    yi = F.least(
+        F.greatest(F.floor((latc + 90.0) / 180.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    xi = F.pmod(F.floor((lonc + 180.0) / 360.0 * n).cast("long"), F.lit(n))
+    return (
+        _spread_bits(xi)
+        .bitwiseOR(F.shiftleft(_spread_bits(yi), 1))
+        .alias("zorder")
+    )

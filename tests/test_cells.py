@@ -113,3 +113,62 @@ def test_certainty_radius_is_sound(spark, level, k):
 def test_cell_size_and_km_constant():
     assert cell_size_deg(4) == 11.25
     assert abs(KM_PER_DEG - np.pi / 180.0 * 6371.0) < 1e-12
+
+
+# ----------------------------------------------------------- z-order keys
+
+
+def _interleave_ref(xi: int, yi: int) -> int:
+    z = 0
+    for b in range(16):
+        z |= ((xi >> b) & 1) << (2 * b)
+        z |= ((yi >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_matches_bitwise_reference(spark):
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.geo.cells import zorder_col
+
+    pts = [(-90.0, -180.0), (89.999, 179.999), (0.0, 0.0),
+           (12.345, -67.89), (-45.5, 120.25), (90.0, 180.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rows = df.select("lat", "lon", zorder_col("lat", "lon")).collect()
+    n = 1 << 16
+    import math
+    for r in rows:
+        yi = min(max(math.floor((r["lat"] + 90.0) / 180.0 * n), 0), n - 1)
+        xi = math.floor((r["lon"] + 180.0) / 360.0 * n) % n
+        assert r["zorder"] == _interleave_ref(xi, yi), (r["lat"], r["lon"])
+
+
+def test_zorder_prefix_is_the_cell_pyramid(spark):
+    """Points sharing a level-L square cell share the top 2L key bits:
+    every coarse cell is ONE contiguous z-range, which is exactly what
+    lets parquet min/max stats prune a z-sorted table for any cell or
+    bbox predicate."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.geo.cells import zorder_col
+
+    df = spark.range(2000).select(
+        ((F.col("id") * 37 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("id") * 91 % 35000) / 100.0 - 175.0).alias("lon"),
+    )
+    out = df.select("lat", "lon", zorder_col("lat", "lon")).collect()
+    n = 1 << 16
+    import math
+    for L in (2, 5, 9):
+        shift = 2 * (16 - L)
+        groups = {}
+        for r in out:
+            yi = min(max(math.floor((r["lat"] + 90.0) / 180.0 * n), 0), n - 1)
+            xi = math.floor((r["lon"] + 180.0) / 360.0 * n) % n
+            cell = (xi >> (16 - L), yi >> (16 - L))
+            groups.setdefault(cell, set()).add(r["zorder"] >> shift)
+        for cell, prefixes in groups.items():
+            assert len(prefixes) == 1, (L, cell, prefixes)
+        # distinct cells -> distinct prefixes (injective both ways)
+        all_prefixes = [next(iter(p)) for p in groups.values()]
+        assert len(set(all_prefixes)) == len(groups)
