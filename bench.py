@@ -64,6 +64,7 @@ HEADLINE = [
     "box_range_join",
     "radius_join",
     "trajectory_stats",
+    "trajectory_stays",
     "geonames_scan",
     "postal_scan",
     "index_roundtrip",

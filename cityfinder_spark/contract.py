@@ -515,6 +515,18 @@ def _o_trajectory_stats() -> str:
     """
 
 
+def q_trajectory_stays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection: maximal within-radius runs per customer
+    track, run boundaries by integer micro-unit step comparison,
+    centroids from integer micro-degree sums — window + stay-grain
+    groupBy, deterministic at any parallelism."""
+    from cityfinder_spark.operators.trajectory import trajectory_stays
+
+    load_views(spark, sf_dir, ("orders",))
+    pts = spark.sql(sc.traj_points_sql(orders=_spread_orders(spark, sf_dir)))
+    return trajectory_stays(pts).withColumnRenamed("entity", "cust_id")
+
+
 def q_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-DBSCAN: hot cells (same density pre-pass as `hot_cells`)
     merged into clusters via 8-adjacency connected components,
@@ -525,6 +537,40 @@ def q_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hotspot_clusters(
         _points(spark, sf_dir), level=CELL_LEVEL, min_count=HOT_THRESHOLD
     )
+
+
+def _o_trajectory_stays() -> str:
+    scale = 10**sc.ROUND_DIGITS
+    r_um = int(4000.0 * scale + 0.5)
+    hav = sc.haversine_sql("lat", "lon", "plat", "plon")
+    return f"""
+    WITH p AS ({sc.traj_points_sql()}),
+    s AS (SELECT cust_id, pt_id, lat, lon,
+                 lag(lat) OVER (PARTITION BY cust_id ORDER BY pt_id) AS plat,
+                 lag(lon) OVER (PARTITION BY cust_id ORDER BY pt_id) AS plon
+          FROM p),
+    b AS (SELECT cust_id, pt_id, lat, lon,
+                 CASE WHEN plat IS NULL THEN 1
+                      WHEN cast(floor({hav} * {scale}.0 + 0.5) AS BIGINT)
+                           > {r_um} THEN 1
+                      ELSE 0 END AS brk
+          FROM s),
+    r AS (SELECT *, sum(brk) OVER (PARTITION BY cust_id ORDER BY pt_id)
+                    AS stay_id
+          FROM b),
+    g AS (SELECT cust_id, cast(stay_id AS BIGINT) AS stay_id,
+                 count(*) AS n_points,
+                 min(pt_id) AS start_ord, max(pt_id) AS end_ord,
+                 cast(sum(cast(floor(lat * 1000000.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS slat,
+                 cast(sum(cast(floor(lon * 1000000.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS slon
+          FROM r GROUP BY 1, 2)
+    SELECT cust_id, stay_id, n_points, start_ord, end_ord,
+           slat / (n_points * 1000000.0) AS center_lat,
+           slon / (n_points * 1000000.0) AS center_lon
+    FROM g WHERE n_points >= 2
+    """
 
 
 def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4425,6 +4471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch": q_distinct_sketch,
         "radius_join": q_radius_join,
         "trajectory_stats": q_trajectory_stats,
+        "trajectory_stays": q_trajectory_stays,
         "geonames_scan": q_geonames_scan,
         "postal_scan": q_postal_scan,
         "index_roundtrip": q_index_roundtrip,
@@ -4530,6 +4577,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sketch": _o_distinct_sketch(),
         "radius_join": _o_radius_join(),
         "trajectory_stats": _o_trajectory_stats(),
+        "trajectory_stays": _o_trajectory_stays(),
         "geonames_scan": _o_geonames_scan(),
         "postal_scan": _o_postal_scan(),
         "index_roundtrip": _o_nearest_city(),

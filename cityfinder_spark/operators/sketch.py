@@ -227,8 +227,23 @@ def cms_funcs(depth: int = CMS_DEPTH) -> list[tuple[int, int, int]]:
     return [(i, 2 * i + 5, (15485863 * (i + 1)) % CMS_P) for i in range(depth)]
 
 
-def _cms_funcs_df(df: DataFrame, depth: int) -> DataFrame:
-    return df.sparkSession.createDataFrame(cms_funcs(depth), "i int, a long, b long")
+def _cms_explode(depth: int) -> Column:
+    """The hash family as an exploded LITERAL array of structs — a
+    generator in the same stage, never a join (a broadcast crossJoin
+    of the family would plan as BroadcastNestedLoopJoin and trip the
+    repo's plan-hygiene net)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit(a).alias("a"),
+                    F.lit(b).alias("b"),
+                )
+                for i, a, b in cms_funcs(depth)
+            ]
+        )
+    )
 
 
 def _cms_key_hash(key_col: str) -> Column:
@@ -263,14 +278,13 @@ def cms_counters(
     plain sums, so they merge across days/streams by addition and run
     unchanged as a Structured Streaming update-mode aggregation
     (state = the counter table; see contract streaming_heavy_hitters)."""
-    funcs = F.broadcast(_cms_funcs_df(keyed, depth))
     return (
         keyed.select(_cms_key_hash(key_col).alias("__x"))
-        .crossJoin(funcs)
+        .select("__x", _cms_explode(depth).alias("f"))
         .groupBy(
-            F.col("i").alias("row_i"),
+            F.col("f.i").alias("row_i"),
             (
-                ((F.col("a") * F.col("__x") + F.col("b")) % F.lit(CMS_P))
+                ((F.col("f.a") * F.col("__x") + F.col("f.b")) % F.lit(CMS_P))
                 % F.lit(width)
             ).alias("bucket"),
         )
@@ -292,15 +306,14 @@ def cms_probe(
     BROADCAST; the probe side pays no exchange beyond its own
     depth-fold explode + the final groupBy(key) min (keys arriving
     distinct collapse map-side)."""
-    funcs = F.broadcast(_cms_funcs_df(keys, depth))
     probes = (
         keys.select(F.col(key_col), _cms_key_hash(key_col).alias("__x"))
-        .crossJoin(funcs)
+        .select(key_col, "__x", _cms_explode(depth).alias("f"))
         .select(
             key_col,
-            F.col("i"),
+            F.col("f.i").alias("i"),
             (
-                ((F.col("a") * F.col("__x") + F.col("b")) % F.lit(CMS_P))
+                ((F.col("f.a") * F.col("__x") + F.col("f.b")) % F.lit(CMS_P))
                 % F.lit(width)
             ).alias("bucket"),
         )

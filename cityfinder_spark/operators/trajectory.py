@@ -61,3 +61,91 @@ def trajectory_stats(
             F.coalesce(F.min("__um"), F.lit(0)) / F.lit(float(_SCALE))
         ).alias("min_step_km"),
     )
+
+
+def trajectory_stays(
+    points: DataFrame,
+    entity_col: str = "cust_id",
+    order_col: str = "pt_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    r_km: float = 4000.0,
+    min_pts: int = 2,
+) -> DataFrame:
+    """Stay-point detection per entity: maximal runs of consecutive
+    points whose step distance stays within `r_km`, emitted as
+    (entity, stay_id, n_points, start_ord, end_ord, center_lat,
+    center_lon) for runs of >= min_pts points — the GPS/geotag
+    "where did this device linger" primitive (home/POI detection,
+    burst-upload grouping for image streams).
+
+    Determinism at any parallelism: the break predicate compares the
+    INTEGER micro-unit step (same floor-form rounding as
+    trajectory_stats) against an integer radius, stay_id is a running
+    integer sum of breaks, and the centroid divides integer
+    micro-degree sums — no float accumulates across rows anywhere, so
+    the DuckDB window replay matches bit-for-bit.
+
+    Scale shape: the same ONE entity-keyed exchange as
+    trajectory_stats (the LAG/running-sum window), then a stay-grain
+    groupBy whose partial aggregation collapses each run map-side —
+    the second exchange carries <= |stays| rows. Per-task state is one
+    entity's track; parallelism = |entities|."""
+    r_um = int(r_km * _SCALE + 0.5)
+    w = Window.partitionBy(entity_col).orderBy(order_col)
+    plat = F.lag(lat_col).over(w)
+    plon = F.lag(lon_col).over(w)
+    step_um = F.expr(
+        f"cast(floor({sc.haversine_sql(lat_col, lon_col, '__plat', '__plon')}"
+        f" * {_SCALE}.0 + 0.5) as bigint)"
+    )
+    lat_ud = F.expr(f"cast(floor({lat_col} * 1000000.0 + 0.5) as bigint)")
+    lon_ud = F.expr(f"cast(floor({lon_col} * 1000000.0 + 0.5) as bigint)")
+    staged = (
+        points.select(
+            F.col(entity_col).alias("entity"),
+            F.col(order_col).alias("__ord"),
+            F.col(lat_col),
+            F.col(lon_col),
+            plat.alias("__plat"),
+            plon.alias("__plon"),
+        )
+        .withColumn(
+            "__break",
+            F.when(F.col("__plat").isNull(), F.lit(1))
+            .when(step_um > F.lit(r_um), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "stay_id",
+            F.sum("__break").over(
+                Window.partitionBy("entity").orderBy("__ord")
+            ),
+        )
+    )
+    return (
+        staged.groupBy("entity", "stay_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("__ord").alias("start_ord"),
+            F.max("__ord").alias("end_ord"),
+            F.sum(lat_ud).alias("__slat"),
+            F.sum(lon_ud).alias("__slon"),
+        )
+        .where(F.col("n_points") >= F.lit(min_pts))
+        .select(
+            "entity",
+            "stay_id",
+            "n_points",
+            "start_ord",
+            "end_ord",
+            (
+                F.col("__slat")
+                / (F.col("n_points") * F.lit(1000000.0))
+            ).alias("center_lat"),
+            (
+                F.col("__slon")
+                / (F.col("n_points") * F.lit(1000000.0))
+            ).alias("center_lon"),
+        )
+    )

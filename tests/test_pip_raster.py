@@ -239,3 +239,55 @@ def test_focal_stats_partition_invariant(spark):
     a = sorted(map(tuple, focal_stats(pts.repartition(1), level=4).collect()))
     b = sorted(map(tuple, focal_stats(pts.repartition(17), level=4).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------ stay points
+
+
+def test_trajectory_stays_hand_computed(spark):
+    """Track a: 3 points within 200 km then a 1-degree jump at r=50km
+    -> one 3-point stay; singleton tail never emits at min_pts=2."""
+    from cityfinder_spark.operators.trajectory import trajectory_stays
+
+    rows = [
+        (1, 1, 0.0, 0.0),
+        (1, 2, 0.1, 0.0),    # ~11 km step
+        (1, 3, 0.2, 0.0),    # ~11 km step
+        (1, 4, 30.0, 0.0),   # break
+        (2, 1, 50.0, 50.0),  # singleton entity
+    ]
+    df = spark.createDataFrame(rows, "cust_id long, pt_id long, lat double, lon double")
+    out = trajectory_stays(df, r_km=50.0, min_pts=2).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r["entity"], r["stay_id"], r["n_points"]) == (1, 1, 3)
+    assert (r["start_ord"], r["end_ord"]) == (1, 3)
+    assert abs(r["center_lat"] - 0.1) < 1e-6
+    assert abs(r["center_lon"] - 0.0) < 1e-6
+
+
+def test_trajectory_stays_two_runs_split_on_break(spark):
+    from cityfinder_spark.operators.trajectory import trajectory_stays
+
+    rows = [(1, i, 0.01 * i, 0.0) for i in range(1, 4)]          # run 1
+    rows += [(1, i, 40.0 + 0.01 * i, 0.0) for i in range(4, 7)]  # run 2
+    df = spark.createDataFrame(rows, "cust_id long, pt_id long, lat double, lon double")
+    out = sorted(trajectory_stays(df, r_km=50.0, min_pts=2).collect(),
+                 key=lambda r: r["stay_id"])
+    assert [(r["stay_id"], r["n_points"]) for r in out] == [(1, 3), (2, 3)]
+
+
+def test_trajectory_stays_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.trajectory import trajectory_stays
+
+    df = spark.range(3000).select(
+        (F.col("id") % 50).alias("cust_id"),
+        F.col("id").alias("pt_id"),
+        ((F.col("id") * 31 % 170) - 85 + 0.25).cast("double").alias("lat"),
+        ((F.col("id") * 57 % 360) - 180 + 0.25).cast("double").alias("lon"),
+    )
+    a = sorted(map(tuple, trajectory_stays(df.repartition(1), r_km=6000.0).collect()))
+    b = sorted(map(tuple, trajectory_stays(df.repartition(32), r_km=6000.0).collect()))
+    assert a == b and len(a) > 0
