@@ -106,6 +106,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "image_sharpness",
     "length_outliers",
+    "minhash_estimate",
     "decontaminate",
     "lang_id",
     "cosine_topk",

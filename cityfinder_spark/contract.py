@@ -1412,6 +1412,18 @@ def _o_ngram_containment() -> str:
     """
 
 
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only MinHash verify: same LSH candidates, Jaccard
+    estimated as the agreeing-component fraction — per-pair cost O(M)
+    regardless of document length, nothing doc-length-sized shuffles.
+    Integer agreement count; one final division; DuckDB-replayed."""
+    from cityfinder_spark.operators.dedup import minhash_estimate_pairs
+
+    return minhash_estimate_pairs(
+        _docs(spark, sf_dir), n=3, threshold=JACCARD_T, cache_key=("docs", sf_dir)
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _docs(spark, sf_dir), n=3, threshold=JACCARD_T, cache_key=("docs", sf_dir)
@@ -3527,6 +3539,23 @@ def _minhash_pairs_ctes() -> str:
            WHERE j.jaccard >= {JACCARD_T})"""
 
 
+def _o_minhash_estimate() -> str:
+    from cityfinder_spark.operators.dedup import MINHASH_M
+
+    est = sc.round6_sql(f"agree / {float(MINHASH_M)}")
+    return f"""
+    WITH {_minhash_pairs_ctes()},
+    ag AS (SELECT c.doc_a, c.doc_b,
+                  sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS agree
+           FROM cand c
+           JOIN sig sa ON sa.doc_id = c.doc_a
+           JOIN sig sb ON sb.doc_id = c.doc_b AND sb.k = sa.k
+           GROUP BY 1, 2)
+    SELECT doc_a, doc_b, {est} AS est_jaccard
+    FROM ag WHERE {est} >= {JACCARD_T}
+    """
+
+
 def _o_minhash_lsh() -> str:
     return f"""
     WITH {_minhash_pairs_ctes()}
@@ -4501,6 +4530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_estimate": q_minhash_estimate,
         "simhash": q_simhash,
         "sample_rate": q_sample_rate,
         "sample_quota": q_sample_quota,
@@ -4607,6 +4637,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _o_ngram_jaccard(),
         "ngram_containment": _o_ngram_containment(),
         "minhash_lsh": _o_minhash_lsh(),
+        "minhash_estimate": _o_minhash_estimate(),
         "simhash": _o_simhash(),
         "sample_rate": _o_sample_rate(),
         "sample_quota": _o_sample_quota(),

@@ -24,9 +24,16 @@ from cityfinder_spark.colutils import round6_col
 MINHASH_P = 2147483647  # 2^31 - 1
 MINHASH_M = 16
 BAND_SIZE = 4
-# (k, a, b): h_k(x) = (a*x + b) % p ; a < 2^15 keeps a*x inside int64
+# (k, a, b): h_k(x) = (a*x + b) % p ; a < 2^15 keeps a*x inside int64.
+# The multipliers must be LARGE (near 2^15), not small odd numbers:
+# with a tiny a, a shingle whose residue v is small maps to a*v + b
+# with NO mod-P wrap for every k, so the same shingle wins the min
+# under the whole family and the signature components are totally
+# correlated (observed: J=0.02 pairs agreeing on 14/16 components).
+# Large distinct multipliers wrap ~a times across [0, P), decorrelating
+# the functions; the estimator test in tests/test_dedup_text.py pins it.
 MINHASH_FUNCS: list[tuple[int, int, int]] = [
-    (k, 2 * k + 3, (104729 * (k + 1)) % MINHASH_P) for k in range(MINHASH_M)
+    (k, 32749 - 977 * k, (104729 * (k + 1)) % MINHASH_P) for k in range(MINHASH_M)
 ]
 
 SIMHASH_BITS = 16
@@ -686,4 +693,82 @@ def bloom_decontaminate(
         id_col,
         "n_flagged",
         (F.col("n_flagged") > 0).alias("contaminated"),
+    )
+
+
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    band_size: int = BAND_SIZE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_key: tuple | None = None,
+) -> DataFrame:
+    """Signature-only MinHash near-dup pairs: same LSH band
+    candidates as minhash_lsh_pairs, but Jaccard is ESTIMATED as the
+    agreeing fraction of the M minhash components —
+    (doc_a, doc_b, est_jaccard), est >= threshold.
+
+    This is the production verify mode when the shingle sets are too
+    wide to carry to the candidate join (a long web doc has thousands
+    of shingles; its signature is M=16 longs): per-pair verify cost is
+    O(M) REGARDLESS of document length, and nothing doc-length-sized
+    ever shuffles. The estimator is the classic unbiased one
+    (P[minhash agrees] = J), granularity 1/M — callers needing exact J
+    on the survivors chain minhash_lsh_pairs on this output.
+
+    Determinism: signatures are exact integer minima of the fixed
+    affine family; agreement counting is integer; the only float is
+    the final agree/M division — DuckDB replays everything."""
+    from cityfinder_spark.bcast import memo_table
+
+    spark = docs.sparkSession
+    bkey = (
+        None
+        if cache_key is None
+        else ("mh-bands", *cache_key, n, band_size, id_col, text_col)
+    )
+    bands = memo_table(
+        spark, bkey, lambda: minhash_band_sigs(docs, n, band_size, id_col, text_col)
+    )
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    gkey = None if cache_key is None else ("mh-sigarr", *cache_key, n, id_col, text_col)
+    sig_arr = memo_table(
+        spark,
+        gkey,
+        lambda: (
+            minhash_signatures(docs, n, id_col, text_col)
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("k", "minhash"))),
+                    lambda s: s["minhash"],
+                ).alias("__sig")
+            )
+        ),
+    )
+    sa = sig_arr.select(F.col(id_col).alias("doc_a"), F.col("__sig").alias("__ga"))
+    sb = sig_arr.select(F.col(id_col).alias("doc_b"), F.col("__sig").alias("__gb"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__ga"), F.col("__gb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard", round6_col(agree / F.lit(float(MINHASH_M)))
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
     )

@@ -222,9 +222,13 @@ CMS_WIDTH = 16384
 
 def cms_funcs(depth: int = CMS_DEPTH) -> list[tuple[int, int, int]]:
     """The CMS affine hash family (i, a, b): h_i(x) = ((a*x + b) % P) % W.
-    Same overflow-safe construction as MINHASH_FUNCS, different
-    multipliers so the two sketches decorrelate on shared keys."""
-    return [(i, 2 * i + 5, (15485863 * (i + 1)) % CMS_P) for i in range(depth)]
+    Same overflow-safe construction as MINHASH_FUNCS — and the same
+    LARGE-multiplier requirement (see the MINHASH_FUNCS note: tiny
+    multipliers leave small residues un-wrapped, correlating the rows
+    and defeating the min-over-rows collision reduction); distinct
+    from MinHash's multipliers so the two sketches decorrelate on
+    shared keys."""
+    return [(i, 32717 - 1013 * i, (15485863 * (i + 1)) % CMS_P) for i in range(depth)]
 
 
 def _cms_explode(depth: int) -> Column:

@@ -760,3 +760,45 @@ def test_length_outliers_partition_invariant(spark):
     a = sorted(map(tuple, length_outliers(docs.repartition(1)).collect()))
     b = sorted(map(tuple, length_outliers(docs.repartition(23)).collect()))
     assert a == b
+
+
+# ------------------------------------------------------- minhash estimate
+
+
+def test_minhash_estimate_identical_docs_score_one(spark):
+    from cityfinder_spark.operators.dedup import minhash_estimate_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    out = minhash_estimate_pairs(docs, n=3, threshold=0.2).collect()
+    assert [(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, docs):
+    """On the contract corpus: every estimated pair is an LSH
+    candidate with agreement-fraction within 0.35 of its exact J
+    (M=16 -> sd <= 0.125; 0.35 ~ is just under 3 sd), and the
+    est-pair set covers most exact pairs (same candidates, estimator
+    noise only)."""
+    from cityfinder_spark.operators.dedup import (
+        minhash_estimate_pairs,
+        minhash_lsh_pairs,
+    )
+
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs, n=3, threshold=0.2).collect()}
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+           for r in minhash_estimate_pairs(docs, n=3, threshold=0.2).collect()}
+    assert est, "no estimated pairs at all"
+    hits = sum(1 for p in exact if p in est)
+    assert hits >= 0.5 * len(exact)
+    from cityfinder_spark.operators.dedup import _pair_jaccard, word_shingles
+    sh = word_shingles(docs, 3)
+    true_j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in _pair_jaccard(sh, "doc_id").collect()}
+    for p, e in est.items():
+        assert abs(e - true_j.get(p, 0.0)) <= 0.35, (p, e, true_j.get(p))
