@@ -70,6 +70,7 @@ HEADLINE = [
     "index_roundtrip",
     "index_roundtrip_postal",
     "partitioned_read",
+    "zorder_read",
     "bucketed_join",
     "resumable_rollup",
     "salted_agg",

@@ -321,6 +321,37 @@ def q_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pt_id", "lat", "lon", "caption")
 
 
+def q_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 sink gate for the z-order layout: WRITE the points table
+    z-sorted (sinks.write_zordered — range partition + in-file sort on
+    the Morton key), then READ BACK an antimeridian-wrapping bbox
+    through the z-range cover + exact refinement
+    (sinks.read_zordered_bbox) and hash rows vs an oracle filtering
+    the ORIGINAL source. Proves the written bytes, the cover's
+    superset property, and the wrap handling; the pruning mechanics
+    (pushed zorder ranges, sorted row groups) are plan-pinned in
+    tests/test_sinks.py."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.sinks import read_zordered_bbox, write_zordered
+
+    def build() -> str:
+        import hashlib
+        import tempfile
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(tempfile.gettempdir(), f"cf_zord_{tag}")
+        write_zordered(
+            _points(spark, sf_dir).select("pt_id", "lat", "lon", "caption"), path
+        )
+        return path
+
+    path = memo_value(spark, ("zorder-dir", sf_dir), build)
+    lat_min, lat_max, lon_min, lon_max = _REGION_BOX
+    return read_zordered_bbox(
+        spark, path, lat_min, lat_max, lon_min, lon_max
+    ).select("pt_id", "lat", "lon", "caption")
+
+
 def q_resumable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule checkpoint gate: run a bucketed token-count stage
     through plans.run_resumable with a SIMULATED MID-JOB CRASH
@@ -4569,6 +4600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_city_tiled": q_nearest_city_tiled,
         "nearest_city_bigdim": q_nearest_city_bigdim,
         "partitioned_read": q_partitioned_read,
+        "zorder_read": q_zorder_read,
         "bucketed_join": q_bucketed_join,
         "resumable_rollup": q_resumable_rollup,
         "streaming_dedup_exact": q_streaming_dedup_exact,
@@ -4656,6 +4688,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_city_tiled": _o_nearest_city(),
         "nearest_city_bigdim": _o_nearest_city(),
         "partitioned_read": _o_partitioned_read(),
+        "zorder_read": _o_partitioned_read(),
         "bucketed_join": _o_bucketed_join(),
         "resumable_rollup": _o_resumable_rollup(),
         # streaming gates: REAL multi-micro-batch runs on the Spark

@@ -127,3 +127,110 @@ def write_bucketed_table(
     else:
         w = w.bucketBy(n_buckets, bucket_col)
     w.format("parquet").saveAsTable(table)
+
+
+# ---------------------------- z-order layout ----------------------------
+
+
+def _z_interleave(xi: int, yi: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((xi >> b) & 1) << (2 * b)
+        z |= ((yi >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order layout write: stamp the Morton key, range-partition and
+    sort by it — spatial neighbors land in the same parquet row groups,
+    so file/row-group min/max statistics on `zorder` prune any
+    cell/bbox/radius read. The layout cost is one range exchange + a
+    per-file sort, paid once at write time; every later spatial read
+    gets storage pruning for free (directory partitioning prunes at
+    one coarse level; the z-sort prunes at EVERY level at once)."""
+    from cityfinder_spark.geo.cells import zorder_col
+
+    out = df.withColumn("zorder", zorder_col(lat_col, lon_col))
+    (
+        out.repartitionByRange(n_files, "zorder")
+        .sortWithinPartitions("zorder")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_bbox_ranges(
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    bits: int = 16,
+    level: int = 6,
+) -> list[tuple[int, int]]:
+    """The bbox's covering z-key ranges at a coarse level: each
+    level-`level` cell touching the box is one contiguous
+    [prefix << 2(bits-level), (prefix+1) << 2(bits-level)) range
+    (the z-prefix property). Exactly consistent with zorder_col:
+    floor(x * 2^bits) >> (bits-L) == floor(x * 2^L)."""
+    import math
+
+    n = 1 << level
+    shift = 2 * (bits - level)
+
+    def band(lat: float) -> int:
+        return min(max(math.floor((lat + 90.0) / 180.0 * n), 0), n - 1)
+
+    def col(lon: float) -> int:
+        return math.floor((lon + 180.0) / 360.0 * n) % n
+
+    i0, i1 = band(lat_min), band(lat_max)
+    j0, j1 = col(lon_min), col(lon_max)
+    js = (
+        list(range(j0, j1 + 1))
+        if j0 <= j1
+        else list(range(j0, n)) + list(range(0, j1 + 1))
+    )
+    return [
+        (_z_interleave(j, i, level) << shift,
+         (_z_interleave(j, i, level) + 1) << shift)
+        for i in range(i0, i1 + 1)
+        for j in js
+    ]
+
+
+def read_zordered_bbox(
+    spark: SparkSession,
+    path: str,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    level: int = 6,
+) -> DataFrame:
+    """bbox read over a z-sorted table: an OR of coarse z-key ranges
+    (pushed to the parquet scan, where the sorted layout makes row-
+    group min/max stats skip everything outside the cover) + the exact
+    box refinement on the survivors. The cover is a superset by
+    construction, so the result equals a plain filter over the
+    original table — which is exactly what the contract gate checks."""
+    df = spark.read.parquet(path)
+    ranges = zorder_bbox_ranges(lat_min, lat_max, lon_min, lon_max, level=level)
+    cond = None
+    for lo, hi in ranges:
+        c = (F.col("zorder") >= F.lit(lo)) & (F.col("zorder") < F.lit(hi))
+        cond = c if cond is None else cond | c
+    lon_ok = (
+        (F.col("lon") >= lon_min) & (F.col("lon") <= lon_max)
+        if lon_min <= lon_max
+        else (F.col("lon") >= lon_min) | (F.col("lon") <= lon_max)
+    )  # antimeridian-wrapped boxes: two lon arcs
+    return df.where(cond).where(
+        (F.col("lat") >= lat_min) & (F.col("lat") <= lat_max) & lon_ok
+    )

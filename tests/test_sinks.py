@@ -102,3 +102,69 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+# ------------------------------------------------------------ z-order sink
+
+
+def test_zordered_write_read_equals_plain_filter(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.sinks import read_zordered_bbox, write_zordered
+
+    pts = spark.range(4000).select(
+        F.col("id").alias("pt_id"),
+        ((F.col("id") * 37 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("id") * 91 % 35000) / 100.0 - 175.0).alias("lon"),
+    )
+    path = str(tmp_path / "zord")
+    write_zordered(pts, path)
+    got = sorted(
+        (r["pt_id"],)
+        for r in read_zordered_bbox(spark, path, 10.0, 40.0, -30.0, 55.0).collect()
+    )
+    want = sorted(
+        (r["pt_id"],)
+        for r in pts.where(
+            (F.col("lat") >= 10.0) & (F.col("lat") <= 40.0)
+            & (F.col("lon") >= -30.0) & (F.col("lon") <= 55.0)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_zordered_read_handles_antimeridian_wrap(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.sinks import read_zordered_bbox, write_zordered
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 170.0), (2, 0.0, -170.0), (3, 0.0, 0.0)],
+        "pt_id long, lat double, lon double",
+    )
+    path = str(tmp_path / "zwrap")
+    write_zordered(pts, path)
+    got = {r["pt_id"]
+           for r in read_zordered_bbox(spark, path, -10.0, 10.0, 160.0, -160.0).collect()}
+    assert got == {1, 2}
+
+
+def test_zordered_scan_pushes_zorder_ranges(spark, tmp_path):
+    """The pruning mechanics: the z-range disjunction must reach the
+    parquet scan as a pushed filter (row-group min/max on the sorted
+    zorder column is what skips data at scale)."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.sinks import read_zordered_bbox, write_zordered
+
+    pts = spark.range(1000).select(
+        F.col("id").alias("pt_id"),
+        ((F.col("id") % 170) - 85.0).cast("double").alias("lat"),
+        ((F.col("id") % 360) - 180.0).cast("double").alias("lon"),
+    )
+    path = str(tmp_path / "zplan")
+    write_zordered(pts, path)
+    df = read_zordered_bbox(spark, path, 0.0, 20.0, 0.0, 20.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "zorder" in plan.split("PushedFilters")[1][:4000]
