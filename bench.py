@@ -80,6 +80,8 @@ HEADLINE = [
     "simhash",
     "ngram_jaccard",
     "ngram_containment",
+    "substring_spans",
+    "substring_dedup",
     "sample_rate",
     "sample_quota",
     "mixture_sample",
@@ -180,6 +182,8 @@ _FACT_TABLE = {
     "simhash": "documents",
     "ngram_jaccard": "documents",
     "ngram_containment": "documents",
+    "substring_spans": "documents",
+    "substring_dedup": "documents",
     "sample_rate": "documents",
     "sample_quota": "documents",
     "mixture_sample": "documents",

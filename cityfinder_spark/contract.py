@@ -1443,6 +1443,93 @@ def _o_ngram_containment() -> str:
     """
 
 
+SUBSTR_GRAM_LEN = 6
+SUBSTR_MAX_NUM, SUBSTR_MAX_DEN = 1, 5
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup, span grain (Lee et al. ExactSubstr
+    at token granularity): every corpus-duplicated 6-token window
+    flags its span; overlapping/adjacent spans merge into maximal
+    per-doc intervals. One occurrence-stream exchange (count window on
+    the 48-bit gram hash) + one doc-keyed islands exchange over only
+    the flagged occurrences."""
+    from cityfinder_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), gram_len=SUBSTR_GRAM_LEN)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc verdict over the merged duplicated spans: keep while
+    dup_tokens/total_tokens < 1/5, decided by integer
+    cross-multiplication (order/parallelism-free)."""
+    from cityfinder_spark.operators.dedup import substring_dedup
+
+    return substring_dedup(
+        _docs(spark, sf_dir),
+        gram_len=SUBSTR_GRAM_LEN,
+        max_dup_num=SUBSTR_MAX_NUM,
+        max_dup_den=SUBSTR_MAX_DEN,
+    )
+
+
+def _substr_spans_cte() -> str:
+    """Shared oracle CTEs: token L-grams -> md5-int48 occurrence
+    stream -> corpus-duplicated occurrences -> gaps-and-islands merged
+    per-doc intervals. Same hash, same merge semantics as Spark."""
+    lg = SUBSTR_GRAM_LEN
+    gram_h = _DUCK_MD5_INT.format(x=f"array_to_string(ws[i:i+{lg - 1}], ' ')")
+    return f"""
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    occ AS (SELECT doc_id, i - 1 AS start, {gram_h} AS h
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - {lg - 1})) AS i
+                  FROM w WHERE len(ws) >= {lg})),
+    flagged AS (SELECT doc_id, start, start + {lg} AS e
+                FROM (SELECT *, count(*) OVER (PARTITION BY h) AS cnt
+                      FROM occ)
+                WHERE cnt >= 2),
+    brk AS (SELECT doc_id, start, e,
+                   CASE WHEN start > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS b
+            FROM flagged),
+    isl AS (SELECT doc_id, start, e,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY start
+                                ROWS UNBOUNDED PRECEDING) AS island
+            FROM brk),
+    spans AS (SELECT doc_id, min(start) AS span_start, max(e) AS span_end
+              FROM isl GROUP BY doc_id, island)
+    """
+
+
+def _o_substring_spans() -> str:
+    return f"""
+    WITH {_substr_spans_cte()}
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start AS span_tokens
+    FROM spans
+    """
+
+
+def _o_substring_dedup() -> str:
+    return f"""
+    WITH {_substr_spans_cte()},
+    per_doc AS (SELECT doc_id, count(*) AS dup_spans,
+                       sum(span_end - span_start) AS dup_tokens
+                FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           cast(len(string_split(d.text, ' ')) AS bigint) AS total_tokens,
+           cast(coalesce(p.dup_spans, 0) AS bigint) AS dup_spans,
+           cast(coalesce(p.dup_tokens, 0) AS bigint) AS dup_tokens,
+           coalesce(p.dup_tokens, 0) * {SUBSTR_MAX_DEN}
+             < len(string_split(d.text, ' ')) * {SUBSTR_MAX_NUM} AS keep
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-only MinHash verify: same LSH candidates, Jaccard
     estimated as the agreeing-component fraction — per-pair cost O(M)
@@ -4557,6 +4644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids": q_tokenize_ids,
         "quality_topk": q_quality_topk,
         "ngram_containment": q_ngram_containment,
+        "substring_spans": q_substring_spans,
+        "substring_dedup": q_substring_dedup,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4668,6 +4757,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _o_fingerprint(),
         "ngram_jaccard": _o_ngram_jaccard(),
         "ngram_containment": _o_ngram_containment(),
+        "substring_spans": _o_substring_spans(),
+        "substring_dedup": _o_substring_dedup(),
         "minhash_lsh": _o_minhash_lsh(),
         "minhash_estimate": _o_minhash_estimate(),
         "simhash": _o_simhash(),

@@ -772,3 +772,118 @@ def minhash_estimate_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    gram_len: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-span dedup, span detection (the "Deduplicating
+    Training Data Makes Language Models Better" ExactSubstr shape,
+    re-expressed relationally at token grain): every length-`gram_len`
+    token window that occurs >= 2 times ANYWHERE in the corpus
+    (across documents or repeated within one) flags its token span
+    [start, start+gram_len); overlapping/adjacent flagged spans are
+    merged into maximal per-document intervals.
+
+    Output: one row per merged interval —
+        (id_col, span_start, span_end, span_tokens)
+    with span_end exclusive and span_tokens = span_end - span_start.
+
+    100 TB plan (vs the paper's monolithic suffix array, which cannot
+    shard): gram construction is a zero-shuffle codegen projection
+    (split -> transform/slice/array_join -> posexplode); duplicate
+    detection is ONE exchange of the (id, start, gram_hash) occurrence
+    stream — a count window partitioned by the hash, so there is no
+    second counts-table join and nothing document-sized shuffles (the
+    48-bit md5 hash crosses the wire, never the gram text); interval
+    merging is a second, doc-keyed exchange over only the FLAGGED
+    occurrences (gaps-and-islands: running max-end window + island
+    sum), bounded by the duplicate mass, not the corpus.
+    """
+    toks = F.split(F.col(text_col), " ")
+    occ = (
+        docs.withColumn("__toks", toks)
+        .where(F.size("__toks") >= gram_len)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(__toks) - {gram_len}),"
+                    f" s -> array_join(slice(__toks, s + 1, {gram_len}), ' '))"
+                )
+            ).alias("start", "__gram"),
+        )
+        .withColumn("__h", F.expr(MD5_INT_SPARK.format(x="__gram")))
+        .drop("__gram")
+    )
+    flagged = (
+        occ.withColumn("__cnt", F.count("*").over(Window.partitionBy("__h")))
+        .where(F.col("__cnt") >= 2)
+        .select(id_col, "start", (F.col("start") + gram_len).alias("end"))
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max("end").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = flagged.withColumn(
+        "__brk",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(F.min("start").alias("span_start"), F.max("end").alias("span_end"))
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    gram_len: int = 6,
+    max_dup_num: int = 1,
+    max_dup_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document verdict over `duplicated_spans`: a document is
+    kept while its duplicated-token mass stays strictly under
+    max_dup_num/max_dup_den of its token count (default < 1/5). The
+    verdict is the integer cross-multiplication
+        dup_tokens * max_dup_den < total_tokens * max_dup_num
+    so it is exact at any parallelism. Documents with no flagged span
+    (including those shorter than gram_len) appear with zeros.
+
+    Output: (id_col, total_tokens, dup_spans, dup_tokens, keep).
+    The doc-summary aggregation and the left join back to the corpus
+    are both id-keyed (AQE broadcasts the span summary when small)."""
+    spans = duplicated_spans(docs, gram_len, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    base = docs.select(
+        id_col, F.size(F.split(F.col(text_col), " ")).cast("long").alias("total_tokens")
+    )
+    j = base.join(per_doc, id_col, "left").fillna(
+        {"dup_spans": 0, "dup_tokens": 0}
+    )
+    return j.select(
+        id_col,
+        "total_tokens",
+        F.col("dup_spans").cast("long").alias("dup_spans"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        (
+            F.col("dup_tokens") * max_dup_den
+            < F.col("total_tokens") * max_dup_num
+        ).alias("keep"),
+    )

@@ -802,3 +802,84 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, docs):
               for r in _pair_jaccard(sh, "doc_id").collect()}
     for p, e in est.items():
         assert abs(e - true_j.get(p, 0.0)) <= 0.35, (p, e, true_j.get(p))
+
+
+# ---------- exact substring-span dedup (ExactSubstr shape) ----------
+
+
+def _tok(n, prefix="w"):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_duplicated_spans_cross_doc(spark):
+    """A 6-token run shared by two docs flags exactly that span in
+    both; unique surroundings stay unflagged."""
+    from cityfinder_spark.operators.dedup import duplicated_spans
+
+    shared = _tok(6, "s")
+    docs = _docs(
+        spark,
+        [
+            _tok(4, "a") + " " + shared + " " + _tok(4, "b"),  # span [4,10)
+            _tok(2, "c") + " " + shared + " " + _tok(7, "d"),  # span [2,8)
+        ],
+    )
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_spans(docs, gram_len=6).collect()
+    }
+    assert rows == {0: (4, 10, 6), 1: (2, 8, 6)}
+
+
+def test_duplicated_spans_merge_overlap_and_adjacent(spark):
+    """Two shared runs overlapping in one doc merge into ONE maximal
+    interval (gaps-and-islands), and a doc repeating a gram WITHIN
+    itself is flagged even with no cross-doc partner."""
+    from cityfinder_spark.operators.dedup import duplicated_spans
+
+    rep = _tok(6, "r")
+    # doc 0: rep at [0,6) and again at [6,12) -> every 6-gram inside
+    # the 12-token run that appears twice merges to one [0,12) island
+    # (the two copies of `rep` alone guarantee >= 2 occurrences).
+    docs = _docs(spark, [rep + " " + rep + " " + _tok(5, "x"), _tok(7, "y")])
+    rows = [
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, gram_len=6).collect()
+    ]
+    assert rows == [(0, 0, 12)]
+
+
+def test_substring_dedup_verdict_boundary(spark):
+    """keep is the strict integer cross-multiplication
+    dup_tokens*den < total_tokens*num (default < 1/5): a doc at
+    exactly 1/5 duplicated is dropped, below it is kept."""
+    from cityfinder_spark.operators.dedup import substring_dedup
+
+    shared = _tok(6, "s")
+    # doc 0: 6 dup tokens of 30 total = exactly 1/5 -> NOT kept
+    # doc 1: 6 dup tokens of 31 total < 1/5 -> kept
+    # doc 2: no duplicated span -> kept with zeros
+    docs = _docs(
+        spark,
+        [
+            shared + " " + _tok(24, "a"),
+            shared + " " + _tok(25, "b"),
+            _tok(8, "c"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["total_tokens"], r["dup_spans"], r["dup_tokens"], r["keep"])
+        for r in substring_dedup(docs, gram_len=6).collect()
+    }
+    assert out[0] == (30, 1, 6, False)
+    assert out[1] == (31, 1, 6, True)
+    assert out[2] == (8, 0, 0, True)
+
+
+def test_duplicated_spans_short_docs_excluded(spark):
+    """Docs shorter than gram_len produce no occurrences (and no
+    crash from a negative sequence bound)."""
+    from cityfinder_spark.operators.dedup import duplicated_spans
+
+    docs = _docs(spark, [_tok(3, "a"), _tok(3, "a")])
+    assert duplicated_spans(docs, gram_len=6).count() == 0
