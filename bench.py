@@ -82,6 +82,7 @@ HEADLINE = [
     "ngram_containment",
     "substring_spans",
     "substring_dedup",
+    "substring_scrub",
     "sample_rate",
     "sample_quota",
     "mixture_sample",
@@ -184,6 +185,7 @@ _FACT_TABLE = {
     "ngram_containment": "documents",
     "substring_spans": "documents",
     "substring_dedup": "documents",
+    "substring_scrub": "documents",
     "sample_rate": "documents",
     "sample_quota": "documents",
     "mixture_sample": "documents",

@@ -1473,12 +1473,18 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _substr_spans_cte() -> str:
+def _substr_spans_cte(keep_first: bool = False) -> str:
     """Shared oracle CTEs: token L-grams -> md5-int48 occurrence
     stream -> corpus-duplicated occurrences -> gaps-and-islands merged
-    per-doc intervals. Same hash, same merge semantics as Spark."""
+    per-doc intervals. Same hash, same merge semantics as Spark.
+    keep_first=True additionally EXEMPTS each duplicated gram's
+    globally-canonical occurrence (min (doc_id, start)) — the scrub
+    variant's keep-one-copy rule."""
     lg = SUBSTR_GRAM_LEN
     gram_h = _DUCK_MD5_INT.format(x=f"array_to_string(ws[i:i+{lg - 1}], ' ')")
+    canon = (
+        "AND NOT ((doc_id, start) = mn)" if keep_first else ""
+    )
     return f"""
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     occ AS (SELECT doc_id, i - 1 AS start, {gram_h} AS h
@@ -1486,9 +1492,10 @@ def _substr_spans_cte() -> str:
                          unnest(generate_series(1, len(ws) - {lg - 1})) AS i
                   FROM w WHERE len(ws) >= {lg})),
     flagged AS (SELECT doc_id, start, start + {lg} AS e
-                FROM (SELECT *, count(*) OVER (PARTITION BY h) AS cnt
+                FROM (SELECT *, count(*) OVER (PARTITION BY h) AS cnt,
+                             min((doc_id, start)) OVER (PARTITION BY h) AS mn
                       FROM occ)
-                WHERE cnt >= 2),
+                WHERE cnt >= 2 {canon}),
     brk AS (SELECT doc_id, start, e,
                    CASE WHEN start > coalesce(max(e) OVER (
                             PARTITION BY doc_id ORDER BY start
@@ -1527,6 +1534,43 @@ def _o_substring_dedup() -> str:
            coalesce(p.dup_tokens, 0) * {SUBSTR_MAX_DEN}
              < len(string_split(d.text, ' ')) * {SUBSTR_MAX_NUM} AS keep
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal: globally-canonical occurrence of each
+    duplicated 6-gram kept, every other flagged span scrubbed from
+    the text; the gate value-hashes the exact cleaned strings."""
+    from cityfinder_spark.operators.dedup import substring_scrub
+
+    return substring_scrub(_docs(spark, sf_dir), gram_len=SUBSTR_GRAM_LEN)
+
+
+def _o_substring_scrub() -> str:
+    return f"""
+    WITH {_substr_spans_cte(keep_first=True)},
+    per_doc AS (SELECT doc_id, sum(span_end - span_start) AS removed
+                FROM spans GROUP BY doc_id),
+    toks AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+             FROM (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws))) AS i
+                   FROM w)),
+    kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+             WHERE NOT EXISTS (SELECT 1 FROM spans s
+                               WHERE s.doc_id = t.doc_id
+                                 AND t.pos >= s.span_start
+                                 AND t.pos < s.span_end)),
+    clean AS (SELECT doc_id,
+                     coalesce(string_agg(tok, ' ' ORDER BY pos), '')
+                       AS clean_text
+              FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           cast(len(string_split(d.text, ' ')) AS bigint) AS total_tokens,
+           cast(coalesce(p.removed, 0) AS bigint) AS removed_tokens,
+           coalesce(c.clean_text, '') AS clean_text
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
     """
 
 
@@ -4646,6 +4690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "substring_spans": q_substring_spans,
         "substring_dedup": q_substring_dedup,
+        "substring_scrub": q_substring_scrub,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4759,6 +4804,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment": _o_ngram_containment(),
         "substring_spans": _o_substring_spans(),
         "substring_dedup": _o_substring_dedup(),
+        "substring_scrub": _o_substring_scrub(),
         "minhash_lsh": _o_minhash_lsh(),
         "minhash_estimate": _o_minhash_estimate(),
         "simhash": _o_simhash(),

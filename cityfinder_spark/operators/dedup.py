@@ -803,8 +803,23 @@ def duplicated_spans(
     occurrences (gaps-and-islands: running max-end window + island
     sum), bounded by the duplicate mass, not the corpus.
     """
+    occ = _gram_occurrences(docs, gram_len, id_col, text_col)
+    flagged = (
+        occ.withColumn("__cnt", F.count("*").over(Window.partitionBy("__h")))
+        .where(F.col("__cnt") >= 2)
+        .select(id_col, "start", (F.col("start") + gram_len).alias("end"))
+    )
+    return _merge_spans(flagged, id_col)
+
+
+def _gram_occurrences(
+    docs: DataFrame, gram_len: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, start, __h) for every length-`gram_len` token window —
+    a zero-shuffle codegen projection + posexplode; only the 48-bit
+    md5 of the gram (never its text) survives into downstream plans."""
     toks = F.split(F.col(text_col), " ")
-    occ = (
+    return (
         docs.withColumn("__toks", toks)
         .where(F.size("__toks") >= gram_len)
         .select(
@@ -819,11 +834,12 @@ def duplicated_spans(
         .withColumn("__h", F.expr(MD5_INT_SPARK.format(x="__gram")))
         .drop("__gram")
     )
-    flagged = (
-        occ.withColumn("__cnt", F.count("*").over(Window.partitionBy("__h")))
-        .where(F.col("__cnt") >= 2)
-        .select(id_col, "start", (F.col("start") + gram_len).alias("end"))
-    )
+
+
+def _merge_spans(flagged: DataFrame, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of (id, start, end) half-open token
+    spans into maximal per-doc intervals: running max-end window +
+    island sum, one doc-keyed exchange over only the flagged rows."""
     w_doc = Window.partitionBy(id_col).orderBy("start")
     prev_end = F.max("end").over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)
@@ -886,4 +902,81 @@ def substring_dedup(
             F.col("dup_tokens") * max_dup_den
             < F.col("total_tokens") * max_dup_num
         ).alias("keep"),
+    )
+
+
+def substring_scrub(
+    docs: DataFrame,
+    gram_len: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-span dedup, REMOVAL step (the other half of
+    ExactSubstr): for every corpus-duplicated `gram_len`-token window,
+    the globally-canonical occurrence — minimum (id, start) across the
+    whole corpus — is KEPT; every other occurrence flags its span, and
+    the flagged spans (merged per doc) are scrubbed from the text.
+    One copy of any duplicated run therefore survives somewhere.
+
+    Output: (id_col, total_tokens, removed_tokens, clean_text).
+    clean_text is rebuilt from the token array (single-space joined)
+    for EVERY row — scrubbed or not — so whitespace is normalized
+    identically on both code paths (and in the DuckDB oracle).
+
+    Edge semantics (deterministic, documented): when a non-canonical
+    span overlaps a canonical one inside a doc, the merged island may
+    scrub tokens of the kept copy too — same grain as the paper's
+    byte-range removal, which also clips at duplicate-range bounds.
+
+    Scale plan: the canonical pick rides the SAME single exchange as
+    duplicate detection (count + min-struct over one hash-partitioned
+    window); islands merge doc-keyed over the flagged mass only; the
+    scrub itself is a codegen projection — the span list (tiny) is
+    collected per doc and applied with transform/filter INSIDE the
+    row, so tokens are never exploded a second time and the corpus is
+    scanned exactly twice (gram pass + rebuild pass)."""
+    occ = _gram_occurrences(docs, gram_len, id_col, text_col)
+    w_h = Window.partitionBy("__h")
+    both = F.struct(F.col(id_col), F.col("start"))
+    flagged = (
+        occ.withColumn("__cnt", F.count("*").over(w_h))
+        .withColumn("__min", F.min(both).over(w_h))
+        .where(
+            (F.col("__cnt") >= 2)
+            & ~(
+                (F.col(id_col) == F.col("__min").getField(id_col))
+                & (F.col("start") == F.col("__min").getField("start"))
+            )
+        )
+        .select(id_col, "start", (F.col("start") + gram_len).alias("end"))
+    )
+    per_doc = _merge_spans(flagged, id_col).groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"),
+        F.sum("span_tokens").alias("removed_tokens"),
+    )
+    scrubbed = F.expr(
+        "array_join(filter(transform(__ws, (t, i) ->"
+        " IF(exists(__sp, s -> i >= s.span_start AND i < s.span_end),"
+        " NULL, t)), x -> x IS NOT NULL), ' ')"
+    )
+    return (
+        docs.join(per_doc, id_col, "left")
+        .withColumn("__ws", F.split(F.col(text_col), " "))
+        .withColumn(
+            "__sp",
+            F.coalesce(
+                F.col("__spans"),
+                F.expr(
+                    "cast(array() as array<struct<span_start:int,span_end:int>>)"
+                ),
+            ),
+        )
+        .select(
+            id_col,
+            F.size("__ws").cast("long").alias("total_tokens"),
+            F.coalesce(F.col("removed_tokens"), F.lit(0))
+            .cast("long")
+            .alias("removed_tokens"),
+            scrubbed.alias("clean_text"),
+        )
     )

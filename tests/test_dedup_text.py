@@ -883,3 +883,52 @@ def test_duplicated_spans_short_docs_excluded(spark):
 
     docs = _docs(spark, [_tok(3, "a"), _tok(3, "a")])
     assert duplicated_spans(docs, gram_len=6).count() == 0
+
+
+def test_substring_scrub_keeps_canonical_copy(spark):
+    """The globally-canonical occurrence (min (doc_id, start)) of a
+    duplicated run survives; the other doc loses exactly that span.
+    clean_text is token-rejoined on both paths."""
+    from cityfinder_spark.operators.dedup import substring_scrub
+
+    shared = _tok(6, "s")
+    t0 = _tok(4, "a") + " " + shared + " " + _tok(4, "b")
+    t1 = _tok(2, "c") + " " + shared + " " + _tok(7, "d")
+    out = {
+        r["doc_id"]: (r["total_tokens"], r["removed_tokens"], r["clean_text"])
+        for r in substring_scrub(_docs(spark, [t0, t1]), gram_len=6).collect()
+    }
+    # doc 0 holds the canonical copy -> untouched
+    assert out[0] == (14, 0, t0)
+    # doc 1 loses tokens [2, 8)
+    assert out[1] == (15, 6, _tok(2, "c") + " " + _tok(7, "d"))
+
+
+def test_substring_scrub_within_doc_repeat_keeps_first(spark):
+    """A doc repeating a 6-token run back-to-back keeps the FIRST
+    copy: only the second occurrence's span [6,12) is scrubbed."""
+    from cityfinder_spark.operators.dedup import substring_scrub
+
+    rep = _tok(6, "r")
+    text = rep + " " + rep + " " + _tok(5, "x")
+    out = substring_scrub(_docs(spark, [text, _tok(7, "y")]), gram_len=6)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["removed_tokens"] == 6
+    assert rows[0]["clean_text"] == rep + " " + _tok(5, "x")
+    assert rows[1]["removed_tokens"] == 0
+    assert rows[1]["clean_text"] == _tok(7, "y")
+
+
+def test_substring_scrub_fully_duplicate_doc_empties(spark):
+    """A doc that is a verbatim copy of an earlier doc scrubs to the
+    empty string (its every gram's canonical lives in the earlier
+    doc)."""
+    from cityfinder_spark.operators.dedup import substring_scrub
+
+    t = _tok(9, "z")
+    rows = {
+        r["doc_id"]: (r["removed_tokens"], r["clean_text"])
+        for r in substring_scrub(_docs(spark, [t, t]), gram_len=6).collect()
+    }
+    assert rows[0] == (0, t)
+    assert rows[1] == (9, "")
