@@ -49,6 +49,7 @@ HEADLINE = [
     "nearest_city_10m",
     "cell_assign",
     "hot_cells",
+    "kanon_cells",
     "focal_stats",
     "zorder_key",
     "cell_pyramid",
@@ -109,6 +110,7 @@ HEADLINE = [
     "count_min_df",
     "bloom_decontaminate",
     "image_sharpness",
+    "image_diversity",
     "length_outliers",
     "minhash_estimate",
     "decontaminate",
@@ -159,6 +161,7 @@ _FACT_TABLE = {
     "nearest_city_bigdim": "orders",
     "cell_assign": "orders",
     "hot_cells": "orders",
+    "kanon_cells": "orders",
     "cell_pyramid": "orders",
     "tile_render": "orders",
     "distinct_sketch": "orders",

@@ -166,6 +166,37 @@ def q_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KANON_K = 3
+
+
+def q_kanon_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity publish gate: per-cell point counts + DISTINCT
+    contributor counts, published only at >= K contributors; the
+    suppressed rows stay (flag false) so the suppression set is
+    auditable. One (cell, user) exchange, exact by design."""
+    from cityfinder_spark.operators.hotspots import kanon_cells
+
+    view = _spread_orders(spark, sf_dir)
+    pts = spark.sql(
+        f"SELECT o_custkey AS user_id, {sc.ORDER_LAT} AS lat,"
+        f" {sc.ORDER_LON} AS lon FROM {view}"
+    )
+    return kanon_cells(pts, "user_id", CELL_LEVEL, KANON_K)
+
+
+def _o_kanon_cells() -> str:
+    return f"""
+    WITH pts AS (SELECT o_custkey AS user_id,
+                        {sc.ORDER_LAT} AS lat, {sc.ORDER_LON} AS lon
+                 FROM orders)
+    SELECT {sc.cell_sql("lat", "lon", CELL_LEVEL)} AS cell_id,
+           count(*) AS n_points,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT user_id) >= {KANON_K} AS published
+    FROM pts GROUP BY 1
+    """
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) spatial storage key per point: the layout
     column that makes parquet row-group min/max stats prune any
@@ -2233,6 +2264,53 @@ def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
     return sharpness_stats(_media_table(spark, "images", n))
+
+
+def q_image_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-diversity (blank/flat-image) gate over the base payloads
+    PLUS planted low-diversity variants (every 7th image masked to 4
+    byte values): byte-histogram summary + the integer Renyi-2
+    collision-mass verdict, no logarithms anywhere. The DuckDB oracle
+    replays every histogram from the splitmix64 pixel stream."""
+    from cityfinder_spark.operators.images_ops import (
+        degrade_variants,
+        diversity_stats,
+    )
+
+    n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
+    base = _media_table(spark, "images", n)
+    return diversity_stats(
+        base.select("image_id", "bytes").unionByName(degrade_variants(base))
+    )
+
+
+def _o_image_diversity() -> str:
+    from cityfinder_spark.operators.images_ops import FLAT_DEN, FLAT_NUM
+
+    return f"""
+    WITH {_duck_images_cte(20)},
+    {_duck_mix64("px")},
+    base AS (SELECT {_DUCK_IMG_ID} AS gid, i, fmt, {_DUCK_IMG_BYTE} AS b
+             FROM mx),
+    allb AS (
+      SELECT gid, fmt, b FROM base
+      UNION ALL
+      SELECT 'low' || lpad(cast(i AS VARCHAR), 12, '0') AS gid, fmt,
+             b & 192 AS b
+      FROM base WHERE i % 7 = 0),
+    hist AS (SELECT gid, any_value(fmt) AS fmt, b, count(*) AS c
+             FROM allb GROUP BY gid, b),
+    agg AS (SELECT gid, any_value(fmt) AS fmt, sum(c) AS n,
+                   count(*) AS nd, max(c) AS mx, sum(c * c) AS coll
+            FROM hist GROUP BY gid)
+    SELECT gid AS image_id, fmt,
+           cast(n AS BIGINT) AS n_pixels,
+           cast(nd AS INT) AS n_distinct,
+           cast(mx AS BIGINT) AS max_count,
+           cast(coll AS BIGINT) AS coll_mass,
+           coll * {FLAT_DEN} > n * n * {FLAT_NUM} AS is_flat
+    FROM agg
+    """
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4644,6 +4722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_city_topk": q_nearest_city_topk,
         "cell_assign": q_cell_assign,
         "hot_cells": q_hot_cells,
+        "kanon_cells": q_kanon_cells,
         "focal_stats": q_focal_stats,
         "zorder_key": q_zorder_key,
         "hotspot_clusters": q_hotspot_clusters,
@@ -4724,6 +4803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup_resolve": q_phash_dedup_resolve,
         "multimodal_curation": q_multimodal_curation,
         "image_resize": q_image_resize,
+        "image_diversity": q_image_diversity,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
         "audio_pipeline": q_audio_pipeline,
@@ -4755,6 +4835,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_city_topk": _o_nearest_city_topk(),
         "cell_assign": _o_cell_assign(),
         "hot_cells": _o_hot_cells(),
+        "kanon_cells": _o_kanon_cells(),
         "focal_stats": _o_focal_stats(),
         "zorder_key": _o_zorder_key(),
         "hotspot_clusters": _o_hotspot_clusters(),
@@ -4868,6 +4949,7 @@ def oracle_sql() -> dict[str, str]:
         "image_pipeline": _o_image_pipeline(),
         "image_decode_stats": _o_image_decode_stats(),
         "image_sharpness": _o_image_sharpness(),
+        "image_diversity": _o_image_diversity(),
         "phash_near_dup": _o_phash_near_dup(),
         "phash_dedup_resolve": _o_phash_dedup_resolve(),
         "multimodal_curation": _o_multimodal_curation(),

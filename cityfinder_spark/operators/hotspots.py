@@ -75,3 +75,49 @@ def hotspot_clusters(
             "n_points",
         )
     )
+
+
+def kanon_cells(
+    pts: DataFrame,
+    user_col: str,
+    level: int,
+    k: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """K-anonymity cell suppression — the publish gate any per-cell
+    statistic (heat map, density tile, rollup) must pass before
+    leaving the platform: a cell is publishable only when at least
+    `k` DISTINCT contributors fall in it, otherwise its counts are
+    suppressed (row kept, `published=false`, so the suppression set
+    itself is auditable and the gate hashes both verdicts).
+
+    Output: (cell_id, n_points, n_users, published).
+
+    Scale: one exchange keyed on (cell, user) — Catalyst plans
+    count(DISTINCT) as a two-phase expand/partial-agg, so per-partition
+    duplicate (cell,user) pairs collapse map-side and the wire carries
+    the distinct pair stream, the provable minimum for exact distinct
+    counts; the per-cell rollup rides the same exchange. No second
+    corpus pass, no sketch error — at publish grain, exactness is the
+    point (a false "k met" is a privacy leak).
+    """
+    from cityfinder_spark.geo.cells import cell_col
+
+    return (
+        pts.select(
+            cell_col(lat_col, lon_col, level).alias("cell_id"),
+            F.col(user_col).alias("__u"),
+        )
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("__u").alias("n_users"),
+        )
+        .select(
+            "cell_id",
+            "n_points",
+            "n_users",
+            (F.col("n_users") >= k).alias("published"),
+        )
+    )

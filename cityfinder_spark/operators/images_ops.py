@@ -289,3 +289,84 @@ def sharpness_stats(images: DataFrame) -> DataFrame:
             & (F.col("lap_energy") >= F.lit(SHARP_LAP_T) * F.col("n_interior"))
         ).alias("is_sharp"),
     )
+
+
+# flat iff collision mass exceeds 1/16: coll * FLAT_DEN > n^2 * FLAT_NUM
+FLAT_NUM, FLAT_DEN = 1, 16
+
+DIVERSITY_SCHEMA = (
+    "image_id string, fmt string, n_pixels long, n_distinct int,"
+    " max_count long, coll_mass long, is_flat boolean"
+)
+
+
+def degrade_variants(
+    images: DataFrame, every: int = 7, mask: int = 0xC0
+) -> DataFrame:
+    """Derive LOW-DIVERSITY variants: for every `every`-th image (by
+    numeric id), mask each decoded byte to its top two bits (4
+    distinct values) and re-encode under a new 'lowNNN' id — the
+    blank/flat-render corruption shape (solid fills, dead sensors,
+    failed decodes) a curation gate must catch. mask=0xC0 is a subset
+    of the lossy keep-mask 0xFC, so the jpeg re-quantization changes
+    nothing and the final decoded byte is exactly raw & mask for both
+    formats (what the DuckDB oracle replays). Output: (image_id, bytes)."""
+    cols = images.select("image_id", "bytes")
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for img_id, buf in zip(pdf["image_id"], pdf["bytes"]):
+                i = int(str(img_id).removeprefix("img"))
+                if i % every:
+                    continue
+                fmt, pix = decode(bytes(buf))
+                out.append(
+                    {
+                        "image_id": f"low{i:012d}",
+                        "bytes": encode(pix & np.uint8(mask), fmt),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["image_id", "bytes"])
+
+    return cols.mapInPandas(op, schema="image_id string, bytes binary")
+
+
+def diversity_stats(images: DataFrame) -> DataFrame:
+    """Pixel-diversity gate per image — the blank/flat-image screen
+    run before any GPU touches the batch. Emits the byte-histogram
+    summary (distinct values, modal count, and the Renyi-2 COLLISION
+    MASS sum(c_b^2) — an entropy screen with NO logarithms, so every
+    number is an exact int64 at any parallelism) and the verdict
+        is_flat := coll_mass * FLAT_DEN > n_pixels^2 * FLAT_NUM
+    i.e. collision probability > FLAT_NUM/FLAT_DEN (= Renyi-2 entropy
+    under 4 bits). Uniform-ish real payloads sit near 1/256 (png) or
+    1/64 (jpeg quantized); solid fills hit 1.0 — the integer
+    cross-multiplication separates them with no float anywhere.
+
+    Zero shuffle: one mapInPandas over the payload scan (np.bincount
+    per image); only the 7-column summary leaves the executors."""
+    cols = images.select("image_id", "bytes")
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for img_id, buf in zip(pdf["image_id"], pdf["bytes"]):
+                fmt, pix = decode(bytes(buf))
+                c = np.bincount(pix.reshape(-1), minlength=256).astype(np.int64)
+                n = int(pix.size)
+                coll = int(np.dot(c, c))
+                out.append(
+                    {
+                        "image_id": img_id,
+                        "fmt": fmt,
+                        "n_pixels": n,
+                        "n_distinct": int(np.count_nonzero(c)),
+                        "max_count": int(c.max()),
+                        "coll_mass": coll,
+                        "is_flat": coll * FLAT_DEN > n * n * FLAT_NUM,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(op, schema=DIVERSITY_SCHEMA)

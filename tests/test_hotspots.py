@@ -96,3 +96,29 @@ def test_matches_duckdb_recursive_closure(spark):
     )
     assert spark_rows == duck_rows
     assert len(spark_rows) > 0
+
+
+def test_kanon_cells_suppression(spark):
+    """Cells below k distinct contributors are suppressed even when
+    point-count is high (one user, many points); >= k distinct users
+    publishes."""
+    import pandas as pd
+
+    from cityfinder_spark.operators.hotspots import kanon_cells
+
+    rows = (
+        # cell A (lat 10.1): 3 distinct users -> published
+        [(u, 10.1, 20.1) for u in (1, 2, 3)]
+        # cell B (lat -40.1): 1 user, 5 points -> suppressed
+        + [(7, -40.1, 30.1)] * 5
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "lat", "lon"])
+    )
+    out = {
+        r["cell_id"]: (r["n_points"], r["n_users"], r["published"])
+        for r in kanon_cells(pts, "user_id", 6, 3).collect()
+    }
+    assert len(out) == 2
+    vals = sorted(out.values())
+    assert vals == [(3, 3, True), (5, 1, False)]

@@ -359,3 +359,51 @@ def test_sharpness_degenerate_size_not_sharp(spark):
     (r,) = sharpness_stats(df).collect()
     assert r["n_interior"] == 0 and r["lap_energy"] == 0
     assert r["sharpness"] == 0.0 and not r["is_sharp"]
+
+
+def test_diversity_stats_flags_flat_not_uniform(spark):
+    """Planted 4-value ('low') variants are flat (collision mass
+    > n^2/16); the uniform-ish base payloads are not; coll_mass is
+    the exact integer sum of squared histogram counts."""
+    import numpy as np
+
+    from cityfinder_spark.codecs.fakeimage import decode
+    from cityfinder_spark.operators.images_ops import (
+        degrade_variants,
+        diversity_stats,
+    )
+
+    base = images_table(spark, 56, partitions=2)
+    pop = base.select("image_id", "bytes").unionByName(degrade_variants(base))
+    rows = {r["image_id"]: r for r in diversity_stats(pop).collect()}
+    assert sum(k.startswith("low") for k in rows) == 8
+    for k, r in rows.items():
+        assert r["is_flat"] == k.startswith("low")
+        assert r["is_flat"] == (
+            r["coll_mass"] * 16 > r["n_pixels"] * r["n_pixels"]
+        )
+    # spot-check one histogram against a direct decode
+    buf = bytes(base.where("image_id = 'img000000000003'").collect()[0]["bytes"])
+    _, pix = decode(buf)
+    c = np.bincount(pix.reshape(-1), minlength=256).astype(np.int64)
+    r = rows["img000000000003"]
+    assert (
+        r["coll_mass"],
+        r["n_distinct"],
+        r["max_count"],
+    ) == (int(np.dot(c, c)), int(np.count_nonzero(c)), int(c.max()))
+
+
+def test_degrade_variants_four_values(spark):
+    """A degraded payload decodes to at most 4 distinct byte values
+    (top-2-bit mask survives the lossy re-quantization)."""
+    import numpy as np
+
+    from cityfinder_spark.codecs.fakeimage import decode
+    from cityfinder_spark.operators.images_ops import degrade_variants
+
+    base = images_table(spark, 15, partitions=1)
+    for r in degrade_variants(base).collect():
+        _, pix = decode(bytes(r["bytes"]))
+        vals = np.unique(pix.reshape(-1))
+        assert len(vals) <= 4 and all(v & 0x3F == 0 for v in vals)
