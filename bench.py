@@ -51,6 +51,7 @@ HEADLINE = [
     "hot_cells",
     "kanon_cells",
     "focal_stats",
+    "getis_ord",
     "zorder_key",
     "cell_pyramid",
     "tile_render",

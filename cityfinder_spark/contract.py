@@ -218,6 +218,88 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_stats(_points(spark, sf_dir), level=CELL_LEVEL, k=1)
 
 
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores over the cell lattice (the
+    ArcGIS Hot Spot Analysis statistic), raster semantics matching
+    focal_stats. Integer aggregates + two scalar literals feed a
+    fixed IEEE dataflow, so gi_z value-hashes at 6 digits and the
+    hot verdict evaluates on the rounded value.
+
+    The base synthetic points are hash-uniform (no real clustering —
+    a correct Gi* finds nothing significant), so a deterministic
+    CLUMP is planted: every 97th order adds a point inside one fixed
+    0.1-degree box, which lights that cell and its ring hot while the
+    background stays cold — both verdicts exercised, both replayed."""
+    from cityfinder_spark.operators.raster import getis_ord
+
+    view = _spread_orders(spark, sf_dir)
+    clump = spark.sql(
+        f"SELECT {_GI_CLUMP_LAT} AS lat, {_GI_CLUMP_LON} AS lon"
+        f" FROM {view} WHERE o_orderkey % 97 = 0"
+    )
+    pts = _points(spark, sf_dir).select("lat", "lon").unionByName(clump)
+    return getis_ord(pts, level=CELL_LEVEL, k=1)
+
+
+_GI_CLUMP_LAT = "10.0 + ((o_orderkey * 48271) % 1000) / 10000.0"
+_GI_CLUMP_LON = "20.0 + ((o_orderkey * 16807) % 1000) / 10000.0"
+
+
+def _o_getis_ord() -> str:
+    from cityfinder_spark.operators.raster import GI_HOT_Z
+
+    level, k = CELL_LEVEL, 1
+    nlat, nlon = 1 << level, 2 << level
+    n_cells = float(nlat * nlon)
+    stride = level * sc.LEVEL_STRIDE
+    offs = ", ".join(
+        f"({di}, {dj})" for di in range(-k, k + 1) for dj in range(-k, k + 1)
+    )
+    mean = f"cast(g.tot AS DOUBLE) / {n_cells!r}"
+    s = (
+        f"sqrt(cast(g.ss AS DOUBLE) / {n_cells!r}"
+        f" - ({mean}) * ({mean}))"
+    )
+    w = f"(least(d.i + {k}, {nlat - 1}) - greatest(d.i - {k}, 0) + 1) * {2 * k + 1}"
+    wd = f"cast({w} AS DOUBLE)"
+    gi = (
+        f"(f.focal_sum - ({mean}) * {wd})"
+        f" / (({s}) * sqrt(({n_cells!r} * {wd} - {wd} * {wd})"
+        f" / {n_cells - 1.0!r}))"
+    )
+    return f"""
+    WITH pts AS (SELECT lat, lon FROM ({sc.points_from_orders_sql()})
+                 UNION ALL
+                 SELECT {_GI_CLUMP_LAT} AS lat, {_GI_CLUMP_LON} AS lon
+                 FROM orders WHERE o_orderkey % 97 = 0),
+    c AS (SELECT {sc.cell_sql("lat", "lon", level)} AS cell_id,
+                 count(*) AS n_points
+          FROM pts GROUP BY 1),
+    g AS (SELECT cast(sum(n_points) AS BIGINT) AS tot,
+                 cast(sum(n_points * n_points) AS BIGINT) AS ss
+          FROM c),
+    d AS (SELECT cell_id, n_points,
+                 cast(floor((cell_id - {stride}) / {nlon}) as bigint) AS i,
+                 (cell_id - {stride}) % {nlon} AS j
+          FROM c),
+    offs AS (SELECT * FROM (VALUES {offs}) o(di, dj)),
+    contrib AS (SELECT {stride} + (d.i + o.di) * {nlon}
+                       + (((d.j + o.dj) % {nlon}) + {nlon}) % {nlon} AS center,
+                       d.n_points AS nb_points
+                FROM d CROSS JOIN offs o
+                WHERE d.i + o.di BETWEEN 0 AND {nlat - 1}),
+    f AS (SELECT center AS cell_id, cast(sum(nb_points) as bigint) AS focal_sum
+          FROM contrib GROUP BY 1),
+    z AS (SELECT d.cell_id, d.n_points, f.focal_sum,
+                 cast({w} AS BIGINT) AS "window",
+                 {sc.round6_sql(gi)} AS gi_z
+          FROM d JOIN f USING (cell_id) CROSS JOIN g)
+    SELECT cell_id, n_points, focal_sum, "window", gi_z,
+           gi_z > {GI_HOT_Z!r} AS hot
+    FROM z
+    """
+
+
 def q_name_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + fuzzy city-by-name lookup (SURVEY §2.3 J2/J3/J6).
 
@@ -4724,6 +4806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_cells": q_hot_cells,
         "kanon_cells": q_kanon_cells,
         "focal_stats": q_focal_stats,
+        "getis_ord": q_getis_ord,
         "zorder_key": q_zorder_key,
         "hotspot_clusters": q_hotspot_clusters,
         "nearest_city_adaptive": q_nearest_city_adaptive,
@@ -4837,6 +4920,7 @@ def oracle_sql() -> dict[str, str]:
         "hot_cells": _o_hot_cells(),
         "kanon_cells": _o_kanon_cells(),
         "focal_stats": _o_focal_stats(),
+        "getis_ord": _o_getis_ord(),
         "zorder_key": _o_zorder_key(),
         "hotspot_clusters": _o_hotspot_clusters(),
         "nearest_city_adaptive": _o_nearest_city(),

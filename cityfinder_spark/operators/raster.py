@@ -172,3 +172,99 @@ def focal_stats(
             "n_occupied_nb",
         )
     )
+
+
+GI_HOT_Z = 2.576  # two-sided 99% confidence bar on the rounded z
+
+
+def getis_ord(
+    pts: DataFrame,
+    *,
+    level: int,
+    k: int = 1,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores over the cell lattice — the
+    standard local spatial statistic behind every "statistically
+    significant hotspot" map (Getis & Ord 1992; the ArcGIS Hot Spot
+    Analysis tool): for each occupied cell, how far its windowed
+    density sum deviates from the global expectation, in units of the
+    window-size-adjusted standard error:
+
+        Gi* = (S_i - mean * w_i)
+              / (s * sqrt((n * w_i - w_i^2) / (n - 1)))
+
+    with raster semantics matching `focal_stats`: the population is
+    the FULL n = nlat x nlon lattice (empty cells are zeros), S_i the
+    (2k+1)^2 clamped/wrapped window sum, w_i the exact valid window
+    size, mean = N/n and s the population std from the exact integer
+    (N, sum x^2) pair.
+
+    Output: (cell_id, n_points, focal_sum, window, gi_z, hot) with
+    gi_z rounded to 6 digits and hot := gi_z > 2.576 evaluated ON the
+    rounded value (so the verdict replays exactly).
+
+    Determinism: every aggregate feeding the formula is an integer
+    (counts, squared counts, window sizes); the two global scalars
+    collapse to ONE tiny agg row embedded as literals (the bm25
+    stance), so the per-cell expression is a fixed dataflow of
+    correctly-rounded IEEE ops — no order-dependence anywhere.
+
+    Scale shape: identical to `focal_stats` — ONE corpus exchange
+    (the cell-count groupBy), grid-bounded scatter/gather for S_i,
+    plus a 2-long-column global agg that rides the same count table;
+    the corpus is scanned once.
+    """
+    from cityfinder_spark.colutils import round_digits_col
+    from cityfinder_spark.geo.cells import grid_dims, ring_cells_col
+    from cityfinder_spark.sqlcompat import LEVEL_STRIDE
+
+    nlat, nlon = grid_dims(level)
+    n_cells = nlat * nlon
+    counts = (
+        pts.select(cell_col(lat_col, lon_col, level).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    counts = counts.persist()
+    tot, ss = (
+        counts.agg(
+            F.sum("n_points").cast("long"),
+            F.sum(F.col("n_points") * F.col("n_points")).cast("long"),
+        ).collect()[0]
+    )
+    mean = float(tot) / float(n_cells)
+    s = ((float(ss) / float(n_cells)) - mean * mean) ** 0.5
+    contrib = counts.select(
+        F.explode(ring_cells_col(F.col("cell_id"), k, level)).alias("center"),
+        F.col("n_points").alias("nb_points"),
+    )
+    focal = contrib.groupBy("center").agg(F.sum("nb_points").alias("focal_sum"))
+    i = F.floor((F.col("cell_id") - F.lit(level * LEVEL_STRIDE)) / F.lit(nlon))
+    rows_valid = (
+        F.least(i + F.lit(k), F.lit(nlat - 1))
+        - F.greatest(i - F.lit(k), F.lit(0))
+        + F.lit(1)
+    )
+    w = (rows_valid * F.lit(2 * k + 1)).cast("long")
+    wd = w.cast("double")
+    gi = (F.col("focal_sum") - F.lit(mean) * wd) / (
+        F.lit(s)
+        * F.sqrt(
+            (F.lit(float(n_cells)) * wd - wd * wd) / F.lit(float(n_cells - 1))
+        )
+    )
+    return (
+        counts.join(focal, counts["cell_id"] == focal["center"])
+        .withColumn("window", w)
+        .withColumn("gi_z", round_digits_col(gi, 6))
+        .select(
+            "cell_id",
+            "n_points",
+            "focal_sum",
+            "window",
+            "gi_z",
+            (F.col("gi_z") > F.lit(GI_HOT_Z)).alias("hot"),
+        )
+    )

@@ -291,3 +291,37 @@ def test_trajectory_stays_partition_invariant(spark):
     a = sorted(map(tuple, trajectory_stays(df.repartition(1), r_km=6000.0).collect()))
     b = sorted(map(tuple, trajectory_stays(df.repartition(32), r_km=6000.0).collect()))
     assert a == b and len(a) > 0
+
+
+def test_getis_ord_hotspot_zscores(spark):
+    """Gi* on a hand lattice: a dense clump scores a high positive z
+    (hot), an isolated far-away point does not; values match a NumPy
+    replay of the same formula with raster (full-lattice) semantics."""
+    from cityfinder_spark.geo.cells import cell_of_np, grid_dims
+    from cityfinder_spark.operators.raster import GI_HOT_Z, getis_ord
+
+    level, k = 6, 1
+    # clump: 60 points in one interior cell; noise: 1 point far away
+    pts = pd.DataFrame(
+        {"lat": [10.1] * 60 + [-60.1], "lon": [20.1] * 60 + [-120.1]}
+    )
+    out = {
+        r["cell_id"]: r
+        for r in getis_ord(
+            spark.createDataFrame(pts), level=level, k=k
+        ).collect()
+    }
+    clump = int(cell_of_np(np.array([10.1]), np.array([20.1]), level)[0])
+    lone = int(cell_of_np(np.array([-60.1]), np.array([-120.1]), level)[0])
+    assert set(out) == {clump, lone}
+    nlat, nlon = grid_dims(level)
+    n = float(nlat * nlon)
+    mean = 61.0 / n
+    s = ((60.0**2 + 1.0) / n - mean * mean) ** 0.5
+    for cell, x in ((clump, 60.0), (lone, 1.0)):
+        w = 9.0  # both cells interior
+        gi = (x - mean * w) / (s * ((n * w - w * w) / (n - 1.0)) ** 0.5)
+        assert abs(out[cell]["gi_z"] - gi) < 1e-5, (cell, out[cell]["gi_z"], gi)
+        assert out[cell]["window"] == 9
+    assert out[clump]["hot"] and not out[lone]["hot"]
+    assert out[clump]["gi_z"] > GI_HOT_Z > out[lone]["gi_z"]
