@@ -128,6 +128,9 @@ HEADLINE = [
     "ann_search_ivf",
     "ann_search_trained",
     "kmeans_train",
+    "pq_train",
+    "pq_encode",
+    "pq_search",
     "kmeans_assign",
     "semdedup",
     "image_pipeline",
@@ -232,6 +235,9 @@ _FACT_TABLE = {
     "ann_search_ivf": "embeddings",
     "ann_search_trained": "embeddings",
     "kmeans_train": "embeddings",
+    "pq_train": "embeddings",
+    "pq_encode": "embeddings",
+    "pq_search": "embeddings",
     "kmeans_assign": "embeddings",
     "semdedup": "embeddings",
     "events_windowed": "events",

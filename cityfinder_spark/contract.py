@@ -1933,6 +1933,62 @@ def _emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _embs(spark, sf_dir).where("vec_id % 5 <> 0")
 
 
+PQ_SEARCH_K = 5
+
+
+def _pq_model(spark: SparkSession, sf_dir: str):
+    """Memoized PQ codebooks trained on the corpus (base) side."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.operators.pq import PQ_ITER, PQ_K, PQ_M, pq_fit
+
+    def build():
+        CB, _ = pq_fit(_emb_base(spark, sf_dir))
+        return CB
+
+    return memo_value(spark, ("pq-model", sf_dir, PQ_M, PQ_K, PQ_ITER), build)
+
+
+def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook training (FAISS-compression half): M per-subspace
+    Lloyd's runs in one joint pass per iteration, fixed-point integer
+    sums -> hash-exact despite being iterative and distributed; the
+    model explodes to (sub, code, pos, val, n_points) rows."""
+    from cityfinder_spark.operators.pq import pq_train
+
+    return pq_train(_emb_base(spark, sf_dir))
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compress the corpus against the trained codebooks: M 4-bit
+    codes per vector (packed big-endian into one long so the exact
+    code tuple value-hashes) + the round6 squared-L2 reconstruction
+    error folded over the full dimension order."""
+    from cityfinder_spark.operators.pq import pq_encode
+
+    CB = _pq_model(spark, sf_dir)
+    return pq_encode(_emb_base(spark, sf_dir), CB).select(
+        "vec_id",
+        F.expr("aggregate(codes, 0L, (a, x) -> a * 16 + x)").alias(
+            "codes_packed"
+        ),
+        "recon_err",
+    )
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the COMPRESSED corpus: per-query (M x K) lookup
+    tables broadcast, encoded corpus streamed once with per-partition
+    top-k + dimension-sized merge. Every stage (training, codes,
+    tables, the 4-term ADC add chain) replays closed-form in DuckDB."""
+    from cityfinder_spark.operators.pq import pq_encode, pq_search
+
+    CB = _pq_model(spark, sf_dir)
+    codes = pq_encode(_emb_base(spark, sf_dir), CB)
+    return pq_search(
+        _emb_queries(spark, sf_dir), codes, CB, k=PQ_SEARCH_K
+    )
+
+
 def q_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric exact search: top-5 corpus neighbors per query row
     (dedup-a-new-batch-against-the-corpus, the production ingestion
@@ -4632,6 +4688,175 @@ def _o_kmeans_cte(k: int, n_iter: int, dim: int = 64, quant: int = 10**6) -> str
     return ",\n    ".join(parts)
 
 
+def _o_pq_cte(
+    m_sub: int = 4,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    quant: int = 10**6,
+) -> str:
+    """PQ training replayed as CTE chains p0..p{n_iter} over the
+    corpus (vec_id % 5 <> 0) side: per-subspace Lloyd's with L2
+    assignment — squared distance in the exact list_sum fold order,
+    rounded before the (dist asc, code asc) rank — and the same
+    fixed-point integer update as _o_kmeans_cte, per (sub, code).
+    Terminal relations: p{n_iter} (sub_id, code_id, cv, n_points) and
+    sv (vec_id, sub_id, svv) for downstream encode/search CTEs."""
+    dsub = dim // m_sub
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {dsub}),"
+        " i -> (s.svv[i] - c.cv[i]) * (s.svv[i] - c.cv[i])))"
+    )
+    parts = [
+        f"""pb AS (
+      SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+      FROM embeddings WHERE vec_id % 5 <> 0)""",
+        f"""subs AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m)""",
+        f"""sv AS (
+      SELECT vec_id, subs.m AS sub_id,
+             v[subs.m * {dsub} + 1 : subs.m * {dsub} + {dsub}] AS svv
+      FROM pb CROSS JOIN subs)""",
+        f"""p0 AS (
+      SELECT sub_id,
+             row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) - 1
+               AS code_id,
+             svv AS cv, cast(0 AS bigint) AS n_points
+      FROM sv
+      QUALIFY row_number() OVER (PARTITION BY sub_id ORDER BY vec_id)
+        <= {k_codes})""",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""pa{i} AS (
+      SELECT s.vec_id, s.sub_id, s.svv, c.code_id, row_number() OVER (
+        PARTITION BY s.vec_id, s.sub_id
+        ORDER BY {sc.round6_sql(d2)} ASC, c.code_id ASC) AS pr
+      FROM sv s JOIN p{i} c USING (sub_id))"""
+        )
+        parts.extend((
+            f"""pg{i} AS (
+      SELECT sub_id, code_id, count(*) AS cnt, list(qv) AS qvs
+      FROM (SELECT sub_id, code_id,
+                   list_transform(svv,
+                     x -> cast(floor(x * {quant}.0 + 0.5) AS bigint)) AS qv
+            FROM pa{i} WHERE pr = 1)
+      GROUP BY sub_id, code_id)""",
+            f"""ps{i} AS (
+      SELECT sub_id, code_id, cnt,
+             list_transform(generate_series(1, {dsub}),
+               d -> list_sum(list_transform(qvs, w -> w[d]))) AS s
+      FROM pg{i})""",
+        ))
+        parts.append(
+            f"""p{i + 1} AS (
+      SELECT p.sub_id, p.code_id,
+             CASE WHEN q.cnt IS NULL THEN p.cv
+                  ELSE list_transform(q.s, s -> cast(s AS double)
+                         / ({quant}.0 * cast(q.cnt AS double))) END AS cv,
+             cast(coalesce(q.cnt, 0) AS bigint) AS n_points
+      FROM p{i} p LEFT JOIN ps{i} q USING (sub_id, code_id))"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _o_pq_enc_cte(n_iter: int = 2, dim: int = 64, m_sub: int = 4) -> str:
+    """enc CTE on top of the pq chain: final assignment pa{n_iter}'s
+    code per (vec, sub), codes list + reconstruction list in subspace
+    order. The extra paF rank reuses the same rounded-L2 convention."""
+    dsub = dim // m_sub
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {dsub}),"
+        " i -> (s.svv[i] - c.cv[i]) * (s.svv[i] - c.cv[i])))"
+    )
+    return f"""paF AS (
+      SELECT s.vec_id, s.sub_id, s.svv, c.code_id, c.cv,
+             row_number() OVER (
+        PARTITION BY s.vec_id, s.sub_id
+        ORDER BY {sc.round6_sql(d2)} ASC, c.code_id ASC) AS pr
+      FROM sv s JOIN p{n_iter} c USING (sub_id)),
+    enc AS (
+      SELECT vec_id, list(code_id ORDER BY sub_id) AS codes,
+             flatten(list(cv ORDER BY sub_id)) AS r
+      FROM paF WHERE pr = 1 GROUP BY vec_id)"""
+
+
+def _o_pq_train() -> str:
+    from cityfinder_spark.operators.pq import PQ_ITER, PQ_K, PQ_M
+
+    dsub = 64 // PQ_M
+    return f"""
+    WITH {_o_pq_cte(PQ_M, PQ_K, PQ_ITER)}
+    SELECT c.sub_id, c.code_id, gs.d AS pos,
+           {sc.round6_sql("c.cv[gs.d]")} AS val, c.n_points
+    FROM p{PQ_ITER} c CROSS JOIN generate_series(1, {dsub}) AS gs(d)
+    """
+
+
+def _o_pq_encode() -> str:
+    from cityfinder_spark.operators.pq import PQ_ITER, PQ_K, PQ_M
+
+    recon = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> (b.v[i] - e.r[i]) * (b.v[i] - e.r[i])))"
+    )
+    # left-assoc: ((c0*16 + c1)*16 + c2)*16 + c3 == fold a*16+x
+    pack = "codes[1]"
+    for j in range(1, PQ_M):
+        pack = f"({pack}) * 16 + codes[{j + 1}]"
+    return f"""
+    WITH {_o_pq_cte(PQ_M, PQ_K, PQ_ITER)},
+    {_o_pq_enc_cte(PQ_ITER)}
+    SELECT b.vec_id, cast({pack} AS BIGINT) AS codes_packed,
+           {sc.round6_sql(recon)} AS recon_err
+    FROM pb b JOIN enc e USING (vec_id)
+    """
+
+
+def _o_pq_search() -> str:
+    from cityfinder_spark.operators.pq import PQ_ITER, PQ_K, PQ_M
+
+    dsub = 64 // PQ_M
+    td = (
+        f"list_sum(list_transform(generate_series(1, {dsub}),"
+        " i -> (q.svq[i] - c.cv[i]) * (q.svq[i] - c.cv[i])))"
+    )
+    adc = "0 + t0.td + t1.td + t2.td + t3.td"
+    # codes pre-extracted to scalar columns (encc) so every td join is
+    # a plain-column hash join — list extraction inside the join
+    # condition degrades DuckDB to a nested loop
+    joins = "\n      ".join(
+        f"JOIN td t{m} ON t{m}.q_id = q.q_id AND t{m}.sub_id = {m}"
+        f" AND t{m}.code_id = e.c{m}"
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH {_o_pq_cte(PQ_M, PQ_K, PQ_ITER)},
+    {_o_pq_enc_cte(PQ_ITER)},
+    qe AS (SELECT vec_id AS q_id,
+                  list_transform(embedding, x -> cast(x AS double)) AS v
+           FROM embeddings WHERE vec_id % 5 = 0),
+    qsv AS (SELECT q_id, subs.m AS sub_id,
+                   v[subs.m * {dsub} + 1 : subs.m * {dsub} + {dsub}] AS svq
+            FROM qe CROSS JOIN subs),
+    td AS (SELECT q.q_id, q.sub_id, c.code_id, {td} AS td
+           FROM qsv q JOIN p{PQ_ITER} c USING (sub_id)),
+    qset AS (SELECT DISTINCT q_id FROM qe),
+    encc AS (SELECT vec_id, {", ".join(f"codes[{m + 1}] AS c{m}" for m in range(PQ_M))}
+             FROM enc),
+    adc AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             {sc.round6_sql(adc)} AS adc_dist
+      FROM encc e CROSS JOIN qset q
+      {joins}),
+    rk AS (SELECT q_id, neighbor_id, adc_dist, row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+           FROM adc)
+    SELECT q_id, neighbor_id, adc_dist, cast(rank AS INT) AS rank
+    FROM rk WHERE rank <= {PQ_SEARCH_K}
+    """
+
+
 def _o_kmeans_train(k: int, n_iter: int, dim: int = 64) -> str:
     return f"""
     WITH {_DUCK_EMB_CTE},
@@ -4876,6 +5101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_search_persisted": q_ann_search_persisted,
         "ann_search_ivf": q_ann_search_ivf,
         "ann_search_trained": q_ann_search_trained,
+        "pq_train": q_pq_train,
+        "pq_encode": q_pq_encode,
+        "pq_search": q_pq_search,
         "kmeans_train": q_kmeans_train,
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
@@ -5024,6 +5252,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_search_persisted": _o_ann_search(),
         "ann_search_ivf": _o_ann_search_ivf(),
         "ann_search_trained": _o_ann_search_trained(),
+        "pq_train": _o_pq_train(),
+        "pq_encode": _o_pq_encode(),
+        "pq_search": _o_pq_search(),
         "kmeans_train": _o_kmeans_train(KMEANS_K, KMEANS_ITER),
         "kmeans_assign": _o_kmeans_assign(KMEANS_K, KMEANS_ITER),
         "semdedup": _o_semdedup(KMEANS_K, KMEANS_ITER, SEMDEDUP_T),

@@ -1,0 +1,361 @@
+"""Product quantization (PQ) over an embedding column — the FAISS
+IVF-PQ compression half (Jegou, Douze, Schmid, "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011): split each dim-D vector
+into M contiguous subvectors, learn a K-centroid codebook PER
+SUBSPACE with Lloyd's, store each vector as M small integer codes
+(D floats -> M bytes at K<=256 — the 10^12-vector memory story), and
+serve queries with Asymmetric Distance Computation (ADC): one
+(M x K) lookup table per query, corpus distance = M table adds.
+
+Engine stance (shared with operators/kmeans.py, whose fixed-point
+design this reuses wholesale): every distributed aggregate that feeds
+the model is an INTEGER (per-component sums quantized once per row,
+half-up at 1e-6), so any combine order yields identical codebooks and
+the whole train -> encode -> search chain replays closed-form in
+DuckDB SQL. Distances are squared L2 (the PQ-native metric) computed
+in the exact left-fold dimension order of list_sum, rounded to
+COS_DIGITS before every argmin/rank so sub-1e-6 noise can't flip a
+code or a neighbor.
+
+Scale shape:
+  * train: per iteration ONE corpus scan; assignment for ALL M
+    subspaces happens inside a single mapInPandas pass against the
+    broadcast (M x K x D/M) codebook; each task emits M*K partial
+    rows of (D/M + 1) longs — the model shuffles, never the data.
+  * encode: zero shuffle (broadcast codebook, one Arrow pass); the
+    output is (id, M codes) — the compressed corpus.
+  * search: corpus-side streaming ADC — the QUERY side (small by the
+    asymmetric-search contract) broadcasts as per-query lookup
+    tables; the encoded corpus streams through one mapInPandas that
+    keeps a per-partition top-k per query, and a final dimension-sized
+    window merges (tasks x q x k) candidate rows: provably equal to
+    the full ranked scan because per-partition and global ranking use
+    the same (dist, id) total order. The corpus is scanned once;
+    nothing corpus-sized shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from cityfinder_spark.colutils import round_digits_col, spread
+from cityfinder_spark.operators.kmeans import KMEANS_QUANT
+from cityfinder_spark.operators.similarity import (
+    COS_DIGITS,
+    _id_field,
+    _round_np,
+)
+from cityfinder_spark.workerenv import tune_malloc as _tune_malloc
+
+PQ_M = 4        # subspaces
+PQ_K = 16       # codes per subspace
+PQ_ITER = 2     # Lloyd iterations per subspace
+
+
+def _fold_sqdist(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """All-pairs squared L2 (q x n) in the exact left-fold dimension
+    order of DuckDB list_sum: acc starts at 0.0, adds one dimension's
+    (q_d - c_d)^2 at a time — subtraction of float32-representable
+    doubles is exact, the square is one rounding, and the add sequence
+    is identical, so results are bit-identical to the SQL fold."""
+    acc = np.zeros((Q.shape[0], C.shape[0]))
+    for d in range(Q.shape[1]):
+        diff = Q[:, d, None] - C[None, :, d]
+        acc += diff * diff
+    return acc
+
+
+def _assign_codes(
+    X: np.ndarray, CB: np.ndarray, digits: int
+) -> np.ndarray:
+    """(n x M) code matrix: per subspace, argmin of ROUNDED squared
+    L2 (ties -> lowest code; np.argmin returns the first minimum)."""
+    n, dim = X.shape
+    m_sub, _k, dsub = CB.shape
+    codes = np.empty((n, m_sub), dtype=np.int64)
+    for m in range(m_sub):
+        d2 = _fold_sqdist(X[:, m * dsub : (m + 1) * dsub], CB[m])
+        codes[:, m] = np.argmin(_round_np(d2, digits), axis=1)
+    return codes
+
+
+def pq_fit(
+    emb: DataFrame,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iter: int = PQ_ITER,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = COS_DIGITS,
+    quant: int = KMEANS_QUANT,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train all M subspace codebooks jointly: returns
+    (codebooks (M x K x D/M) float64, counts (M x K) int64), counts
+    from the final update pass. Seeding mirrors kmeans_fit: the
+    subvectors of the k_codes lowest ids seed every subspace."""
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k_codes).collect()
+    if not rows:
+        return (
+            np.zeros((m_sub, 0, 0)),
+            np.zeros((m_sub, 0), dtype=np.int64),
+        )
+    seed = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    dim = seed.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    CB = np.stack(
+        [seed[:, m * dsub : (m + 1) * dsub].copy() for m in range(m_sub)]
+    )
+    cnt = np.zeros((m_sub, k_codes), dtype=np.int64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("sub_id", T.LongType()),
+            T.StructField("code_id", T.LongType()),
+            T.StructField("qsum", T.ArrayType(T.LongType())),
+        ]
+    )
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(CB)
+
+        def partials(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            _tune_malloc()
+            CBw = bc.value
+            S = np.zeros((m_sub, k_codes, dsub + 1), dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                X = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                codes = _assign_codes(X, CBw, digits)
+                for m in range(m_sub):
+                    qv = np.floor(
+                        X[:, m * dsub : (m + 1) * dsub] * quant + 0.5
+                    ).astype(np.int64)
+                    np.add.at(S[m, :, :dsub], codes[:, m], qv)
+                    S[m, :, dsub] += np.bincount(
+                        codes[:, m], minlength=k_codes
+                    )
+            if seen:
+                sub = np.repeat(np.arange(m_sub, dtype=np.int64), k_codes)
+                code = np.tile(np.arange(k_codes, dtype=np.int64), m_sub)
+                yield pd.DataFrame(
+                    {
+                        "sub_id": sub,
+                        "code_id": code,
+                        "qsum": list(S.reshape(m_sub * k_codes, dsub + 1)),
+                    }
+                )
+
+        agg = (
+            spread(emb.select(vec_col))
+            .mapInPandas(partials, out_schema)
+            .select("sub_id", "code_id", F.posexplode("qsum").alias("pos", "qs"))
+            .groupBy("sub_id", "code_id", "pos")
+            .agg(F.sum("qs").alias("qs"))
+            .collect()
+        )
+        S = np.zeros((m_sub, k_codes, dsub + 1), dtype=np.int64)
+        for r in agg:
+            S[r["sub_id"], r["code_id"], r["pos"]] = r["qs"]
+        cnt = S[:, :, dsub].copy()
+        nz = cnt > 0
+        # same exact replay as kmeans: int64 -> float64 exact below
+        # 2^53, then ONE IEEE division on identical operands
+        denom = float(quant) * cnt[nz].astype(np.float64)
+        CB[nz] = S[nz][:, :dsub].astype(np.float64) / denom[:, None]
+    return CB, cnt
+
+
+def pq_train(
+    emb: DataFrame,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iter: int = PQ_ITER,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = COS_DIGITS,
+    quant: int = KMEANS_QUANT,
+) -> DataFrame:
+    """The codebooks as a DataFrame exploded for exact comparison:
+    (sub_id, code_id, pos (1-based within the subspace), val (round6
+    component), n_points) — M*K*(D/M) rows, model-sized."""
+    spark = emb.sparkSession
+    CB, cnt = pq_fit(
+        emb, m_sub, k_codes, n_iter, id_col, vec_col, digits, quant
+    )
+    CBr = _round_np(CB, digits)
+    rows = [
+        (int(m), int(c), int(p + 1), float(CBr[m, c, p]), int(cnt[m, c]))
+        for m in range(CBr.shape[0])
+        for c in range(CBr.shape[1])
+        for p in range(CBr.shape[2])
+    ]
+    return spark.createDataFrame(
+        rows, "sub_id long, code_id long, pos long, val double, n_points long"
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = COS_DIGITS,
+) -> DataFrame:
+    """Compress: (id, codes array<long> (M entries), recon_err) per
+    row — recon_err is the squared L2 between the vector and its
+    reconstruction, folded over the FULL dimension order (subspace
+    slices are contiguous, so one 1..D fold == DuckDB's list_sum over
+    the concatenated reconstruction), rounded to 6 digits. Zero
+    shuffle: broadcast codebook, one Arrow pass."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    schema = T.StructType(
+        [
+            _id_field(emb, id_col, id_col),
+            T.StructField("codes", T.ArrayType(T.LongType())),
+            T.StructField("recon_err", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _tune_malloc()
+        CB = bc.value
+        m_sub, _k, dsub = CB.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = _assign_codes(X, CB, digits)
+            R = np.concatenate(
+                [CB[m][codes[:, m]] for m in range(m_sub)], axis=1
+            )
+            err = np.zeros(len(X))
+            for d in range(X.shape[1]):
+                diff = X[:, d] - R[:, d]
+                err += diff * diff
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                    "recon_err": _round_np(err, digits),
+                }
+            )
+
+    return spread(emb.select(id_col, vec_col)).mapInPandas(gen, schema)
+
+
+def pq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = COS_DIGITS,
+) -> DataFrame:
+    """ADC top-k: (q_id, neighbor_id, adc_dist, rank), smallest
+    approximate squared L2 first, ties neighbor_id asc. `codes` is
+    the pq_encode output (the compressed corpus — the only thing
+    scanned). Per query the (M x K) table entries are subspace
+    L2 folds; a corpus row's distance adds its M table cells in
+    subspace order (fixed tree -> deterministic), rounded once.
+
+    The query side collects to a broadcast (asymmetric-search
+    contract: the query batch is small; the CORPUS must stream) and
+    the encoded corpus makes one mapInPandas pass keeping a
+    per-partition top-k per query; the global window then ranks
+    (partitions x q x k) candidate rows — equal to the full ranked
+    scan because both use the same (adc_dist, neighbor_id) order and
+    every global top-k row is its partition's top-k."""
+    spark = queries.sparkSession
+    qrows = queries.select(q_id_col, vec_col).orderBy(q_id_col).collect()
+    m_sub, k_codes, dsub = codebooks.shape
+    if qrows:
+        Q = np.array(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]
+        )
+        # tables[q, m, c] = fold-L2(query subvec m, codebook[m][c])
+        tables = np.stack(
+            [
+                _fold_sqdist(Q[:, m * dsub : (m + 1) * dsub], codebooks[m])
+                for m in range(m_sub)
+            ],
+            axis=1,
+        )
+    else:
+        tables = np.zeros((0, m_sub, k_codes))
+    q_ids = np.array([r[q_id_col] for r in qrows])
+    bc = spark.sparkContext.broadcast((q_ids, tables))
+    schema = T.StructType(
+        [
+            _id_field(queries, q_id_col, "q_id"),
+            _id_field(codes, id_col, "neighbor_id"),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _tune_malloc()
+        qids, tabs = bc.value
+        nq = len(qids)
+        if nq == 0:
+            return
+        ids_all: list[np.ndarray] = []
+        dists_all: list[np.ndarray] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())
+            nid = pdf[id_col].to_numpy()
+            # adc[q, row] accumulated in subspace order (fixed tree)
+            adc = np.zeros((nq, len(C)))
+            for m in range(m_sub):
+                adc += tabs[:, m, :][:, C[:, m]]
+            adc = _round_np(adc, digits)
+            ids_all.append(nid)
+            dists_all.append(adc)
+        if not ids_all:
+            return
+        nid = np.concatenate(ids_all)
+        adc = np.concatenate(dists_all, axis=1)
+        kk = min(k, len(nid))
+        # per-partition top-k per query: lexsort (id asc within dist)
+        out_q, out_i, out_d = [], [], []
+        for qi in range(nq):
+            order = np.lexsort((nid, adc[qi]))[:kk]
+            out_q.append(np.full(kk, qids[qi]))
+            out_i.append(nid[order])
+            out_d.append(adc[qi][order])
+        yield pd.DataFrame(
+            {
+                "q_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_i),
+                "adc_dist": np.concatenate(out_d),
+            }
+        )
+
+    cand = spread(codes.select(id_col, "codes")).mapInPandas(gen, schema)
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "adc_dist", "rank")
+    )
