@@ -131,6 +131,7 @@ HEADLINE = [
     "pq_train",
     "pq_encode",
     "pq_search",
+    "ivfpq_search",
     "kmeans_assign",
     "semdedup",
     "image_pipeline",
@@ -238,6 +239,7 @@ _FACT_TABLE = {
     "pq_train": "embeddings",
     "pq_encode": "embeddings",
     "pq_search": "embeddings",
+    "ivfpq_search": "embeddings",
     "kmeans_assign": "embeddings",
     "semdedup": "embeddings",
     "events_windowed": "events",

@@ -1989,6 +1989,133 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_PROBE = 2
+
+
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC end-to-end (the full FAISS IVF-PQ serving shape): the
+    kmeans coarse quantizer (shared memo with kmeans_assign), corpus
+    residuals PQ-encoded to 4-bit codes + a cell id, queries probing
+    n_probe cells with shifted-query ADC tables. Every stage — coarse
+    training, assignment, residuals, residual-PQ training, codes,
+    probe choice, the ADC add chain — replays closed-form in one
+    DuckDB oracle."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.operators.kmeans import kmeans_fit
+    from cityfinder_spark.operators.pq import (
+        ivfpq_search,
+        pq_encode,
+        pq_fit,
+        residual_vectors,
+    )
+
+    def build_c():
+        C, _ = kmeans_fit(
+            _embs(spark, sf_dir), k=KMEANS_K, n_iter=KMEANS_ITER
+        )
+        return C
+
+    C = memo_value(
+        spark, ("kmeans-model", sf_dir, KMEANS_K, KMEANS_ITER), build_c
+    )
+    base = _emb_base(spark, sf_dir)
+    resid = residual_vectors(base, C)
+
+    def build_cb():
+        CB, _ = pq_fit(resid, vec_col="residual")
+        return CB
+
+    CB = memo_value(spark, ("ivfpq-pq", sf_dir), build_cb)
+    enc = pq_encode(resid, CB, vec_col="residual").join(
+        resid.select("vec_id", "cluster_id"), "vec_id"
+    )
+    return ivfpq_search(
+        _emb_queries(spark, sf_dir), enc, C, CB,
+        k=PQ_SEARCH_K, n_probe=IVFPQ_PROBE,
+    )
+
+
+def _o_ivfpq_search() -> str:
+    from cityfinder_spark.operators.pq import PQ_ITER, PQ_K, PQ_M
+
+    dsub = 64 // PQ_M
+    it = KMEANS_ITER
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> m.v[i] * c.cv[i]))"
+    )
+    td = (
+        f"list_sum(list_transform(generate_series(1, {dsub}),"
+        " i -> (s.svq[i] - c.cv[i]) * (s.svq[i] - c.cv[i])))"
+    )
+    adc = "0 + t0.td + t1.td + t2.td + t3.td"
+    joins = "\n      ".join(
+        f"JOIN td t{m} ON "
+        + ("t0.q_id = t0.q_id AND " if m == 0 else f"t{m}.q_id = t0.q_id AND ")
+        + f"t{m}.cluster_id = e.cluster_id"
+        f" AND t{m}.sub_id = {m} AND t{m}.code_id = e.c{m}"
+        for m in range(PQ_M)
+    )
+    codes_cols = ", ".join(f"codes[{m + 1}] AS c{m}" for m in range(PQ_M))
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    {_o_kmeans_cte(KMEANS_K, it)},
+    cnF AS (
+      SELECT cluster_id, cv,
+             sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+      FROM c{it}),
+    aF AS (
+      SELECT m.vec_id, c.cluster_id, row_number() OVER (
+        PARTITION BY m.vec_id
+        ORDER BY {sc.round6_sql(f"{dot} / (m.nrm * c.cnrm)")} DESC,
+                 c.cluster_id ASC) AS pr
+      FROM n m CROSS JOIN cnF c),
+    asg AS (SELECT vec_id, cluster_id FROM aF WHERE pr = 1),
+    rb AS (
+      SELECT m.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> m.v[i] - c.cv[i]) AS v
+      FROM n m JOIN asg a ON a.vec_id = m.vec_id
+      JOIN cnF c ON c.cluster_id = a.cluster_id
+      WHERE m.vec_id % 5 <> 0),
+    {_o_pq_cte(PQ_M, PQ_K, PQ_ITER, src_sql="SELECT vec_id, v FROM rb")},
+    {_o_pq_enc_cte(PQ_ITER)},
+    qn AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id % 5 = 0),
+    qpr AS (
+      SELECT m.q_id, c.cluster_id, c.cv, row_number() OVER (
+        PARTITION BY m.q_id
+        ORDER BY {sc.round6_sql(
+            "list_sum(list_transform(generate_series(1, 64),"
+            " i -> m.v[i] * c.cv[i])) / (m.nrm * c.cnrm)"
+        )} DESC, c.cluster_id ASC) AS pr
+      FROM qn m CROSS JOIN cnF c),
+    shift AS (
+      SELECT q.q_id, p.cluster_id,
+             list_transform(generate_series(1, 64),
+               i -> q.v[i] - p.cv[i]) AS sv
+      FROM qn q JOIN qpr p ON p.q_id = q.q_id AND p.pr <= {IVFPQ_PROBE}),
+    ssv AS (
+      SELECT q_id, cluster_id, subs.m AS sub_id,
+             sv[subs.m * {dsub} + 1 : subs.m * {dsub} + {dsub}] AS svq
+      FROM shift CROSS JOIN subs),
+    td AS (SELECT s.q_id, s.cluster_id, s.sub_id, c.code_id, {td} AS td
+           FROM ssv s JOIN p{PQ_ITER} c USING (sub_id)),
+    encc AS (SELECT e.vec_id, a.cluster_id, {codes_cols}
+             FROM enc e JOIN asg a USING (vec_id)),
+    adc AS (
+      SELECT t0.q_id, e.vec_id AS neighbor_id,
+             {sc.round6_sql(adc)} AS adc_dist
+      FROM encc e
+      {joins}),
+    rk AS (SELECT q_id, neighbor_id, adc_dist, row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+           FROM adc)
+    SELECT q_id, neighbor_id, adc_dist, cast(rank AS INT) AS rank
+    FROM rk WHERE rank <= {PQ_SEARCH_K}
+    """
+
+
 def q_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric exact search: top-5 corpus neighbors per query row
     (dedup-a-new-batch-against-the-corpus, the production ingestion
@@ -4694,6 +4821,7 @@ def _o_pq_cte(
     n_iter: int = 2,
     dim: int = 64,
     quant: int = 10**6,
+    src_sql: str | None = None,
 ) -> str:
     """PQ training replayed as CTE chains p0..p{n_iter} over the
     corpus (vec_id % 5 <> 0) side: per-subspace Lloyd's with L2
@@ -4707,10 +4835,14 @@ def _o_pq_cte(
         f"list_sum(list_transform(generate_series(1, {dsub}),"
         " i -> (s.svv[i] - c.cv[i]) * (s.svv[i] - c.cv[i])))"
     )
+    if src_sql is None:
+        src_sql = (
+            "SELECT vec_id,"
+            " list_transform(embedding, x -> cast(x AS double)) AS v"
+            " FROM embeddings WHERE vec_id % 5 <> 0"
+        )
     parts = [
-        f"""pb AS (
-      SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
-      FROM embeddings WHERE vec_id % 5 <> 0)""",
+        f"""pb AS ({src_sql})""",
         f"""subs AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m)""",
         f"""sv AS (
       SELECT vec_id, subs.m AS sub_id,
@@ -5104,6 +5236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_train": q_pq_train,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
+        "ivfpq_search": q_ivfpq_search,
         "kmeans_train": q_kmeans_train,
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
@@ -5255,6 +5388,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_train": _o_pq_train(),
         "pq_encode": _o_pq_encode(),
         "pq_search": _o_pq_search(),
+        "ivfpq_search": _o_ivfpq_search(),
         "kmeans_train": _o_kmeans_train(KMEANS_K, KMEANS_ITER),
         "kmeans_assign": _o_kmeans_assign(KMEANS_K, KMEANS_ITER),
         "semdedup": _o_semdedup(KMEANS_K, KMEANS_ITER, SEMDEDUP_T),

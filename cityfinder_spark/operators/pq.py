@@ -359,3 +359,181 @@ def pq_search(
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def residual_vectors(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "cluster_id",
+    digits: int = COS_DIGITS,
+) -> DataFrame:
+    """IVF-PQ front half: coarse-assign each vector to its kmeans
+    cell (rounded-cosine convention shared with kmeans_assign /
+    ivf_search), then subtract the cell centroid — PQ then encodes
+    the RESIDUAL, which is far lower-variance than the raw vector
+    (the Jegou et al. IVFADC construction). Output:
+    (id, cluster_id, residual array<double>).
+
+    The subtraction is pure JVM codegen: zip_with against the
+    broadcast (cluster -> centroid) mini-table — doubles subtract
+    exactly the same way in every engine, so residuals stay
+    oracle-replayable. Assignment is the stateless kmeans_assign
+    pass (zero shuffle); the centroid attach is a broadcast join."""
+    from cityfinder_spark.operators.kmeans import kmeans_assign
+
+    spark = emb.sparkSession
+    labels = kmeans_assign(emb, centroids, id_col, vec_col, digits)
+    cdf = spark.createDataFrame(
+        [
+            (int(c), [float(x) for x in centroids[c]])
+            for c in range(len(centroids))
+        ],
+        f"{label_col} long, __c array<double>",
+    )
+    return (
+        emb.select(id_col, vec_col)
+        .join(labels, id_col)
+        .join(F.broadcast(cdf), label_col)
+        .select(
+            id_col,
+            label_col,
+            F.expr(
+                f"zip_with(transform({vec_col}, x -> cast(x as double)),"
+                " __c, (x, c) -> x - c)"
+            ).alias("residual"),
+        )
+    )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    enc: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "cluster_id",
+    digits: int = COS_DIGITS,
+) -> DataFrame:
+    """IVFADC serving (the full FAISS IVF-PQ shape): per query, probe
+    the n_probe coarse cells with the best rounded centroid cosine
+    (ties cell asc — the ivf_search convention), shift the query by
+    each probed centroid, build the (M x K) ADC table of the SHIFTED
+    query against the residual codebooks, and scan only rows whose
+    cell is probed. Output (q_id, neighbor_id, adc_dist, rank), adc
+    asc / neighbor asc, round6.
+
+    `enc` is the compressed corpus: (id, cluster_id, codes) — what a
+    10^12-vector deployment actually stores (2 bytes + a cell id per
+    vector). Scale shape matches pq_search (query side broadcasts,
+    corpus streams once, per-partition top-k + dimension-sized
+    merge), with the probe step additionally cutting the scanned-row
+    work to the probed cells' share per query."""
+    spark = queries.sparkSession
+    qrows = queries.select(q_id_col, vec_col).orderBy(q_id_col).collect()
+    m_sub, k_codes, dsub = codebooks.shape
+    n_list = len(coarse)
+    n_probe = min(n_probe, n_list)
+    if qrows:
+        Q = np.array(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]
+        )
+        from cityfinder_spark.operators.similarity import (
+            _fold_dots,
+            _fold_norms,
+        )
+
+        cos = _fold_dots(Q, coarse)
+        cos /= _fold_norms(Q)[:, None] * _fold_norms(coarse)[None, :]
+        cosr = _round_np(cos, digits)
+        # per query: top n_probe lists, rounded cos desc, list asc
+        probes = np.stack(
+            [
+                np.lexsort((np.arange(n_list), -cosr[qi]))[:n_probe]
+                for qi in range(len(Q))
+            ]
+        ).astype(np.int64)
+        # tables[q, p, m, c]: shifted-query subspace L2 vs codebook
+        tables = np.zeros((len(Q), n_probe, m_sub, k_codes))
+        for qi in range(len(Q)):
+            for p in range(n_probe):
+                sq = Q[qi] - coarse[probes[qi, p]]
+                for m in range(m_sub):
+                    tables[qi, p, m] = _fold_sqdist(
+                        sq[None, m * dsub : (m + 1) * dsub], codebooks[m]
+                    )[0]
+    else:
+        probes = np.zeros((0, n_probe), dtype=np.int64)
+        tables = np.zeros((0, n_probe, m_sub, k_codes))
+    q_ids = np.array([r[q_id_col] for r in qrows])
+    bc = spark.sparkContext.broadcast((q_ids, probes, tables))
+    schema = T.StructType(
+        [
+            _id_field(queries, q_id_col, "q_id"),
+            _id_field(enc, id_col, "neighbor_id"),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _tune_malloc()
+        qids, prb, tabs = bc.value
+        nq = len(qids)
+        if nq == 0:
+            return
+        # invert: list -> [(query_idx, probe_rank), ...]
+        inv: dict[int, list[tuple[int, int]]] = {}
+        for qi in range(nq):
+            for p in range(prb.shape[1]):
+                inv.setdefault(int(prb[qi, p]), []).append((qi, p))
+        cand: dict[int, list] = {qi: [] for qi in range(nq)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())
+            nid = pdf[id_col].to_numpy()
+            lab = pdf[label_col].to_numpy()
+            for l, members in inv.items():
+                sel = lab == l
+                if not sel.any():
+                    continue
+                Cl, nl = C[sel], nid[sel]
+                for qi, p in members:
+                    adc = np.zeros(len(Cl))
+                    for m in range(tabs.shape[2]):
+                        adc += tabs[qi, p, m][Cl[:, m]]
+                    cand[qi].append((nl, _round_np(adc, 6)))
+        out_q, out_i, out_d = [], [], []
+        for qi in range(nq):
+            if not cand[qi]:
+                continue
+            nl = np.concatenate([c[0] for c in cand[qi]])
+            dl = np.concatenate([c[1] for c in cand[qi]])
+            order = np.lexsort((nl, dl))[: min(k, len(nl))]
+            out_q.append(np.full(len(order), qids[qi]))
+            out_i.append(nl[order])
+            out_d.append(dl[order])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_i),
+                    "adc_dist": np.concatenate(out_d),
+                }
+            )
+
+    cols = enc.select(id_col, label_col, "codes")
+    cand_df = spread(cols).mapInPandas(gen, schema)
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        cand_df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "adc_dist", "rank")
+    )

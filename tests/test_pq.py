@@ -101,3 +101,58 @@ def test_pq_search_rank_order(spark, emb):
     assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
     dists = [r["adc_dist"] for r in rows]
     assert dists == sorted(dists)
+
+
+def test_ivfpq_search_recall_and_probe_locality(spark, emb):
+    """IVFADC on the clustered fixture: recall@10 of the true nearest
+    other neighbor >= 0.9 at n_probe=2 of 8 cells, and every returned
+    neighbor belongs to one of the query's probed cells."""
+    from cityfinder_spark.operators.kmeans import kmeans_fit
+    from cityfinder_spark.operators.pq import (
+        ivfpq_search,
+        pq_encode,
+        pq_fit,
+        residual_vectors,
+    )
+    from cityfinder_spark.operators.similarity import (
+        _fold_dots,
+        _fold_norms,
+        _round_np,
+    )
+
+    C, _ = kmeans_fit(emb, k=8, n_iter=2)
+    resid = residual_vectors(emb, C)
+    CB, _ = pq_fit(resid, vec_col="residual")
+    enc = pq_encode(resid, CB, vec_col="residual").join(
+        resid.select("vec_id", "cluster_id"), "vec_id"
+    )
+    queries = emb.where("vec_id % 10 = 0").select(
+        emb["vec_id"].alias("q_id"), "embedding"
+    )
+    out = ivfpq_search(queries, enc, C, CB, k=10, n_probe=2).collect()
+    labels = {r["vec_id"]: r["cluster_id"] for r in resid.collect()}
+    X = np.array(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.orderBy("vec_id").collect()
+        ]
+    )
+    cos = _fold_dots(X, C) / (
+        _fold_norms(X)[:, None] * _fold_norms(C)[None, :]
+    )
+    cosr = _round_np(cos, 6)
+    probed = {
+        q: set(np.lexsort((np.arange(8), -cosr[q]))[:2])
+        for q in range(0, 240, 10)
+    }
+    approx: dict[int, set[int]] = {}
+    for r in out:
+        assert labels[r["neighbor_id"]] in probed[r["q_id"]]
+        approx.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    hit = n = 0
+    for q in range(0, 240, 10):
+        d = ((X - X[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        hit += int(np.argmin(d)) in approx.get(q, set())
+        n += 1
+    assert hit / n >= 0.9, hit / n
