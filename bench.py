@@ -72,6 +72,7 @@ HEADLINE = [
     "index_roundtrip",
     "index_roundtrip_postal",
     "partitioned_read",
+    "upsert_merge",
     "zorder_read",
     "bucketed_join",
     "resumable_rollup",
@@ -132,6 +133,7 @@ HEADLINE = [
     "pq_encode",
     "pq_search",
     "ivfpq_search",
+    "streaming_pq_encode",
     "kmeans_assign",
     "semdedup",
     "image_pipeline",
@@ -182,6 +184,7 @@ _FACT_TABLE = {
     "index_roundtrip": "orders",
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",
+    "upsert_merge": "documents",
     "bucketed_join": "documents",
     "resumable_rollup": "documents",
     "salted_agg": "orders",
@@ -240,6 +243,7 @@ _FACT_TABLE = {
     "pq_encode": "embeddings",
     "pq_search": "embeddings",
     "ivfpq_search": "embeddings",
+    "streaming_pq_encode": "embeddings",
     "kmeans_assign": "embeddings",
     "semdedup": "embeddings",
     "events_windowed": "events",

@@ -403,6 +403,50 @@ def q_nearest_city_bigdim(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGION_BOX = (10.0, 45.0, 150.0, -150.0)
 
 
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert over the documents snapshot: every 4th doc
+    re-crawled at version 2 (text revised), every 10th id shifted
+    into a fresh insert at version 1; one last-write-wins merge pass
+    emits the post-merge snapshot. Highest version wins, updates beat
+    base on ties, inserts ride the same path — the Iceberg/Delta
+    MERGE kernel as one id-keyed window."""
+    from cityfinder_spark.sinks import upsert_merge
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.lit(0).cast("long").alias("version")
+    )
+    upd = _docs(spark, sf_dir).where("doc_id % 4 = 0").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" rev2")).alias("text"),
+        F.lit(2).cast("long").alias("version"),
+    )
+    ins = _docs(spark, sf_dir).where("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+        F.lit(1).cast("long").alias("version"),
+    )
+    return upsert_merge(base, upd.unionByName(ins), "doc_id", "version")
+
+
+def _o_upsert_merge() -> str:
+    return """
+    WITH a AS (
+      SELECT doc_id, text, 0 AS version, 0 AS upd FROM documents
+      UNION ALL
+      SELECT doc_id, text || ' rev2', 2, 1 FROM documents
+      WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 10000000, 'new ' || text, 1, 1 FROM documents
+      WHERE doc_id % 10 = 0),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC, upd DESC) AS rn
+          FROM a)
+    SELECT doc_id, text, cast(version AS BIGINT) AS version,
+           upd = 1 AS from_update
+    FROM r WHERE rn = 1
+    """
+
+
 def q_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 sink gate: WRITE the assignment table partitioned by its
     coarse spatial cell (sinks.write_assignments), then READ BACK a
@@ -3184,6 +3228,38 @@ def q_streaming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 driver gate: PQ compression at INGESTION TIME — the
+    corpus embeddings staged into 3 id-ordered files and streamed one
+    per micro-batch through the SAME pq_encode pass the batch key
+    runs (broadcast codebook + stateless Arrow kernel are
+    streaming-compatible as-is; the one-codebase stance of
+    streaming_knn applied to the compression path). Emissions are
+    batch-invariant, so the key shares the pq_encode oracle."""
+    from cityfinder_spark.operators.pq import pq_encode
+
+    CB = _pq_model(spark, sf_dir)
+    base = _emb_base(spark, sf_dir).select("vec_id", "embedding")
+    src = _stage_id_ordered(
+        spark, base, "vec_id", f"pq-emb|{sf_dir}", n_files=3
+    )
+    schema = spark.read.parquet(src).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enc = pq_encode(stream_in, CB)
+    out = _run_stream_to_table(spark, enc, mode="append")
+    return out.select(
+        "vec_id",
+        F.expr("aggregate(codes, 0L, (a, x) -> a * 16 + x)").alias(
+            "codes_packed"
+        ),
+        "recon_err",
+    )
+
+
 # ---------------- DuckDB oracles ----------------
 
 def _o_nearest_city() -> str:
@@ -5237,6 +5313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
         "ivfpq_search": q_ivfpq_search,
+        "streaming_pq_encode": q_streaming_pq_encode,
         "kmeans_train": q_kmeans_train,
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
@@ -5258,6 +5335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_city_tiled": q_nearest_city_tiled,
         "nearest_city_bigdim": q_nearest_city_bigdim,
         "partitioned_read": q_partitioned_read,
+        "upsert_merge": q_upsert_merge,
         "zorder_read": q_zorder_read,
         "bucketed_join": q_bucketed_join,
         "resumable_rollup": q_resumable_rollup,
@@ -5351,6 +5429,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_city_tiled": _o_nearest_city(),
         "nearest_city_bigdim": _o_nearest_city(),
         "partitioned_read": _o_partitioned_read(),
+        "upsert_merge": _o_upsert_merge(),
         "zorder_read": _o_partitioned_read(),
         "bucketed_join": _o_bucketed_join(),
         "resumable_rollup": _o_resumable_rollup(),
@@ -5389,6 +5468,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": _o_pq_encode(),
         "pq_search": _o_pq_search(),
         "ivfpq_search": _o_ivfpq_search(),
+        "streaming_pq_encode": _o_pq_encode(),
         "kmeans_train": _o_kmeans_train(KMEANS_K, KMEANS_ITER),
         "kmeans_assign": _o_kmeans_assign(KMEANS_K, KMEANS_ITER),
         "semdedup": _o_semdedup(KMEANS_K, KMEANS_ITER, SEMDEDUP_T),

@@ -234,3 +234,40 @@ def read_zordered_bbox(
     return df.where(cond).where(
         (F.col("lat") >= lat_min) & (F.col("lat") <= lat_max) & lon_ok
     )
+
+
+def upsert_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    id_col: str,
+    ver_col: str,
+) -> DataFrame:
+    """CDC upsert (the merge-on-read compaction kernel an Iceberg/
+    Delta MERGE executes): one surviving row per id from base ∪
+    updates — highest `ver_col` wins, updates beat base on a version
+    tie (the re-crawl-replaces-snapshot rule), and the winner keeps
+    ALL its columns. Inserts (update ids absent from base) flow
+    through the same path; there is no separate insert branch to
+    drift.
+
+    Scale: ONE id-keyed exchange (the ranking window) over base +
+    updates — the relational minimum for a global last-write-wins
+    merge. In steady state the base side is the bucketed snapshot
+    (write via `write_bucketed_table` on id) and only the delta
+    re-shuffles; AQE handles the size asymmetry. Output adds
+    `from_update` (whether the surviving row came from the delta) so
+    a merge audit is one aggregation away."""
+    from pyspark.sql import Window
+
+    a = base.withColumn("__upd", F.lit(0))
+    b = updates.withColumn("__upd", F.lit(1))
+    u = a.unionByName(b)
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(ver_col), F.desc("__upd")
+    )
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .withColumn("from_update", F.col("__upd") == 1)
+        .drop("__rn", "__upd")
+    )

@@ -168,3 +168,38 @@ def test_zordered_scan_pushes_zorder_ranges(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "zorder" in plan.split("PushedFilters")[1][:4000]
+
+
+def test_upsert_merge_last_write_wins(spark):
+    """Highest version wins; updates beat base on version ties;
+    inserts flow through; every surviving row keeps its own columns."""
+    import pandas as pd
+
+    from cityfinder_spark.sinks import upsert_merge
+
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["a", "b", "c"], "version": [5, 1, 0]}
+        )
+    )
+    upd = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # id 1: older update loses; id 2: tie -> update wins;
+                # id 3: newer wins; id 9: insert
+                "doc_id": [1, 2, 3, 9],
+                "text": ["a2", "b2", "c2", "i"],
+                "version": [3, 1, 7, 1],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["version"], r["from_update"])
+        for r in upsert_merge(base, upd, "doc_id", "version").collect()
+    }
+    assert out == {
+        1: ("a", 5, False),
+        2: ("b2", 1, True),
+        3: ("c2", 7, True),
+        9: ("i", 1, True),
+    }
