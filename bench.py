@@ -66,6 +66,7 @@ HEADLINE = [
     "box_range_join",
     "radius_join",
     "trajectory_stats",
+    "od_flows",
     "trajectory_stays",
     "geonames_scan",
     "postal_scan",
@@ -146,6 +147,7 @@ HEADLINE = [
     "audio_features",
     "audio_pipeline",
     "events_windowed",
+    "events_decay",
     "events_asof",
     "events_sessionize",
     "events_props",
@@ -181,6 +183,7 @@ _FACT_TABLE = {
     "box_range_join": "orders",
     "radius_join": "orders",
     "trajectory_stats": "orders",
+    "od_flows": "orders",
     "index_roundtrip": "orders",
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",
@@ -247,6 +250,7 @@ _FACT_TABLE = {
     "kmeans_assign": "embeddings",
     "semdedup": "embeddings",
     "events_windowed": "events",
+    "events_decay": "events",
     "events_asof": "events",
     "events_sessionize": "events",
     "events_props": "events",

@@ -663,6 +663,68 @@ def _polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix over the customer tracks, with
+    the k-anonymity publish gate (OD pairs are the canonical mobility
+    re-identification surface). One entity-keyed LAG exchange + one
+    (o,d)-keyed distinct agg."""
+    from cityfinder_spark.operators.trajectory import od_flows
+
+    load_views(spark, sf_dir, ("orders",))
+    pts = spark.sql(sc.traj_points_sql(orders=_spread_orders(spark, sf_dir)))
+    return od_flows(pts, level=CELL_LEVEL, k_anon=KANON_K)
+
+
+def _o_od_flows() -> str:
+    return f"""
+    WITH p AS ({sc.traj_points_sql()}),
+    cp AS (SELECT cust_id, pt_id,
+                  {sc.cell_sql("lat", "lon", CELL_LEVEL)} AS d_cell
+           FROM p),
+    ed AS (SELECT cust_id, d_cell,
+                  lag(d_cell) OVER (
+                    PARTITION BY cust_id ORDER BY pt_id) AS o_cell
+           FROM cp)
+    SELECT o_cell, d_cell, count(*) AS n_trips,
+           count(DISTINCT cust_id) AS n_users,
+           count(DISTINCT cust_id) >= {KANON_K} AS published
+    FROM ed WHERE o_cell IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
+def q_events_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed engagement score per user (feed-ranking /
+    churn-feature shape): integer 1e6 >> age_buckets micro-weights,
+    order-free integer rollup, one user-keyed exchange. last_ts
+    projected as exact unix micros for the value hash."""
+    from cityfinder_spark.streaming.windows import decayed_engagement
+
+    return decayed_engagement(_events(spark, sf_dir)).select(
+        "user_id",
+        "n_events",
+        F.unix_micros(F.col("last_ts").cast("timestamp")).alias("last_us"),
+        "decay_micro",
+        "score",
+    )
+
+
+def _o_events_decay() -> str:
+    return """
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us,
+                      max(epoch_us(ts)) OVER (PARTITION BY user_id) AS last
+               FROM events),
+    a AS (SELECT user_id, last,
+                 1000000 >> least(
+                   cast(floor((last - us) / 3600000000.0) AS INT), 20) AS term
+          FROM t)
+    SELECT user_id, count(*) AS n_events, max(last) AS last_us,
+           cast(sum(term) AS BIGINT) AS decay_micro,
+           cast(sum(term) AS BIGINT) / 1000000.0 AS score
+    FROM a GROUP BY user_id
+    """
+
+
 def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer movement track over the geotagged points (steps
     ordered by order key): path length / extreme steps from
@@ -5257,6 +5319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch": q_distinct_sketch,
         "radius_join": q_radius_join,
         "trajectory_stats": q_trajectory_stats,
+        "od_flows": q_od_flows,
+        "events_decay": q_events_decay,
         "trajectory_stays": q_trajectory_stays,
         "geonames_scan": q_geonames_scan,
         "postal_scan": q_postal_scan,
@@ -5377,6 +5441,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sketch": _o_distinct_sketch(),
         "radius_join": _o_radius_join(),
         "trajectory_stats": _o_trajectory_stats(),
+        "od_flows": _o_od_flows(),
+        "events_decay": _o_events_decay(),
         "trajectory_stays": _o_trajectory_stays(),
         "geonames_scan": _o_geonames_scan(),
         "postal_scan": _o_postal_scan(),

@@ -149,3 +149,58 @@ def trajectory_stays(
             ).alias("center_lon"),
         )
     )
+
+
+def od_flows(
+    pts: DataFrame,
+    level: int,
+    k_anon: int,
+    cust_col: str = "cust_id",
+    seq_col: str = "pt_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Origin-destination flow matrix over the cell lattice — the
+    mobility product every geo platform publishes (commute matrices,
+    traffic flows), with k-anonymity suppression built in (OD
+    matrices are the canonical re-identification surface: a rare
+    home->work cell pair IS a person, so a publish gate is not
+    optional — same stance as hotspots.kanon_cells).
+
+    Each entity's track, ordered by `seq_col`, contributes one
+    (origin_cell, dest_cell) transition per consecutive point pair
+    (self-loops kept — stays are real flows). Per OD pair:
+    n_trips, n_users (DISTINCT entities), published := n_users >= k.
+
+    Scale: one entity-keyed exchange (the LAG window — same hash as
+    trajectory_stats, Catalyst reuses it when composed) + one
+    map-side-combined (o,d)-keyed count/distinct agg whose exchange
+    carries the distinct (o, d, entity) stream — the exact-distinct
+    minimum, as kanon_cells. Grid-bounded output."""
+    from cityfinder_spark.geo.cells import cell_col
+
+    w = Window.partitionBy(cust_col).orderBy(seq_col)
+    cells = pts.select(
+        cust_col,
+        seq_col,
+        cell_col(lat_col, lon_col, level).alias("d_cell"),
+    )
+    edges = (
+        cells.withColumn("o_cell", F.lag("d_cell").over(w))
+        .where(F.col("o_cell").isNotNull())
+        .select(cust_col, "o_cell", "d_cell")
+    )
+    return (
+        edges.groupBy("o_cell", "d_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.countDistinct(cust_col).alias("n_users"),
+        )
+        .select(
+            "o_cell",
+            "d_cell",
+            "n_trips",
+            "n_users",
+            (F.col("n_users") >= k_anon).alias("published"),
+        )
+    )

@@ -17,7 +17,7 @@ timezones.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def windowed_event_counts(
@@ -105,4 +105,68 @@ def streaming_cell_counts(points: DataFrame, level: int) -> DataFrame:
         points.select(cell_col("lat", "lon", level).alias("cell_id"))
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+DECAY_MAX_SHIFT = 20  # terms below 2^-20 (~1e-6 of a fresh event) floor to 0
+
+
+def decayed_engagement(
+    events: DataFrame,
+    half_life_hours: int = 1,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponential-decay engagement score per user — the recency-
+    weighted activity metric behind feed ranking / churn features:
+    at the user's LAST event time T, each event contributes
+    2^-(age_hours / half_life), i.e. half-life decay.
+
+    Integer-exact by construction (no exp(), no FP sums): the age is
+    quantized to whole half-life buckets (floor of the exact integer
+    microsecond difference), each term is the integer
+    1e6 >> min(bucket, 20) — a micro-unit weight, exact because
+    halving is a right shift — and the per-user rollup is an integer
+    sum, order-free at any parallelism. The only float is the final
+    /1e6 presentation division. This is the lm_score stance applied
+    to time decay: quantize per row, sum integers, divide once.
+
+    Output: (user_id, n_events, last_ts, decay_micro, score).
+    One user-keyed exchange: the max-ts window and the rollup share
+    the same partitioning (Catalyst reuses the exchange)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col)
+    bucket_us = 3_600_000_000 * int(half_life_hours)
+    aged = events.select(
+        user_col,
+        F.col(ts_col),
+        us.alias("__us"),
+        F.max(us).over(w).alias("__last"),
+    ).withColumn(
+        "__sh",
+        F.least(
+            # explicit floor: Spark's long cast truncates but
+            # DuckDB's rounds — floor(double) is identical in both
+            F.floor(
+                (F.col("__last") - F.col("__us")) / F.lit(float(bucket_us))
+            ).cast("int"),
+            F.lit(DECAY_MAX_SHIFT),
+        ),
+    ).withColumn(
+        "__term", F.expr("cast(shiftright(1000000, __sh) as long)")
+    )
+    return (
+        aged.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ts_col).alias("last_ts"),
+            F.sum("__term").alias("decay_micro"),
+        )
+        .select(
+            user_col,
+            "n_events",
+            "last_ts",
+            "decay_micro",
+            (F.col("decay_micro") / F.lit(1_000_000.0)).alias("score"),
+        )
     )

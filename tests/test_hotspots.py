@@ -122,3 +122,33 @@ def test_kanon_cells_suppression(spark):
     assert len(out) == 2
     vals = sorted(out.values())
     assert vals == [(3, 3, True), (5, 1, False)]
+
+
+def test_od_flows_transitions_and_suppression(spark):
+    """Track a->a->b yields self-loop (a,a) and (a,b); a pair seen by
+    only one entity is suppressed at k=2, one seen by two publishes."""
+    import pandas as pd
+
+    from cityfinder_spark.geo.cells import cell_of_np
+    from cityfinder_spark.operators.trajectory import od_flows
+    import numpy as np
+
+    a = (10.1, 20.1)
+    b = (-40.1, 30.1)
+    rows = [
+        (1, 0, *a), (1, 1, *a), (1, 2, *b),   # (a,a), (a,b)
+        (2, 0, *a), (2, 1, *b),               # (a,b)
+    ]
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cust_id", "pt_id", "lat", "lon"])
+    )
+    ca = int(cell_of_np(np.array([a[0]]), np.array([a[1]]), 6)[0])
+    cb = int(cell_of_np(np.array([b[0]]), np.array([b[1]]), 6)[0])
+    out = {
+        (r["o_cell"], r["d_cell"]): (r["n_trips"], r["n_users"], r["published"])
+        for r in od_flows(pts, level=6, k_anon=2).collect()
+    }
+    assert out == {
+        (ca, ca): (1, 1, False),
+        (ca, cb): (2, 2, True),
+    }

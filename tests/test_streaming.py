@@ -497,3 +497,31 @@ def test_stream_stream_interval_join_cross_batch(spark, tmp_path):
     # batch 2 — only possible if view state crossed the boundary
     assert (202, 101, 1, 8 * 60 * 1_000_000) in got
     assert len(got) == 3
+
+
+def test_decayed_engagement_integer_halving(spark):
+    """Hand case: events at T, T-1h, T-2h, T-25h score
+    1e6 + 5e5 + 25e4 + (1e6 >> 20) micro-units; the shift caps at 20
+    and the rollup is an exact integer."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from cityfinder_spark.streaming.windows import decayed_engagement
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (7, t0),
+        (7, t0 - dt.timedelta(hours=1)),
+        (7, t0 - dt.timedelta(hours=2)),
+        (7, t0 - dt.timedelta(hours=25)),
+        (9, t0 - dt.timedelta(minutes=30)),
+    ]
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts"]))
+    out = {
+        r["user_id"]: (r["n_events"], r["decay_micro"], r["score"])
+        for r in decayed_engagement(ev).collect()
+    }
+    exp7 = 1_000_000 + 500_000 + 250_000 + (1_000_000 >> 20)
+    assert out[7] == (4, exp7, exp7 / 1e6)
+    assert out[9] == (1, 1_000_000, 1.0)
