@@ -2132,8 +2132,17 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return CB
 
     CB = memo_value(spark, ("ivfpq-pq", sf_dir), build_cb)
-    enc = pq_encode(resid, CB, vec_col="residual").join(
-        resid.select("vec_id", "cluster_id"), "vec_id"
+    # the encoded corpus is the STORED artifact (codes + cell id are
+    # what a deployment persists; ann_search_persisted stance) —
+    # memoized per session so each query batch pays probe + scan only
+    from cityfinder_spark.bcast import memo_table
+
+    enc = memo_table(
+        spark,
+        ("ivfpq-enc", sf_dir),
+        lambda: pq_encode(resid, CB, vec_col="residual").join(
+            resid.select("vec_id", "cluster_id"), "vec_id"
+        ),
     )
     return ivfpq_search(
         _emb_queries(spark, sf_dir), enc, C, CB,

@@ -128,3 +128,23 @@ def test_no_nested_loop_joins_across_the_contract(spark):
             offenders.append(key)
     assert not offenders, f"nested-loop joins in: {offenders}"
     assert audited >= 55  # the sweep really covered the contract
+
+
+def test_events_decay_single_keyed_exchange(spark):
+    """The max-ts window and the per-user rollup share one hash
+    exchange (Catalyst satisfies the aggregate's distribution with
+    the window's); the only other exchange is spread()'s round-robin
+    scan widening."""
+    plan = _plan(C.queries()["events_decay"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_upsert_merge_single_exchange_with_group_limit(spark):
+    """Last-write-wins merge: exactly one id-keyed exchange, and
+    Spark's WindowGroupLimit prunes to the per-partition winner
+    BEFORE the shuffle (map-side top-1) — the plan that survives a
+    10^12-row base + delta."""
+    plan = _plan(C.queries()["upsert_merge"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan and "Partial" in plan
