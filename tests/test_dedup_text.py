@@ -395,16 +395,48 @@ def test_repetition_stats_hand_computed(spark):
 
 
 def test_repetition_stats_zero_shuffle_plan(spark):
-    """Pure projection: no Exchange anywhere in the executed plan."""
+    """Pure projection (jvm reference plan): no Exchange anywhere.
+    The arrow default adds only spread()'s round-robin scan widening,
+    never a keyed exchange."""
     from cityfinder_spark.operators.textops import repetition_stats
 
     docs = spark.createDataFrame(
         [("d1", "a b c"), ("d2", "x y z")], "doc_id string, text string"
     )
     plan = (
-        repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+        repetition_stats(docs, strategy="jvm")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
     assert "Exchange" not in plan
+    aplan = (
+        repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning" not in aplan
+
+
+def test_repetition_stats_arrow_jvm_parity(spark):
+    """The Arrow Counter kernel and the Catalyst HOF fold are
+    value-identical, including edge docs (empty, 1-token, all-same,
+    exactly-2-token)."""
+    from cityfinder_spark.operators.textops import repetition_stats
+
+    texts = [
+        "",
+        "one",
+        "a a a a a a a a",
+        "x y",
+        "p q p q p q r s t",
+        " ".join(f"w{i % 7}" for i in range(60)),
+    ]
+    docs = _docs(spark, texts)
+    a = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    j = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(docs, strategy="jvm").collect()
+    }
+    assert a == j
 
 
 def test_exact_percentiles_hand_computed(spark):
