@@ -53,6 +53,7 @@ HEADLINE = [
     "focal_stats",
     "getis_ord",
     "zorder_key",
+    "geohash_key",
     "cell_pyramid",
     "tile_render",
     "distinct_sketch",

@@ -208,6 +208,49 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _points(spark, sf_dir).select("pt_id", zorder_col("lat", "lon"))
 
 
+def q_geohash_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard geohash-6 string key per point (the interoperable
+    spatial key: prefix = containing cell, lexicographic order =
+    spatial locality for external systems). Branch-free codegen;
+    pinned against published geohash vectors in pytest and replayed
+    bit-for-bit in SQL here."""
+    from cityfinder_spark.geo.cells import geohash_col
+
+    return _points(spark, sf_dir).select("pt_id", geohash_col("lat", "lon", 6))
+
+
+def _o_geohash_key() -> str:
+    half = 15
+    n = 1 << half
+
+    def spread(x: str) -> str:
+        for sh, mask in (
+            (8, 0x00FF00FF),
+            (4, 0x0F0F0F0F),
+            (2, 0x33333333),
+            (1, 0x55555555),
+        ):
+            x = f"(({x} | ({x} << {sh})) & {mask})"
+        return x
+
+    yi = (
+        f"least(greatest(cast(floor((lat + 90.0) / 180.0 * {n}) as bigint),"
+        f" 0), {n - 1})"
+    )
+    xi = f"(((cast(floor((lon + 180.0) / 360.0 * {n}) as bigint) % {n}) + {n}) % {n})"
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz',"
+        f" cast(((z >> {5 * (5 - j)}) & 31) + 1 AS INT), 1)"
+        for j in range(6)
+    )
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+    ij AS (SELECT pt_id, {xi} AS xi, {yi} AS yi FROM pts),
+    zz AS (SELECT pt_id, {spread('yi')} | ({spread('xi')} << 1) AS z FROM ij)
+    SELECT pt_id, {chars} AS geohash FROM zz
+    """
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster focal statistics (3x3 moving-window density) over the
     cell lattice: the convolution shape of heat-map smoothing, with
@@ -5312,6 +5355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_stats": q_focal_stats,
         "getis_ord": q_getis_ord,
         "zorder_key": q_zorder_key,
+        "geohash_key": q_geohash_key,
         "hotspot_clusters": q_hotspot_clusters,
         "nearest_city_adaptive": q_nearest_city_adaptive,
         "salted_agg": q_salted_agg,
@@ -5434,6 +5478,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_stats": _o_focal_stats(),
         "getis_ord": _o_getis_ord(),
         "zorder_key": _o_zorder_key(),
+        "geohash_key": _o_geohash_key(),
         "hotspot_clusters": _o_hotspot_clusters(),
         "nearest_city_adaptive": _o_nearest_city(),
         "salted_agg": _o_salted_agg(),

@@ -231,3 +231,51 @@ def zorder_col(
         .bitwiseOR(F.shiftleft(_spread_bits(yi), 1))
         .alias("zorder")
     )
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(
+    lat: str | Column, lon: str | Column, precision: int = 6
+) -> Column:
+    """Standard GEOHASH string key (Niemeyer base32) at `precision`
+    chars — the interoperable spatial key every geo stack speaks
+    (Elasticsearch geohash_grid, Redis GEO, BigQuery ST_GEOHASH),
+    complementing the engine-internal z-order key: same
+    prefix-is-a-containing-cell property, but as a lexicographic
+    STRING, so external systems join/prefix-filter on it directly.
+
+    The textbook bisection is exactly MSB-first fixed-point
+    quantization, so the whole key is branch-free codegen: quantize
+    lat/lon to `5*precision/2` bits each, interleave with the
+    magic-mask spread (longitude takes the high bit of each pair —
+    the geohash convention, the mirror of zorder_col's lat-high), and
+    map 5-bit groups through the base32 alphabet via element_at.
+    Even precisions only (equal lat/lon bits <= 16: 2, 4, or 6
+    chars); 6 chars ~= 0.6 km cells. Replayed bit-for-bit in SQL."""
+    if precision not in (2, 4, 6):
+        raise ValueError("precision must be 2, 4 or 6 (equal-bit splits)")
+    half = 5 * precision // 2
+    n = 1 << half
+    latc = F.col(lat) if isinstance(lat, str) else lat
+    lonc = F.col(lon) if isinstance(lon, str) else lon
+    yi = F.least(
+        F.greatest(F.floor((latc + 90.0) / 180.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    xi = F.pmod(F.floor((lonc + 180.0) / 360.0 * n).cast("long"), F.lit(n))
+    z = _spread_bits(yi).bitwiseOR(F.shiftleft(_spread_bits(xi), 1))
+    alpha = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(
+            alpha,
+            (
+                F.shiftrightunsigned(z, 5 * (precision - 1 - j))
+                .bitwiseAND(F.lit(31))
+                + F.lit(1)
+            ).cast("int"),
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars).alias("geohash")

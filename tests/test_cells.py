@@ -172,3 +172,43 @@ def test_zorder_prefix_is_the_cell_pyramid(spark):
         # distinct cells -> distinct prefixes (injective both ways)
         all_prefixes = [next(iter(p)) for p in groups.values()]
         assert len(set(all_prefixes)) == len(groups)
+
+
+def test_geohash_known_vectors(spark):
+    """Pinned against published geohash test vectors (Niemeyer/
+    Wikipedia examples truncated to 6 chars) + pole/antimeridian
+    clamps."""
+    import pandas as pd
+
+    from cityfinder_spark.geo.cells import geohash_col
+
+    cases = [
+        (57.64911, 10.40744, "u4pruy"),   # Jutland (classic example)
+        (42.6, -5.6, "ezs42e"),           # Wikipedia ezs42 prefix
+        (-25.382708, -49.265506, "6gkzwg"),  # Curitiba 6gkzwgjz prefix
+        (0.0, 0.0, "s00000"),
+        (90.0, 180.0, "bpbpbp"),          # north pole clamps, lon wraps
+        (-90.0, -180.0, "000000"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(cases, columns=["lat", "lon", "want"])
+    )
+    for r in df.select("want", geohash_col("lat", "lon", 6)).collect():
+        assert r["geohash"] == r["want"], (r["want"], r["geohash"])
+
+
+def test_geohash_prefix_is_containing_cell(spark):
+    """Two points 200 m apart share a 5-char prefix; two points in
+    different hemispheres share none."""
+    import pandas as pd
+
+    from cityfinder_spark.geo.cells import geohash_col
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"lat": [48.8566, 48.8584, -33.86], "lon": [2.3522, 2.3545, 151.2]}
+        )
+    )
+    g = [r["geohash"] for r in df.select(geohash_col("lat", "lon", 6)).collect()]
+    assert g[0][:5] == g[1][:5]
+    assert g[0][0] != g[2][0]
