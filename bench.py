@@ -115,6 +115,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "image_sharpness",
     "image_diversity",
+    "image_quarantine",
     "length_outliers",
     "minhash_estimate",
     "decontaminate",

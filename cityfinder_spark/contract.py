@@ -2736,6 +2736,42 @@ def _o_image_diversity() -> str:
     """
 
 
+def q_image_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-payload quarantine gate: every 11th payload truncated
+    to 10 bytes IN SQL (binary substring — no Python touches the
+    corruption), then the per-row try-decode pass must quarantine
+    exactly those rows (ok=false, null dims) and decode the rest.
+    The oracle replays verdict, byte counts and shapes closed-form
+    from the id grammar."""
+    from cityfinder_spark.operators.images_ops import decode_quarantine
+
+    n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
+    imgs = _media_table(spark, "images", n).select(
+        "image_id",
+        F.when(
+            F.expr("cast(substr(image_id, 4) as bigint) % 11 = 0"),
+            F.expr("substring(bytes, 1, 10)"),
+        )
+        .otherwise(F.col("bytes"))
+        .alias("bytes"),
+    )
+    return decode_quarantine(imgs)
+
+
+def _o_image_quarantine() -> str:
+    return f"""
+    WITH {_duck_images_cte(20)}
+    SELECT {_DUCK_IMG_ID} AS image_id,
+           cast(CASE WHEN i % 11 = 0 THEN 10 ELSE 9 + 3 * w * h END
+                AS BIGINT) AS n_bytes,
+           i % 11 <> 0 AS ok,
+           CASE WHEN i % 11 <> 0 THEN fmt END AS fmt,
+           cast(CASE WHEN i % 11 <> 0 THEN w END AS INT) AS w,
+           cast(CASE WHEN i % 11 <> 0 THEN h END AS INT) AS h
+    FROM imgs
+    """
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2x box-downsample + re-encode, then decode back: gates the full
     resample kernel end-to-end (decode -> 2x2 exact-integer box mean
@@ -5442,6 +5478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_curation": q_multimodal_curation,
         "image_resize": q_image_resize,
         "image_diversity": q_image_diversity,
+        "image_quarantine": q_image_quarantine,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
         "audio_pipeline": q_audio_pipeline,
@@ -5599,6 +5636,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_stats": _o_image_decode_stats(),
         "image_sharpness": _o_image_sharpness(),
         "image_diversity": _o_image_diversity(),
+        "image_quarantine": _o_image_quarantine(),
         "phash_near_dup": _o_phash_near_dup(),
         "phash_dedup_resolve": _o_phash_dedup_resolve(),
         "multimodal_curation": _o_multimodal_curation(),

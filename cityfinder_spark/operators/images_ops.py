@@ -370,3 +370,51 @@ def diversity_stats(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(op, schema=DIVERSITY_SCHEMA)
+
+
+QUARANTINE_SCHEMA = (
+    "image_id string, n_bytes long, ok boolean, fmt string, w int, h int"
+)
+
+
+def decode_quarantine(images: DataFrame) -> DataFrame:
+    """Corrupt-payload quarantine — the error boundary a 10^12-row
+    media pipeline cannot skip: at that scale truncated uploads, bad
+    container bytes and codec bombs are CERTAIN, and one poison row
+    must neither kill the job nor silently pass. Every payload is
+    decoded under a per-row try; failures emit (ok=false, null
+    dims) instead of raising, successes carry shape + format — so
+    downstream stages filter `ok` and the quarantine set is itself a
+    queryable table (count it, sample it, re-fetch it).
+
+    Zero shuffle: one Arrow pass over the payload scan; only the
+    7-column verdict leaves the executors. Any decode exception maps
+    to the single normalized verdict ok=false (exception taxonomy is
+    codec-internal and version-unstable — the contract is
+    decodes/doesn't)."""
+    cols = images.select("image_id", "bytes")
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for img_id, buf in zip(pdf["image_id"], pdf["bytes"]):
+                b = bytes(buf)
+                row = {
+                    "image_id": img_id,
+                    "n_bytes": len(b),
+                    "ok": True,
+                    "fmt": None,
+                    "w": None,
+                    "h": None,
+                }
+                try:
+                    fmt, pix = decode(b)
+                    row["fmt"] = fmt
+                    row["w"] = int(pix.shape[1])
+                    row["h"] = int(pix.shape[0])
+                except Exception:
+                    row["ok"] = False
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(op, schema=QUARANTINE_SCHEMA)

@@ -407,3 +407,32 @@ def test_degrade_variants_four_values(spark):
         _, pix = decode(bytes(r["bytes"]))
         vals = np.unique(pix.reshape(-1))
         assert len(vals) <= 4 and all(v & 0x3F == 0 for v in vals)
+
+
+def test_decode_quarantine_survives_corruption(spark):
+    """Truncated, magic-corrupted and empty payloads quarantine
+    (ok=false, null dims) without failing the job; intact rows decode
+    with their true shapes."""
+    import pandas as pd
+
+    from cityfinder_spark.codecs.fakeimage import encode, gen_pixels
+    from cityfinder_spark.operators.images_ops import decode_quarantine
+
+    good = encode(gen_pixels(5, 8, 10), "png")
+    rows = [
+        ("ok1", good),
+        ("trunc", good[:10]),
+        ("magic", b"XY" + good[2:]),
+        ("empty", b""),
+        ("ok2", encode(gen_pixels(6, 9, 7), "jpeg")),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes"])
+    )
+    out = {r["image_id"]: r for r in decode_quarantine(df).collect()}
+    assert out["ok1"]["ok"] and (out["ok1"]["w"], out["ok1"]["h"]) == (8, 10)
+    assert out["ok2"]["ok"] and out["ok2"]["fmt"] == "jpeg"
+    for bad in ("trunc", "magic", "empty"):
+        r = out[bad]
+        assert not r["ok"] and r["w"] is None and r["fmt"] is None
+    assert out["empty"]["n_bytes"] == 0
