@@ -64,6 +64,8 @@ HEADLINE = [
     "raster_tiles",
     "point_in_polygon",
     "geo_rollup",
+    "region_cover",
+    "cover_read",
     "box_range_join",
     "radius_join",
     "trajectory_stats",
@@ -143,6 +145,7 @@ HEADLINE = [
     "image_decode_stats",
     "phash_near_dup",
     "phash_dedup_resolve",
+    "geo_image_dedup",
     "multimodal_curation",
     "image_resize",
     "video_frame_sample",
@@ -182,6 +185,7 @@ _FACT_TABLE = {
     "raster_tiles": "orders",
     "point_in_polygon": "orders",
     "geo_rollup": "orders",
+    "cover_read": "orders",
     "box_range_join": "orders",
     "radius_join": "orders",
     "trajectory_stats": "orders",

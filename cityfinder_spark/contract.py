@@ -691,6 +691,36 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_region_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style mixed-level region covering of the admin polygons
+    (RegionCoverer analog — the capability behind the reference's
+    ShapeIndex, lib/finder/coordinates/s2.go:33-49, and the north
+    star's "S2 cell covering"). Fully relational, so the oracle
+    replays the construction operation-for-operation."""
+    from cityfinder_spark.operators.cover import region_cover
+
+    return region_cover(_polygons(spark, sf_dir)).select(
+        "polygon_id",
+        "country",
+        F.col("level").cast("int").alias("level"),
+        "cell_id",
+        "coverage",
+    )
+
+
+def q_cover_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon THROUGH the cover: full-cell rows accepted
+    with zero per-row geometry, ray cast only on boundary cells.
+    Shares the plain point_in_polygon oracle — value-hash equality
+    cross-validates the cover's exactness every round."""
+    from cityfinder_spark.operators.cover import cover_read
+
+    pts = _points(spark, sf_dir).select("pt_id", "lat", "lon")
+    return cover_read(pts, _polygons(spark, sf_dir)).select(
+        "pt_id", "polygon_id", "poly_country"
+    )
+
+
 def _polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hexagonal admin polygons as (polygon_id, country, ring_lats,
     ring_lons) — shared by q_point_in_polygon and q_geo_rollup."""
@@ -2542,6 +2572,102 @@ def q_phash_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-blocked perceptual near-dup (the north-star cross: image
+    payload x geospatial blocking): every image gets a deterministic
+    geotag (closed-form from its id, planted 'dup' re-uploads jittered
+    a few hundred meters), and pairs must agree BOTH on phash hamming
+    <= 3 AND on location (<= 1 km, ring-1 blocked on the level-12
+    grid). Shares the memoized phash signature table with
+    phash_near_dup; only (id, phash, lat, lon) rows shuffle."""
+    from cityfinder_spark.bcast import memo_table
+    from cityfinder_spark.operators.images_ops import (
+        decode_stats,
+        geo_phash_near_dup,
+        perturb_variants,
+    )
+
+    n = max(200, spark.read.parquet(f"{sf_dir}/orders.parquet").count() // 20)
+    imgs = _media_table(spark, "images", n)
+    inp = imgs.select("image_id", "bytes").unionByName(perturb_variants(imgs))
+    sig = memo_table(
+        spark,
+        ("phash-sig", "imgs+dups", n),
+        lambda: decode_stats(inp).select("image_id", "phash"),
+    )
+    i = F.substring(F.col("image_id"), 4, 12).cast("long")
+    isd = F.col("image_id").startswith("dup")
+    jlat = F.when(isd, (F.pmod(i, F.lit(7)) - 3) * 0.002).otherwise(F.lit(0.0))
+    jlon = F.when(isd, (F.pmod(i, F.lit(11)) - 5) * 0.002).otherwise(F.lit(0.0))
+    geo = sig.select(
+        "image_id",
+        "phash",
+        (F.pmod(i * 40503, F.lit(16900)) / F.lit(100.0).cast("double") - 84.495 + jlat).alias("lat"),
+        (F.pmod(i * 65413, F.lit(35900)) / F.lit(100.0).cast("double") - 179.495 + jlon).alias("lon"),
+    )
+    return geo_phash_near_dup(geo, max_dist=3, max_km=1.0)
+
+
+def _o_geo_image_dedup() -> str:
+    """Closed-form replay: regenerate both pixel populations, phash in
+    SQL (the _o_phash_near_dup machinery), geotags from the id, then
+    brute-force pairs under the SAME blocking predicate (level-12
+    Chebyshev <= 1 with lon wrap — exactly what the engine's ring-1
+    explode admits) + popcount + shared rounded haversine."""
+    from cityfinder_spark.operators.images_ops import GEO_DEDUP_LEVEL
+
+    nlat = 1 << GEO_DEDUP_LEVEL
+    nlon = 2 << GEO_DEDUP_LEVEL
+    ia = (
+        f"least(greatest(cast(floor(((lat)+90.0)/180.0*{nlat}) as bigint),"
+        f" 0), {nlat - 1})"
+    )
+    ja = (
+        f"(((cast(floor(((lon)+180.0)/360.0*{nlon}) as bigint) % {nlon})"
+        f" + {nlon}) % {nlon})"
+    )
+    hav = sc.haversine_rounded_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+    WITH {_duck_images_cte(20)},
+    {_duck_mix64("px")},
+    base AS (SELECT {_DUCK_IMG_ID} AS gid, i, w, h, j,
+                    {_DUCK_IMG_BYTE} AS b
+             FROM mx),
+    allb AS (
+      SELECT gid, w, h, j, b FROM base
+      UNION ALL
+      SELECT 'dup' || lpad(cast(i AS VARCHAR), 12, '0') AS gid, w, h, j,
+             CASE WHEN j < 96 THEN xor(b, 68) ELSE b END AS b
+      FROM base WHERE i % 5 = 0),
+    blks AS (SELECT gid, {_DUCK_IMG_BLK} AS blk,
+                    sum(b) AS s_blk, count(*) AS c_blk
+             FROM allb GROUP BY gid, {_DUCK_IMG_BLK}),
+    {_DUCK_PHASH_FROM_BLKS},
+    ids AS (SELECT gid, phash, cast(substr(gid, 4, 12) AS BIGINT) AS i,
+                   gid LIKE 'dup%' AS isd
+            FROM ph),
+    pts AS (SELECT gid, phash,
+              ((((i * 40503) % 16900) / cast(100 as double)) - 84.495
+               + (CASE WHEN isd THEN ((i % 7) - 3) * 0.002
+                       ELSE cast(0 as double) END)) AS lat,
+              ((((i * 65413) % 35900) / cast(100 as double)) - 179.495
+               + (CASE WHEN isd THEN ((i % 11) - 5) * 0.002
+                       ELSE cast(0 as double) END)) AS lon
+            FROM ids),
+    cells AS (SELECT gid, phash, lat, lon, {ia} AS ia, {ja} AS ja FROM pts),
+    cand AS (
+      SELECT a.gid AS img_a, b.gid AS img_b,
+             cast(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+             {hav} AS dist_km
+      FROM cells a JOIN cells b
+        ON a.gid < b.gid
+       AND abs(a.ia - b.ia) <= 1
+       AND (abs(a.ja - b.ja) <= 1 OR abs(a.ja - b.ja) = {nlon - 1})
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3)
+    SELECT img_a, img_b, hamming, dist_km FROM cand WHERE dist_km <= 1.0
+    """
+
+
 def _o_phash_dedup_resolve() -> str:
     node = (
         "CASE WHEN gid LIKE 'dup%' THEN 2 * cast(substr(gid, 4) AS BIGINT) + 1"
@@ -3680,6 +3806,122 @@ def _o_point_in_polygon() -> str:
            GROUP BY 1, 2, 3)
     SELECT pt_id, polygon_id, country AS poly_country
     FROM crossings WHERE ncross % 2 = 1
+    """
+
+
+def _cover_ccw_sql(ay, ax, by, bx, cy, cx) -> str:
+    """Orientation sign, operand order identical to cover._ccw."""
+    return (
+        f"(((({bx})-({ax}))*(({cy})-({ay})) - (({by})-({ay}))*(({cx})-({ax}))) > 0)"
+    )
+
+
+def _cover_segx_sql(py1, px1, py2, px2) -> str:
+    """Proper crossing of cell border P1-P2 vs the polygon edge row
+    (y1,x1)-(y2,x2) — replays cover._seg_cross."""
+    a = _cover_ccw_sql("y1", "x1", "y2", "x2", py1, px1)
+    b = _cover_ccw_sql("y1", "x1", "y2", "x2", py2, px2)
+    c = _cover_ccw_sql(py1, px1, py2, px2, "y1", "x1")
+    d = _cover_ccw_sql(py1, px1, py2, px2, "y2", "x2")
+    return f"(({a}) <> ({b}) AND ({c}) <> ({d}))"
+
+
+def _cover_corner_sql(cy, cx) -> str:
+    """Even-odd crossing indicator for corner (cy,cx) vs the edge row
+    — same arithmetic as cover._crosses and the PIP oracle."""
+    return (
+        f"CASE WHEN ((y1 > ({cy})) <> (y2 > ({cy})))"
+        f" AND (({cx}) < (x2 - x1) * (({cy}) - y1) / (y2 - y1) + x1)"
+        f" THEN 1 ELSE 0 END"
+    )
+
+
+def _o_region_cover() -> str:
+    """Operation-for-operation DuckDB replay of operators/cover.py:
+    bbox candidate cells per level, exact corner/vertex/edge-crossing
+    classification, top-down emission with full-ancestor suppression.
+    All cell bounds are exact binary doubles (180/2**level), so the
+    FP predicates agree with Spark bit-for-bit."""
+    from cityfinder_spark.operators.cover import COVER_MAX_LEVEL, COVER_MIN_LEVEL
+
+    segx = " OR ".join(
+        (
+            _cover_segx_sql("lat0", "lon0", "lat0", "lon1"),
+            _cover_segx_sql("lat1", "lon0", "lat1", "lon1"),
+            _cover_segx_sql("lat0", "lon0", "lat1", "lon0"),
+            _cover_segx_sql("lat0", "lon1", "lat1", "lon1"),
+        )
+    )
+    return f"""
+    WITH verts AS ({sc.polygon_vertices_sql()}),
+    edges AS (
+      SELECT v1.polygon_id, v1.vlat AS y1, v1.vlon AS x1,
+             v2.vlat AS y2, v2.vlon AS x2
+      FROM verts v1 JOIN verts v2
+        ON v1.polygon_id = v2.polygon_id AND v2.v = (v1.v + 1) % 6),
+    bbox AS (
+      SELECT polygon_id, country, min(vlat) AS blat0, max(vlat) AS blat1,
+             min(vlon) AS blon0, max(vlon) AS blon1
+      FROM verts GROUP BY 1, 2),
+    lv AS (
+      SELECT b.*, l.level, 180.0 / (1 << l.level) AS s,
+             cast(1 << l.level AS BIGINT) AS nlat,
+             cast(2 << l.level AS BIGINT) AS nlon
+      FROM bbox b CROSS JOIN (
+        SELECT unnest(generate_series({COVER_MIN_LEVEL}, {COVER_MAX_LEVEL}))
+               AS level) l),
+    rng AS (
+      SELECT *,
+        least(greatest(cast(floor((blat0 + 90.0) / s) AS BIGINT), 0), nlat - 1) AS i0,
+        least(greatest(cast(floor((blat1 + 90.0) / s) AS BIGINT), 0), nlat - 1) AS i1,
+        least(greatest(cast(floor((blon0 + 180.0) / s) AS BIGINT), 0), nlon - 1) AS j0,
+        least(greatest(cast(floor((blon1 + 180.0) / s) AS BIGINT), 0), nlon - 1) AS j1
+      FROM lv),
+    ci AS (SELECT r.*, unnest(generate_series(r.i0, r.i1)) AS i FROM rng r),
+    cand AS (
+      SELECT polygon_id, country, level, s, nlon, i,
+             unnest(generate_series(j0, j1)) AS j
+      FROM ci),
+    cb AS (
+      SELECT polygon_id, country, level, nlon, i, j,
+             i * s - 90.0 AS lat0, (i + 1) * s - 90.0 AS lat1,
+             j * s - 180.0 AS lon0, (j + 1) * s - 180.0 AS lon1
+      FROM cand),
+    cl AS (
+      SELECT c.polygon_id, c.country, c.level, c.nlon, c.i, c.j,
+             sum({_cover_corner_sql("lat0", "lon0")}) AS s00,
+             sum({_cover_corner_sql("lat0", "lon1")}) AS s01,
+             sum({_cover_corner_sql("lat1", "lon0")}) AS s10,
+             sum({_cover_corner_sql("lat1", "lon1")}) AS s11,
+             max(CASE WHEN y1 BETWEEN lat0 AND lat1
+                       AND x1 BETWEEN lon0 AND lon1 THEN 1 ELSE 0 END) AS vin,
+             max(CASE WHEN {segx} THEN 1 ELSE 0 END) AS ecross
+      FROM cb c JOIN edges e USING (polygon_id)
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    tagged AS (
+      SELECT *, (s00 % 2) + (s01 % 2) + (s10 % 2) + (s11 % 2) AS nc
+      FROM cl),
+    cov AS (
+      SELECT *, CASE WHEN nc = 4 AND vin = 0 AND ecross = 0 THEN 'full'
+                     WHEN nc > 0 OR vin = 1 OR ecross = 1 THEN 'partial'
+                END AS coverage
+      FROM tagged),
+    fullc AS (SELECT polygon_id, level, i, j FROM cov WHERE coverage = 'full'),
+    emit AS (
+      SELECT * FROM cov
+      WHERE coverage = 'full'
+         OR (coverage = 'partial' AND level = {COVER_MAX_LEVEL})),
+    kept AS (
+      SELECT k.* FROM emit k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM fullc f
+        WHERE f.polygon_id = k.polygon_id AND f.level < k.level
+          AND f.i = (k.i >> (k.level - f.level))
+          AND f.j = (k.j >> (k.level - f.level))))
+    SELECT polygon_id, country, cast(level AS INTEGER) AS level,
+           cast(level AS BIGINT) * {sc.LEVEL_STRIDE} + i * nlon + j AS cell_id,
+           coverage
+    FROM kept
     """
 
 
@@ -5402,6 +5644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_tiles": q_raster_tiles,
         "point_in_polygon": q_point_in_polygon,
         "geo_rollup": q_geo_rollup,
+        "region_cover": q_region_cover,
+        "cover_read": q_cover_read,
         "box_range_join": q_box_range_join,
         "cell_pyramid": q_cell_pyramid,
         "tile_render": q_tile_render,
@@ -5475,6 +5719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_sharpness": q_image_sharpness,
         "phash_near_dup": q_phash_near_dup,
         "phash_dedup_resolve": q_phash_dedup_resolve,
+        "geo_image_dedup": q_geo_image_dedup,
         "multimodal_curation": q_multimodal_curation,
         "image_resize": q_image_resize,
         "image_diversity": q_image_diversity,
@@ -5526,6 +5771,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_tiles": _o_raster_tiles(),
         "point_in_polygon": _o_point_in_polygon(),
         "geo_rollup": _o_geo_rollup(),
+        "region_cover": _o_region_cover(),
+        "cover_read": _o_point_in_polygon(),
         "box_range_join": _o_box_range_join(),
         "cell_pyramid": _o_cell_pyramid(),
         "tile_render": _o_tile_render(),
@@ -5639,6 +5886,7 @@ def oracle_sql() -> dict[str, str]:
         "image_quarantine": _o_image_quarantine(),
         "phash_near_dup": _o_phash_near_dup(),
         "phash_dedup_resolve": _o_phash_dedup_resolve(),
+        "geo_image_dedup": _o_geo_image_dedup(),
         "multimodal_curation": _o_multimodal_curation(),
         "image_resize": _o_image_resize(),
         "video_frame_sample": _o_video_frame_sample(),

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from cityfinder_spark.codecs.fakeimage import (
     decode,
@@ -418,3 +418,74 @@ def decode_quarantine(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(op, schema=QUARANTINE_SCHEMA)
+
+
+GEO_DEDUP_LEVEL = 12  # ~4.9 km cells — re-upload blocking radius
+
+
+def geo_phash_near_dup(
+    sig: DataFrame,
+    *,
+    level: int = GEO_DEDUP_LEVEL,
+    max_dist: int = 3,
+    max_km: float = 1.0,
+    id_col: str = "image_id",
+    sig_col: str = "phash",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Geo-blocked perceptual near-dup: pairs of images that are
+    visually near-identical (phash hamming <= max_dist) AND taken at
+    the same place (<= max_km apart) — the "same scene re-uploaded
+    with a jittered geotag" dedup a geotagged image corpus needs,
+    where a global phash join would merge genuinely different sites
+    that share a bland visual signature.
+
+    Scale shape: the self-join is blocked on the FINE spatial grid,
+    not on the hash — one side explodes its ring-1 cell neighborhood
+    (9 cells at `level`), the other keys to its single cell, and the
+    candidate join is a hash equi-join on cell id. Candidates are
+    linear in local density (ring occupancy), never O(n^2); each pair
+    is produced exactly once (b's unique cell appears at most once in
+    a's ring) and refined by one xor+popcount and one haversine.
+    Only (id, phash, lat, lon) rows shuffle — payload bytes stay in
+    the decode stage that produced `sig`.
+
+    sig: (id_col, sig_col, lat_col, lon_col).
+    Output: (img_a, img_b, hamming, dist_km) with img_a < img_b.
+    """
+    from cityfinder_spark.geo.cells import cell_col, ring_cells_col
+    from cityfinder_spark.geo.distance import haversine_rounded_col
+
+    a = sig.select(
+        F.col(id_col).alias("img_a"),
+        F.col(sig_col).alias("ph_a"),
+        F.col(lat_col).alias("lat_a"),
+        F.col(lon_col).alias("lon_a"),
+    ).withColumn("cell_a", cell_col("lat_a", "lon_a", level))
+    a = a.withColumn(
+        "probe", F.explode(ring_cells_col(F.col("cell_a"), 1, level))
+    ).drop("cell_a")
+    b = sig.select(
+        F.col(id_col).alias("img_b"),
+        F.col(sig_col).alias("ph_b"),
+        F.col(lat_col).alias("lat_b"),
+        F.col(lon_col).alias("lon_b"),
+    ).withColumn("cell_b", cell_col("lat_b", "lon_b", level))
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    dist = haversine_rounded_col("lat_a", "lon_a", "lat_b", "lon_b")
+    return (
+        a.join(
+            b,
+            (F.col("probe") == F.col("cell_b"))
+            & (F.col("img_a") < F.col("img_b")),
+        )
+        .where(ham <= max_dist)
+        .select(
+            "img_a",
+            "img_b",
+            ham.cast("int").alias("hamming"),
+            dist.alias("dist_km"),
+        )
+        .where(F.col("dist_km") <= max_km)
+    )
