@@ -64,6 +64,8 @@ HEADLINE = [
     "raster_tiles",
     "point_in_polygon",
     "geo_rollup",
+    "hex_assign",
+    "hex_hot_cells",
     "region_cover",
     "cover_read",
     "box_range_join",
@@ -186,6 +188,8 @@ _FACT_TABLE = {
     "point_in_polygon": "orders",
     "geo_rollup": "orders",
     "cover_read": "orders",
+    "hex_assign": "orders",
+    "hex_hot_cells": "orders",
     "box_range_join": "orders",
     "radius_join": "orders",
     "trajectory_stats": "orders",

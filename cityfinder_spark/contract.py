@@ -691,6 +691,62 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEX_SIZE_DEG = 1.5  # hex circumradius (deg) — grain comparable to CELL_LEVEL 6
+HEX_RES_TAG = 33  # id-namespace tag; disjoint from square-grid levels
+
+
+def q_hex_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-grid cell assignment (H3 analog — the second index family
+    the north rule names, "H3/S2 index"): axial (q, r) from lon/lat
+    via exact cube rounding, packed into the level-tagged 64-bit id
+    convention. Pure codegen projection, zero shuffle; Spark and the
+    oracle share the literal SQL text, so the FP rounding (explicit
+    floor(x+0.5), no banker's round) agrees bit-for-bit."""
+    from cityfinder_spark.geo.hexgrid import hex_id_col
+
+    return _points(spark, sf_dir).select(
+        "pt_id", hex_id_col("lat", "lon", HEX_SIZE_DEG, HEX_RES_TAG).alias("hex_id")
+    )
+
+
+def _o_hex_assign() -> str:
+    from cityfinder_spark.geo.hexgrid import hex_id_sql
+
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()})
+    SELECT pt_id, {hex_id_sql("lat", "lon", HEX_SIZE_DEG, HEX_RES_TAG)} AS hex_id
+    FROM pts
+    """
+
+
+def q_hex_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex density rollup — the hex twin of hot_cells: every neighbor
+    of a hex is equidistant (no diagonal bias), which is why H3 is
+    the standard grid for density/flow analytics. One map-side-
+    combined groupBy on the codegen'd hex id."""
+    from cityfinder_spark.geo.hexgrid import hex_id_col
+
+    return (
+        _points(spark, sf_dir)
+        .select(hex_id_col("lat", "lon", HEX_SIZE_DEG, HEX_RES_TAG).alias("hex_id"))
+        .groupBy("hex_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .where(F.col("n_points") >= HOT_THRESHOLD)
+    )
+
+
+def _o_hex_hot_cells() -> str:
+    from cityfinder_spark.geo.hexgrid import hex_id_sql
+
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()})
+    SELECT {hex_id_sql("lat", "lon", HEX_SIZE_DEG, HEX_RES_TAG)} AS hex_id,
+           count(*) AS n_points
+    FROM pts
+    GROUP BY 1 HAVING count(*) >= {HOT_THRESHOLD}
+    """
+
+
 def q_region_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-style mixed-level region covering of the admin polygons
     (RegionCoverer analog — the capability behind the reference's
@@ -5644,6 +5700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_tiles": q_raster_tiles,
         "point_in_polygon": q_point_in_polygon,
         "geo_rollup": q_geo_rollup,
+        "hex_assign": q_hex_assign,
+        "hex_hot_cells": q_hex_hot_cells,
         "region_cover": q_region_cover,
         "cover_read": q_cover_read,
         "box_range_join": q_box_range_join,
@@ -5771,6 +5829,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_tiles": _o_raster_tiles(),
         "point_in_polygon": _o_point_in_polygon(),
         "geo_rollup": _o_geo_rollup(),
+        "hex_assign": _o_hex_assign(),
+        "hex_hot_cells": _o_hex_hot_cells(),
         "region_cover": _o_region_cover(),
         "cover_read": _o_point_in_polygon(),
         "box_range_join": _o_box_range_join(),
