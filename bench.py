@@ -68,6 +68,7 @@ HEADLINE = [
     "hex_hot_cells",
     "region_cover",
     "cover_read",
+    "streaming_cover_read",
     "box_range_join",
     "radius_join",
     "trajectory_stats",
@@ -188,6 +189,7 @@ _FACT_TABLE = {
     "point_in_polygon": "orders",
     "geo_rollup": "orders",
     "cover_read": "orders",
+    "streaming_cover_read": "orders",
     "hex_assign": "orders",
     "hex_hot_cells": "orders",
     "box_range_join": "orders",

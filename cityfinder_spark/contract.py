@@ -777,6 +777,32 @@ def q_cover_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_cover_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 driver gate: admin-boundary tagging at INGESTION TIME —
+    cover_read running UNCHANGED on a real multi-batch stream. The
+    cover (with its in-row edge arrays) is broadcast dimension
+    metadata and the even-odd test is a stateless per-row fold, so
+    the streaming plan needs no state store and no watermark; the
+    one-codebase stance of streaming_knn applied to the polygon-
+    tagging path. Emissions are batch-invariant and share the
+    point_in_polygon oracle."""
+    from cityfinder_spark.operators.cover import cover_read
+
+    pts = _points(spark, sf_dir).select("pt_id", "lat", "lon")
+    src = _stage_id_ordered(
+        spark, pts, "pt_id", f"cover-pts|{sf_dir}", n_files=3
+    )
+    schema = spark.read.parquet(src).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tagged = cover_read(stream_in, _polygons(spark, sf_dir))
+    out = _run_stream_to_table(spark, tagged, mode="append")
+    return out.select("pt_id", "polygon_id", "poly_country")
+
+
 def _polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hexagonal admin polygons as (polygon_id, country, ring_lats,
     ring_lons) — shared by q_point_in_polygon and q_geo_rollup."""
@@ -5704,6 +5730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_hot_cells": q_hex_hot_cells,
         "region_cover": q_region_cover,
         "cover_read": q_cover_read,
+        "streaming_cover_read": q_streaming_cover_read,
         "box_range_join": q_box_range_join,
         "cell_pyramid": q_cell_pyramid,
         "tile_render": q_tile_render,
@@ -5833,6 +5860,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_hot_cells": _o_hex_hot_cells(),
         "region_cover": _o_region_cover(),
         "cover_read": _o_point_in_polygon(),
+        "streaming_cover_read": _o_point_in_polygon(),
         "box_range_join": _o_box_range_join(),
         "cell_pyramid": _o_cell_pyramid(),
         "tile_render": _o_tile_render(),

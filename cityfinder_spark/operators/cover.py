@@ -301,13 +301,29 @@ def cover_read(
 
     Fact-side plan: ONE projection computes the row's cell id at
     every cover level (an array + explode, max_level-min_level+1
-    entries), ONE broadcast equi-join on cell_id picks up coverage,
-    and only `partial` matches continue into the 6-edges broadcast
-    join + parity aggregate. Full-cell matches — the polygon
-    interior, the overwhelming share as levels deepen — are emitted
-    with zero per-row geometry. No shuffle touches the fact table
-    except the final parity aggregate over boundary-cell rows."""
+    entries), ONE broadcast equi-join on cell_id picks up coverage
+    (partial cells carry their polygon's 6-edge array in the
+    broadcast row), and the exact even-odd test is an IN-ROW integer
+    fold over that array — a stateless projection, so the operator is
+    completely exchange-free on the fact side and runs unchanged on a
+    micro-batch stream. Full-cell matches — the polygon interior, the
+    overwhelming share as levels deepen — skip even that fold."""
     cover = region_cover(polygons, min_level=min_level, max_level=max_level)
+    n = "size(ring_lats)"
+    edge_arrays = polygons.select(
+        "polygon_id",
+        F.expr(
+            f"transform(sequence(0, {n} - 1), k -> struct("
+            f"ring_lats[k] AS y1, ring_lons[k] AS x1, "
+            f"ring_lats[(k + 1) % {n}] AS y2, "
+            f"ring_lons[(k + 1) % {n}] AS x2))"
+        ).alias("edges"),
+    )
+    # partial cells carry their polygon's edge array so the exact test
+    # is an in-row fold — no fact-side exchange, streaming-safe
+    cover = cover.join(edge_arrays, "polygon_id").withColumn(
+        "edges", F.when(F.col("coverage") == "partial", F.col("edges"))
+    )
     lat, lon = F.col(lat_col), F.col(lon_col)
     cells = F.expr(
         f"transform(sequence({min_level}, {max_level}), l -> "
@@ -321,24 +337,24 @@ def cover_read(
         points.select(id_col, lat_col, lon_col, F.explode(cells).alias("cell_id"))
         .join(F.broadcast(cover), "cell_id")
     )
-    interior = tagged.where(F.col("coverage") == "full").select(
-        id_col, "polygon_id", F.col("country").alias("poly_country")
+
+    def _edge_crossing(e) -> F.Column:
+        """Per-edge crossing indicator — the arithmetic of _crosses
+        with the edge fields drawn from the in-row struct."""
+        y1, x1, y2, x2 = e["y1"], e["x1"], e["y2"], e["x2"]
+        return (
+            ((y1 > lat) != (y2 > lat))
+            & (lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1)
+        ).cast("int")
+
+    # even-odd parity as an in-row fold over the 6-edge array: integer
+    # sum (order-free), then mod 2 — a pure stateless projection, so
+    # the whole operator is exchange-free on the fact side and runs
+    # UNCHANGED on a micro-batch stream (q_streaming_cover_read)
+    parity = F.pmod(
+        F.aggregate(F.col("edges"), F.lit(0), lambda acc, e: acc + _edge_crossing(e)),
+        F.lit(2),
     )
-    boundary = tagged.where(F.col("coverage") == "partial").select(
-        id_col, lat_col, lon_col, "polygon_id", "country"
-    )
-    edges = _polygon_edges(polygons).drop("country")
-    exact = (
-        boundary.join(F.broadcast(edges), "polygon_id")
-        .select(
-            id_col,
-            "polygon_id",
-            "country",
-            _crosses(lat, lon).alias("c"),
-        )
-        .groupBy(id_col, "polygon_id", "country")
-        .agg(F.pmod(F.sum("c"), F.lit(2)).alias("par"))
-        .where(F.col("par") == 1)
-        .select(id_col, "polygon_id", F.col("country").alias("poly_country"))
-    )
-    return interior.unionByName(exact)
+    return tagged.where(
+        (F.col("coverage") == "full") | (parity == 1)
+    ).select(id_col, "polygon_id", F.col("country").alias("poly_country"))
