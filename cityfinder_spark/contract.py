@@ -753,9 +753,15 @@ def q_region_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     ShapeIndex, lib/finder/coordinates/s2.go:33-49, and the north
     star's "S2 cell covering"). Fully relational, so the oracle
     replays the construction operation-for-operation."""
+    from cityfinder_spark.bcast import memo_table
     from cityfinder_spark.operators.cover import region_cover
 
-    return region_cover(_polygons(spark, sf_dir)).select(
+    cov = memo_table(
+        spark,
+        ("region-cover-plain", sf_dir),
+        lambda: region_cover(_polygons(spark, sf_dir)),
+    )
+    return cov.select(
         "polygon_id",
         "country",
         F.col("level").cast("int").alias("level"),
@@ -772,9 +778,9 @@ def q_cover_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cityfinder_spark.operators.cover import cover_read
 
     pts = _points(spark, sf_dir).select("pt_id", "lat", "lon")
-    return cover_read(pts, _polygons(spark, sf_dir)).select(
-        "pt_id", "polygon_id", "poly_country"
-    )
+    return cover_read(
+        pts, _polygons(spark, sf_dir), cache_key=(sf_dir,)
+    ).select("pt_id", "polygon_id", "poly_country")
 
 
 def q_streaming_cover_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,7 +804,9 @@ def q_streaming_cover_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    tagged = cover_read(stream_in, _polygons(spark, sf_dir))
+    tagged = cover_read(
+        stream_in, _polygons(spark, sf_dir), cache_key=(sf_dir,)
+    )
     out = _run_stream_to_table(spark, tagged, mode="append")
     return out.select("pt_id", "polygon_id", "poly_country")
 

@@ -294,6 +294,7 @@ def cover_read(
     id_col: str = "pt_id",
     lat_col: str = "lat",
     lon_col: str = "lon",
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Point-in-polygon via the cover: (id_col, polygon_id,
     poly_country), value-identical to tag_points_with_polygons but
@@ -308,21 +309,34 @@ def cover_read(
     completely exchange-free on the fact side and runs unchanged on a
     micro-batch stream. Full-cell matches — the polygon interior, the
     overwhelming share as levels deepen — skip even that fold."""
-    cover = region_cover(polygons, min_level=min_level, max_level=max_level)
-    n = "size(ring_lats)"
-    edge_arrays = polygons.select(
-        "polygon_id",
-        F.expr(
-            f"transform(sequence(0, {n} - 1), k -> struct("
-            f"ring_lats[k] AS y1, ring_lons[k] AS x1, "
-            f"ring_lats[(k + 1) % {n}] AS y2, "
-            f"ring_lons[(k + 1) % {n}] AS x2))"
-        ).alias("edges"),
-    )
-    # partial cells carry their polygon's edge array so the exact test
-    # is an in-row fold — no fact-side exchange, streaming-safe
-    cover = cover.join(edge_arrays, "polygon_id").withColumn(
-        "edges", F.when(F.col("coverage") == "partial", F.col("edges"))
+    from cityfinder_spark.bcast import memo_table
+
+    def _build_cover() -> DataFrame:
+        cov = region_cover(polygons, min_level=min_level, max_level=max_level)
+        n = "size(ring_lats)"
+        edge_arrays = polygons.select(
+            "polygon_id",
+            F.expr(
+                f"transform(sequence(0, {n} - 1), k -> struct("
+                f"ring_lats[k] AS y1, ring_lons[k] AS x1, "
+                f"ring_lats[(k + 1) % {n}] AS y2, "
+                f"ring_lons[(k + 1) % {n}] AS x2))"
+            ).alias("edges"),
+        )
+        # partial cells carry their polygon's edge array so the exact
+        # test is an in-row fold — no fact-side exchange, streaming-safe
+        return cov.join(edge_arrays, "polygon_id").withColumn(
+            "edges", F.when(F.col("coverage") == "partial", F.col("edges"))
+        )
+
+    # the cover is a stored-artifact-shaped dimension table (built once
+    # per polygon set, reused by every read) — memoize like the other
+    # broadcast indexes instead of rebuilding its ~10-stage subtree per
+    # query (cache_key=None keeps the uncached behavior)
+    cover = memo_table(
+        polygons.sparkSession,
+        None if cache_key is None else ("region-cover", *cache_key),
+        _build_cover,
     )
     lat, lon = F.col(lat_col), F.col(lon_col)
     cells = F.expr(
