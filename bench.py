@@ -64,6 +64,7 @@ HEADLINE = [
     "raster_tiles",
     "point_in_polygon",
     "geo_rollup",
+    "idw_interpolate",
     "hex_assign",
     "hex_hot_cells",
     "region_cover",
@@ -190,6 +191,7 @@ _FACT_TABLE = {
     "geo_rollup": "orders",
     "cover_read": "orders",
     "streaming_cover_read": "orders",
+    "idw_interpolate": "orders",
     "hex_assign": "orders",
     "hex_hot_cells": "orders",
     "box_range_join": "orders",

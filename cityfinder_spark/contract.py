@@ -143,6 +143,46 @@ def q_nearest_city_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW spatial interpolation: estimate a synthetic station
+    measurement at every fact point from its 4 nearest cities —
+    integer fixed-point weights so the rollup is order-free at any
+    parallelism (operators/nearest.py::idw_interpolate)."""
+    from cityfinder_spark.operators.nearest import idw_interpolate
+
+    pts = _points(spark, sf_dir)
+    cities = _cities(spark, sf_dir)
+    pairs = nearest_city_topk(
+        pts, cities, k=4, cache_key=("cities", sf_dir)
+    ).select(
+        "pt_id",
+        "dist_km",
+        F.pmod(F.col("city_id") * 2654435761, F.lit(1000)).alias("value"),
+    )
+    return idw_interpolate(pairs)
+
+
+def _o_idw_interpolate() -> str:
+    hav = sc.haversine_rounded_sql("p.lat", "p.lon", "c.lat", "c.lon")
+    est = sc.round6_sql("cast(sum(w * v) AS BIGINT) / cast(sum(w) AS BIGINT)")
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+         cts AS ({sc.cities_from_customer_sql()}),
+         ranked AS (
+           SELECT p.pt_id, c.city_id, {hav} AS d,
+                  row_number() OVER (PARTITION BY p.pt_id
+                                     ORDER BY {hav}, c.city_id) AS rn
+           FROM pts p CROSS JOIN cts c),
+         w AS (SELECT pt_id,
+                      cast(floor(1000000000.0 / greatest(d, 0.1) + 0.5)
+                           AS BIGINT) AS w,
+                      (city_id * 2654435761) % 1000 AS v
+               FROM ranked WHERE rn <= 4)
+    SELECT pt_id, count(*) AS n_used, {est} AS est
+    FROM w GROUP BY pt_id
+    """
+
+
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/H3-analog cell-id assignment via the Arrow-vectorized pandas
     UDF (SURVEY §2.6 kernel 1) — the oracle pins the UDF to the pure
@@ -5734,6 +5774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_tiles": q_raster_tiles,
         "point_in_polygon": q_point_in_polygon,
         "geo_rollup": q_geo_rollup,
+        "idw_interpolate": q_idw_interpolate,
         "hex_assign": q_hex_assign,
         "hex_hot_cells": q_hex_hot_cells,
         "region_cover": q_region_cover,
@@ -5864,6 +5905,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_tiles": _o_raster_tiles(),
         "point_in_polygon": _o_point_in_polygon(),
         "geo_rollup": _o_geo_rollup(),
+        "idw_interpolate": _o_idw_interpolate(),
         "hex_assign": _o_hex_assign(),
         "hex_hot_cells": _o_hex_hot_cells(),
         "region_cover": _o_region_cover(),

@@ -341,3 +341,50 @@ def nearest_city_topk(
         )
     )
     return fast.unionByName(slow)
+
+
+def idw_interpolate(
+    pairs: DataFrame,
+    *,
+    id_col: str = "pt_id",
+    dist_col: str = "dist_km",
+    value_col: str = "value",
+    min_dist_km: float = 0.1,
+) -> DataFrame:
+    """Inverse-distance-weighted spatial interpolation (the classic
+    IDW estimator) over a (point, neighbor) pair table — typically the
+    output of nearest_city_topk: estimate a field value at each query
+    point from its k nearest stations.
+
+    Integer-exact stance (the lm_score / events_decay pattern applied
+    to interpolation): the weight is the INTEGER floor(1e9 /
+    max(dist, min_dist) + 0.5), so both the numerator sum(w*v) and
+    denominator sum(w) are order-free int64 rollups — the estimate is
+    a single double division rounded at the end, identical at any
+    parallelism and bit-replayable in the oracle. A raw float
+    sum(w_i*v_i) would accumulate in partition order and flip last
+    digits under AQE re-planning.
+
+    Scale shape: one keyed exchange (the groupBy on id_col) over slim
+    (id, w, w*v) rows — the kNN pair generation upstream is the
+    zero-shuffle broadcast kernel. Output: (id_col, n_used, est).
+    """
+    from cityfinder_spark.colutils import round6_col
+
+    d = F.greatest(F.col(dist_col), F.lit(min_dist_km))
+    w = F.floor(F.lit(1e9) / d + F.lit(0.5)).cast("long")
+    rows = pairs.select(
+        id_col,
+        w.alias("w"),
+        (w * F.col(value_col).cast("long")).alias("wv"),
+    )
+    agg = rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum("w").alias("den"),
+        F.sum("wv").alias("num"),
+    )
+    return agg.select(
+        id_col,
+        "n_used",
+        round6_col(F.col("num") / F.col("den")).alias("est"),
+    )
