@@ -44,6 +44,13 @@ oracle replays the construction operation-for-operation and the
 `cover_read` output is value-hash-identical to the plain
 `point_in_polygon` contract query, cross-validating the cover's
 exactness every round.
+
+Antimeridian stance: input polygons must NOT cross the +-180 meridian
+(pre-split them, the standard GeoJSON convention) — a crossing ring's
+raw lon bbox would span the whole circle and the candidate j-range
+has no wrap branch. The fact-side cell computation DOES wrap (pmod),
+so split halves cover and read correctly. box_range_join is the
+operator family with first-class wrap if unsplit boxes are needed.
 """
 
 from __future__ import annotations
