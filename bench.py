@@ -82,6 +82,7 @@ HEADLINE = [
     "partitioned_read",
     "upsert_merge",
     "zorder_read",
+    "compaction_plan",
     "bucketed_join",
     "resumable_rollup",
     "salted_agg",
@@ -201,6 +202,7 @@ _FACT_TABLE = {
     "index_roundtrip": "orders",
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",
+    "compaction_plan": "orders",
     "upsert_merge": "documents",
     "bucketed_join": "documents",
     "resumable_rollup": "documents",

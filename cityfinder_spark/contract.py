@@ -561,6 +561,71 @@ def q_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pt_id", "lat", "lon", "caption")
 
 
+COMPACT_CAP = 100  # per-file record cap for the compaction fixture
+COMPACT_TARGET = 500  # merge-group row quota
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 maintenance gate: WRITE the points table with a
+    deterministic small-file layout (cell-partitioned, 100-record
+    cap), then plan the compaction from the REAL file inventory
+    (`_metadata.file_path` row counts) — next-fit merge groups of
+    ~COMPACT_TARGET rows in spatial order. The oracle derives the
+    same physical inventory purely from source row counts, so a red
+    row means the written layout broke its invariant (cap overrun,
+    cell split across tasks, lost file)."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.sinks import compaction_plan, write_compactable
+
+    def build() -> str:
+        import hashlib
+        import tempfile
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(tempfile.gettempdir(), f"cf_compact_{tag}")
+        write_compactable(
+            _points(spark, sf_dir).select("pt_id", "lat", "lon", "caption"),
+            path,
+            max_records_per_file=COMPACT_CAP,
+        )
+        return path
+
+    path = memo_value(spark, ("compact-dir", sf_dir), build)
+    return compaction_plan(spark, path, target_rows=COMPACT_TARGET)
+
+
+def _o_compaction_plan() -> str:
+    from cityfinder_spark.sinks import DEFAULT_PARTITION_LEVEL
+
+    cell = sc.cell_sql("lat", "lon", DEFAULT_PARTITION_LEVEL)
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+    cells AS (SELECT {cell} AS part_cell, count(*) AS n
+              FROM pts GROUP BY 1),
+    units AS (SELECT part_cell, n,
+                     unnest(generate_series(
+                       0, cast(ceil(n / {COMPACT_CAP}.0) AS BIGINT) - 1)) AS k
+              FROM cells),
+    sized AS (SELECT part_cell,
+                     least({COMPACT_CAP}, n - k * {COMPACT_CAP}) AS n_rows
+              FROM units),
+    ord AS (SELECT part_cell, n_rows,
+                   sum(n_rows) OVER (
+                     ORDER BY part_cell, n_rows DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_rows AS cum_before
+            FROM sized),
+    binned AS (SELECT part_cell, n_rows,
+                      cast(floor(cum_before / {COMPACT_TARGET}) AS BIGINT)
+                        AS bin_id
+               FROM ord)
+    SELECT bin_id, count(*) AS n_files,
+           cast(sum(n_rows) AS BIGINT) AS n_rows,
+           min(part_cell) AS min_cell, max(part_cell) AS max_cell
+    FROM binned GROUP BY 1
+    """
+
+
 def q_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 sink gate for the z-order layout: WRITE the points table
     z-sorted (sinks.write_zordered — range partition + in-file sort on
@@ -5870,6 +5935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_read": q_partitioned_read,
         "upsert_merge": q_upsert_merge,
         "zorder_read": q_zorder_read,
+        "compaction_plan": q_compaction_plan,
         "bucketed_join": q_bucketed_join,
         "resumable_rollup": q_resumable_rollup,
         "streaming_dedup_exact": q_streaming_dedup_exact,
@@ -5973,6 +6039,7 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_read": _o_partitioned_read(),
         "upsert_merge": _o_upsert_merge(),
         "zorder_read": _o_partitioned_read(),
+        "compaction_plan": _o_compaction_plan(),
         "bucketed_join": _o_bucketed_join(),
         "resumable_rollup": _o_resumable_rollup(),
         # streaming gates: REAL multi-micro-batch runs on the Spark

@@ -19,7 +19,7 @@ downstream read is a full scan or a pruned one:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cityfinder_spark.geo.cells import cell_col
 
@@ -270,4 +270,89 @@ def upsert_merge(
         .where(F.col("__rn") == 1)
         .withColumn("from_update", F.col("__upd") == 1)
         .drop("__rn", "__upd")
+    )
+
+
+def write_compactable(
+    df: DataFrame,
+    path: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    partition_level: int = DEFAULT_PARTITION_LEVEL,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """write_assignments with a DETERMINISTIC file layout: an explicit
+    repartition on part_cell keeps every cell inside one task (Spark's
+    dynamic-partition writer then sorts by the partition column, so the
+    record cap rolls files as ceil(n/cap) units of cap..remainder rows
+    per cell) — which is what lets compaction_plan's oracle derive the
+    physical file inventory from source row counts alone."""
+    out = df.withColumn("part_cell", cell_col(lat_col, lon_col, partition_level))
+    (
+        out.repartition("part_cell")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("part_cell")
+        .parquet(path)
+    )
+
+
+def compaction_plan(
+    spark: SparkSession,
+    path: str,
+    target_rows: int,
+) -> DataFrame:
+    """Small-file compaction planner — the Iceberg `rewrite_data_files`
+    maintenance shape: inventory the REAL physical files of a
+    partitioned table (via the `_metadata.file_path` hidden column, so
+    the plan reflects written bytes, not assumptions), then next-fit
+    bin-pack file units into merge groups of ~target_rows in spatial
+    order (part_cell), preserving locality in the rewritten files.
+
+    At 10^12 rows the maintenance economics are the point: the planner
+    touches only file METADATA (one |files|-sized aggregate — at 100 TB
+    with 128 MB files that is ~800k slim rows), never the data; the
+    rewrite itself then reads exactly the binned files. Determinism:
+    units order by (part_cell, n_rows DESC) — within a cell the cap
+    rolls indistinguishable cap-sized units plus one remainder, so the
+    plan is a pure function of per-cell row counts and the DuckDB
+    oracle replays it from the SOURCE table. A red row here means the
+    written layout broke its invariant (cap overrun, cell split across
+    tasks, lost file).
+
+    Output: (bin_id, n_files, n_rows, min_cell, max_cell).
+    """
+    files = (
+        spark.read.parquet(path)
+        .select(
+            F.col("part_cell").cast("long").alias("part_cell"),
+            F.col("_metadata.file_path").alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.first("part_cell").alias("part_cell"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    w = Window.orderBy("part_cell", F.desc("n_rows"), "fp")
+    units = files.select(
+        "part_cell",
+        "n_rows",
+        (
+            F.sum("n_rows").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("n_rows")
+        ).alias("cum_before"),
+    )
+    binned = units.select(
+        "part_cell",
+        "n_rows",
+        F.floor(F.col("cum_before") / F.lit(target_rows)).alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("n_rows"),
+        F.min("part_cell").alias("min_cell"),
+        F.max("part_cell").alias("max_cell"),
     )
