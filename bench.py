@@ -126,6 +126,7 @@ HEADLINE = [
     "length_outliers",
     "minhash_estimate",
     "decontaminate",
+    "split_overlap",
     "lang_id",
     "cosine_topk",
     "cosine_dedup",
@@ -239,6 +240,7 @@ _FACT_TABLE = {
     "bin_manifest": "documents",
     "corpus_split": "documents",
     "decontaminate": "documents",
+    "split_overlap": "documents",
     "lang_id": "documents",
     "streaming_dedup_exact": "documents",
     "streaming_hot_cells": "orders",

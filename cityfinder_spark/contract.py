@@ -1473,6 +1473,46 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+def q_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level contamination watch: k-mins MinHash sketch per
+    split, Jaccard estimated by agreeing bucket minima — the sketch
+    that watches drift between crawl snapshots before paying for the
+    exact decontaminate gate (operators/dedup.py)."""
+    from cityfinder_spark.operators.dedup import split_minhash_overlap
+
+    return split_minhash_overlap(_docs(spark, sf_dir))
+
+
+def _o_split_overlap() -> str:
+    md5h = _DUCK_MD5_INT.format(x="shingle")
+    est = sc.round6_sql("cast(n_agree AS DOUBLE) / k_used")
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM idx),
+    sp AS (SELECT CASE WHEN (doc_id * 16807) % 100000 < 5000 THEN 'val'
+                       WHEN (doc_id * 16807) % 100000 < 10000 THEN 'test'
+                       ELSE 'train' END AS split,
+                  {md5h} AS h
+           FROM sh),
+    sk AS (SELECT split, h % 256 AS bucket, min(h) AS mn
+           FROM sp GROUP BY 1, 2),
+    pairs AS (SELECT a.split AS split_a, b.split AS split_b,
+                     a.mn AS mn_a, b.mn AS mn_b
+              FROM sk a JOIN sk b USING (bucket)
+              WHERE a.split < b.split),
+    agg AS (SELECT split_a, split_b, count(*) AS k_used,
+                   cast(sum(CASE WHEN mn_a = mn_b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM pairs GROUP BY 1, 2)
+    SELECT split_a, split_b, k_used, n_agree, {est} AS jaccard_est
+    FROM agg
+    """
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination with the held-out side compressed to a 2^20-bit
     Bloom filter: the eval set becomes a 128 KB broadcast artifact and
@@ -5865,6 +5905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_manifest": q_bin_manifest,
         "corpus_split": q_corpus_split,
         "decontaminate": q_decontaminate,
+        "split_overlap": q_split_overlap,
         "bloom_decontaminate": q_bloom_decontaminate,
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
@@ -5997,6 +6038,7 @@ def oracle_sql() -> dict[str, str]:
         "bin_manifest": _o_bin_manifest(),
         "corpus_split": _o_corpus_split(),
         "decontaminate": _o_decontaminate(),
+        "split_overlap": _o_split_overlap(),
         "bloom_decontaminate": _o_bloom_decontaminate(),
         "text_quality": _o_text_quality(),
         "repetition_stats": _o_repetition_stats(),

@@ -980,3 +980,65 @@ def substring_scrub(
             scrubbed.alias("clean_text"),
         )
     )
+
+
+def split_minhash_overlap(
+    docs: DataFrame,
+    *,
+    k: int = 256,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CORPUS-level overlap estimation between the train/val/test
+    splits — the sketch-scale complement to the exact `decontaminate`
+    gate: instead of a shingle-key semi-join, each split is compressed
+    to a k-mins MinHash sketch (Broder's original scheme: hash space
+    partitioned into k buckets by h % k, min hash per bucket) and the
+    Jaccard overlap between two splits is estimated by the fraction of
+    buckets whose minima AGREE. Use it to watch contamination drift
+    between crawl snapshots before paying for the exact gate.
+
+    Scale shape: the ONLY corpus-sized operation is the map-side-
+    combined groupBy((split, bucket)) MIN — output is <= |splits| * k
+    slim rows regardless of corpus size, and sketches merge with MIN,
+    so per-snapshot sketches union incrementally. The split label is
+    stamped onto the shingle stream as a projection (split is a pure
+    function of the id — the decontaminate stance), so no join touches
+    the corpus. md5-int48 hashing keeps the DuckDB oracle bit-exact.
+
+    Output: (split_a, split_b, k_used, n_agree, jaccard_est).
+    """
+    from cityfinder_spark.colutils import round6_col
+    from cityfinder_spark.operators.sampling import corpus_split
+
+    sh = word_shingles(docs.select(id_col, text_col), n, id_col=id_col)
+    sh = corpus_split(sh, id_col=id_col)
+    h = F.expr(MD5_INT_SPARK.format(x="shingle"))
+    sk = (
+        sh.select("split", h.alias("h"))
+        .withColumn("bucket", F.pmod(F.col("h"), F.lit(k)))
+        .groupBy("split", "bucket")
+        .agg(F.min("h").alias("mn"))
+    )
+    a = sk.select(
+        F.col("split").alias("split_a"), "bucket", F.col("mn").alias("mn_a")
+    )
+    b = sk.select(
+        F.col("split").alias("split_b"), "bucket", F.col("mn").alias("mn_b")
+    )
+    pairs = a.join(b, "bucket").where(F.col("split_a") < F.col("split_b"))
+    return (
+        pairs.groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.sum((F.col("mn_a") == F.col("mn_b")).cast("int")).alias("n_agree"),
+        )
+        .select(
+            "split_a",
+            "split_b",
+            "k_used",
+            "n_agree",
+            round6_col(F.col("n_agree") / F.col("k_used")).alias("jaccard_est"),
+        )
+    )
