@@ -74,6 +74,8 @@ HEADLINE = [
     "radius_join",
     "trajectory_stats",
     "od_flows",
+    "geofence_events",
+    "spacetime_cube",
     "trajectory_stays",
     "geonames_scan",
     "postal_scan",
@@ -200,6 +202,8 @@ _FACT_TABLE = {
     "radius_join": "orders",
     "trajectory_stats": "orders",
     "od_flows": "orders",
+    "geofence_events": "orders",
+    "spacetime_cube": "orders",
     "index_roundtrip": "orders",
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",

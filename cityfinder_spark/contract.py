@@ -961,6 +961,82 @@ def _o_od_flows() -> str:
     """
 
 
+def q_spacetime_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time OLAP cube over (level-3 cell, order month): all four
+    drill-down granularities from one fact scan via GROUPING SETS
+    (operators/raster.py::spacetime_cube)."""
+    from cityfinder_spark.operators.raster import spacetime_cube
+
+    load_views(spark, sf_dir, ("orders",))
+    pts = spark.sql(
+        f"""SELECT {sc.ORDER_LAT} AS lat, {sc.ORDER_LON} AS lon,
+                   cast(month(o_orderdate) AS bigint) AS month
+            FROM orders"""
+    )
+    return spacetime_cube(pts)
+
+
+def _o_spacetime_cube() -> str:
+    cell = sc.cell_sql("lat", "lon", 3)
+    return f"""
+    WITH pts AS (
+      SELECT {sc.ORDER_LAT} AS lat, {sc.ORDER_LON} AS lon,
+             month(o_orderdate) AS month
+      FROM orders),
+    c AS (SELECT {cell} AS cell_id, month FROM pts)
+    SELECT coalesce(cell_id, -1) AS cell_id,
+           cast(coalesce(month, -1) AS BIGINT) AS month,
+           cast(grouping(cell_id) * 2 + grouping(month) AS INTEGER) AS gid,
+           count(*) AS n_points
+    FROM c GROUP BY CUBE(cell_id, month)
+    """
+
+
+def q_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit alerting over the customer tracks vs the
+    admin polygons (operators/trajectory.py::geofence_events)."""
+    from cityfinder_spark.operators.trajectory import geofence_events
+
+    load_views(spark, sf_dir, ("orders",))
+    pts = spark.sql(sc.traj_points_sql(orders=_spread_orders(spark, sf_dir)))
+    return geofence_events(pts, _polygons(spark, sf_dir))
+
+
+def _o_geofence_events() -> str:
+    return f"""
+    WITH p AS ({sc.traj_points_sql()}),
+    s AS (SELECT cust_id, pt_id, lat, lon,
+                 row_number() OVER (PARTITION BY cust_id
+                                    ORDER BY pt_id) AS seq
+          FROM p),
+    verts AS ({sc.polygon_vertices_sql()}),
+    edges AS (
+      SELECT v1.polygon_id, v1.vlat AS y1, v1.vlon AS x1,
+             v2.vlat AS y2, v2.vlon AS x2
+      FROM verts v1 JOIN verts v2
+        ON v1.polygon_id = v2.polygon_id AND v2.v = (v1.v + 1) % 6),
+    crossings AS (
+      SELECT s.cust_id, s.seq, e.polygon_id, count(*) AS ncross
+      FROM s JOIN edges e
+        ON ((e.y1 > s.lat) <> (e.y2 > s.lat))
+       AND (s.lon < (e.x2 - e.x1) * (s.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+      GROUP BY 1, 2, 3),
+    pip AS (SELECT cust_id, polygon_id, seq
+            FROM crossings WHERE ncross % 2 = 1),
+    ev AS (SELECT cust_id, polygon_id, seq,
+                  lag(seq) OVER (PARTITION BY cust_id, polygon_id
+                                 ORDER BY seq) AS prev_seq,
+                  lead(seq) OVER (PARTITION BY cust_id, polygon_id
+                                  ORDER BY seq) AS next_seq
+           FROM pip)
+    SELECT cust_id, polygon_id, 'enter' AS event, seq FROM ev
+    WHERE prev_seq IS NULL OR prev_seq <> seq - 1
+    UNION ALL
+    SELECT cust_id, polygon_id, 'exit' AS event, seq FROM ev
+    WHERE next_seq IS NULL OR next_seq <> seq + 1
+    """
+
+
 def q_events_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-life-decayed engagement score per user (feed-ranking /
     churn-feature shape): integer 1e6 >> age_buckets micro-weights,
@@ -5892,6 +5968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "trajectory_stats": q_trajectory_stats,
         "od_flows": q_od_flows,
+        "geofence_events": q_geofence_events,
+        "spacetime_cube": q_spacetime_cube,
         "events_decay": q_events_decay,
         "trajectory_stays": q_trajectory_stays,
         "geonames_scan": q_geonames_scan,
@@ -6025,6 +6103,8 @@ def oracle_sql() -> dict[str, str]:
         "radius_join": _o_radius_join(),
         "trajectory_stats": _o_trajectory_stats(),
         "od_flows": _o_od_flows(),
+        "geofence_events": _o_geofence_events(),
+        "spacetime_cube": _o_spacetime_cube(),
         "events_decay": _o_events_decay(),
         "trajectory_stays": _o_trajectory_stays(),
         "geonames_scan": _o_geonames_scan(),

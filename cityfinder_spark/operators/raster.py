@@ -268,3 +268,40 @@ def getis_ord(
             (F.col("gi_z") > F.lit(GI_HOT_Z)).alias("hot"),
         )
     )
+
+
+def spacetime_cube(
+    points: DataFrame,
+    *,
+    level: int = 3,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    time_col: str = "month",
+) -> DataFrame:
+    """Space-time OLAP cube: one pass producing ALL four aggregation
+    granularities over (spatial cell, time bucket) — per (cell, time),
+    per cell, per time, and the grand total — via relational GROUPING
+    SETS (`cube`), the serving shape for dashboard pre-aggregation
+    (every drill-down level materialized from one fact scan).
+
+    Scale shape: Spark expands the cube map-side (each input row emits
+    its 4 grouping-set keys before the exchange, partial-aggregated),
+    so the shuffle carries at most 4x the DISTINCT group keys — cells
+    x buckets, corpus-independent — never 4x the fact rows. Rolled-up
+    key columns are coalesced to -1 (never a valid cell id or month)
+    so the output is NULL-free and integer-typed end to end; gid is
+    the standard grouping bit-vector (spatial = MSB), matching the
+    CUBE/GROUPING convention DuckDB replays exactly.
+    """
+    cell = cell_col(lat_col, lon_col, level)
+    base = points.select(cell.alias("cell_id"), F.col(time_col))
+    return (
+        base.cube("cell_id", time_col)
+        .agg(F.count(F.lit(1)).alias("n_points"), F.grouping_id().alias("gid"))
+        .select(
+            F.coalesce(F.col("cell_id"), F.lit(-1)).alias("cell_id"),
+            F.coalesce(F.col(time_col), F.lit(-1)).alias(time_col),
+            F.col("gid").cast("int").alias("gid"),
+            "n_points",
+        )
+    )

@@ -204,3 +204,54 @@ def od_flows(
             (F.col("n_users") >= k_anon).alias("published"),
         )
     )
+
+
+def geofence_events(
+    points: DataFrame,
+    polygons: DataFrame,
+    *,
+    entity_col: str = "cust_id",
+    order_col: str = "pt_id",
+) -> DataFrame:
+    """Geofence ENTER/EXIT detection — the standard mobility alerting
+    workload: for every (entity, fence) pair, emit a transition event
+    whenever the entity's track crosses the fence boundary between
+    consecutive observations. An 'enter' is an inside-observation whose
+    predecessor (in the entity's own sequence) was not inside that
+    fence; an 'exit' is an inside-observation whose successor is not.
+    Episodes are inclusive: a track that starts (ends) inside opens
+    (closes) an episode at its first (last) observation.
+
+    Scale shape: ONE entity-keyed window assigns per-track sequence
+    numbers (parallelism = |entities|, the trajectory_stats stance);
+    containment tags come from the broadcast PIP join, so only
+    INSIDE rows — not points x fences — reach the per-(entity, fence)
+    LAG/LEAD window, whose partition is at most one track's inside
+    segment. Everything integer, order-free, replayable.
+
+    Output: (entity_col, polygon_id, event in {enter, exit}, seq).
+    """
+    from cityfinder_spark.operators.point_in_polygon import (
+        tag_points_with_polygons,
+    )
+
+    seqw = Window.partitionBy(entity_col).orderBy(order_col)
+    pts = points.withColumn("seq", F.row_number().over(seqw))
+    tagged = tag_points_with_polygons(pts, polygons).select(
+        entity_col, "polygon_id", "seq"
+    )
+    w2 = Window.partitionBy(entity_col, "polygon_id").orderBy("seq")
+    ev = tagged.select(
+        entity_col,
+        "polygon_id",
+        "seq",
+        F.lag("seq").over(w2).alias("prev_seq"),
+        F.lead("seq").over(w2).alias("next_seq"),
+    )
+    enters = ev.where(
+        F.col("prev_seq").isNull() | (F.col("prev_seq") != F.col("seq") - 1)
+    ).select(entity_col, "polygon_id", F.lit("enter").alias("event"), "seq")
+    exits = ev.where(
+        F.col("next_seq").isNull() | (F.col("next_seq") != F.col("seq") + 1)
+    ).select(entity_col, "polygon_id", F.lit("exit").alias("event"), "seq")
+    return enters.unionByName(exits)
