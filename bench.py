@@ -65,6 +65,7 @@ HEADLINE = [
     "point_in_polygon",
     "geo_rollup",
     "idw_interpolate",
+    "knn_classify",
     "hex_assign",
     "hex_hot_cells",
     "region_cover",
@@ -196,6 +197,7 @@ _FACT_TABLE = {
     "cover_read": "orders",
     "streaming_cover_read": "orders",
     "idw_interpolate": "orders",
+    "knn_classify": "orders",
     "hex_assign": "orders",
     "hex_hot_cells": "orders",
     "box_range_join": "orders",

@@ -183,6 +183,40 @@ def _o_idw_interpolate() -> str:
     """
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote country classification from the 5 nearest
+    cities — deterministic tie-break (max votes, then smallest
+    label), two slim groupBys (operators/nearest.py::knn_classify)."""
+    from cityfinder_spark.operators.nearest import knn_classify
+
+    pairs = nearest_city_topk(
+        _points(spark, sf_dir), _cities(spark, sf_dir), k=5,
+        cache_key=("cities", sf_dir),
+    ).select("pt_id", F.col("country").alias("label"))
+    return knn_classify(pairs)
+
+
+def _o_knn_classify() -> str:
+    hav = sc.haversine_rounded_sql("p.lat", "p.lon", "c.lat", "c.lon")
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+         cts AS ({sc.cities_from_customer_sql()}),
+         ranked AS (
+           SELECT p.pt_id, c.country, {hav} AS d,
+                  row_number() OVER (PARTITION BY p.pt_id
+                                     ORDER BY {hav}, c.city_id) AS rn
+           FROM pts p CROSS JOIN cts c),
+         votes AS (SELECT pt_id, country, count(*) AS n
+                   FROM ranked WHERE rn <= 5 GROUP BY 1, 2),
+         best AS (SELECT pt_id, country, n,
+                         row_number() OVER (PARTITION BY pt_id
+                                            ORDER BY n DESC, country) AS vr
+                  FROM votes)
+    SELECT pt_id, country AS pred, n AS n_votes
+    FROM best WHERE vr = 1
+    """
+
+
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/H3-analog cell-id assignment via the Arrow-vectorized pandas
     UDF (SURVEY §2.6 kernel 1) — the oracle pins the UDF to the pure
@@ -5956,6 +5990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": q_point_in_polygon,
         "geo_rollup": q_geo_rollup,
         "idw_interpolate": q_idw_interpolate,
+        "knn_classify": q_knn_classify,
         "hex_assign": q_hex_assign,
         "hex_hot_cells": q_hex_hot_cells,
         "region_cover": q_region_cover,
@@ -6091,6 +6126,7 @@ def oracle_sql() -> dict[str, str]:
         "point_in_polygon": _o_point_in_polygon(),
         "geo_rollup": _o_geo_rollup(),
         "idw_interpolate": _o_idw_interpolate(),
+        "knn_classify": _o_knn_classify(),
         "hex_assign": _o_hex_assign(),
         "hex_hot_cells": _o_hex_hot_cells(),
         "region_cover": _o_region_cover(),

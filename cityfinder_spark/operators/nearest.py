@@ -388,3 +388,34 @@ def idw_interpolate(
         "n_used",
         round6_col(F.col("num") / F.col("den")).alias("est"),
     )
+
+
+def knn_classify(
+    pairs: DataFrame,
+    *,
+    id_col: str = "pt_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN majority-vote classification over a (point, neighbor-label)
+    pair table — the categorical twin of idw_interpolate: label each
+    query point by the most frequent label among its k nearest
+    neighbors. Deterministic tie-break: highest vote count, then
+    LEXICOGRAPHICALLY SMALLEST label (encoded as one min over the
+    struct (-n, label), so the argmax needs no window/sort — two
+    map-side-combined groupBys on slim rows and nothing else).
+
+    Output: (id_col, pred, n_votes).
+    """
+    votes = pairs.groupBy(id_col, label_col).agg(F.count(F.lit(1)).alias("n"))
+    w = F.min(
+        F.struct((-F.col("n")).alias("nn"), F.col(label_col).alias("lab"))
+    ).alias("w")
+    return (
+        votes.groupBy(id_col)
+        .agg(w)
+        .select(
+            id_col,
+            F.col("w.lab").alias("pred"),
+            (-F.col("w.nn")).alias("n_votes"),
+        )
+    )

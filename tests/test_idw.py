@@ -40,3 +40,23 @@ def test_nearest_station_dominates(spark):
     )
     est = idw_interpolate(pairs).collect()[0].est
     assert abs(est - 700.0) < 1.0
+
+
+def test_knn_classify_majority_and_ties(spark):
+    from cityfinder_spark.operators.nearest import knn_classify
+
+    pairs = spark.createDataFrame(
+        [("p1", "DE"), ("p1", "DE"), ("p1", "FR"),
+         ("p2", "FR"), ("p2", "DE")],  # tie -> smallest label wins
+        "pt_id string, label string",
+    )
+    out = {r.pt_id: (r.pred, r.n_votes) for r in knn_classify(pairs).collect()}
+    assert out == {"p1": ("DE", 2), "p2": ("DE", 1)}
+
+
+def test_knn_classify_contract_runs(spark):
+    from cityfinder_spark.contract import q_knn_classify
+
+    rows = q_knn_classify(spark, SF_DIR).collect()
+    assert len(rows) == 1500
+    assert all(1 <= r.n_votes <= 5 for r in rows)
