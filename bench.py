@@ -70,6 +70,7 @@ HEADLINE = [
     "hex_hot_cells",
     "region_cover",
     "cover_read",
+    "ocean_points",
     "streaming_cover_read",
     "box_range_join",
     "radius_join",
@@ -195,6 +196,7 @@ _FACT_TABLE = {
     "point_in_polygon": "orders",
     "geo_rollup": "orders",
     "cover_read": "orders",
+    "ocean_points": "orders",
     "streaming_cover_read": "orders",
     "idw_interpolate": "orders",
     "knn_classify": "orders",

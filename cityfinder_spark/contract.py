@@ -922,6 +922,45 @@ def q_cover_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pt_id", "polygon_id", "poly_country")
 
 
+def q_ocean_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ANTI-join: points inside NO admin polygon (the
+    'ocean'/unclaimed complement — the filter a geotag-cleaning
+    pipeline runs to quarantine rows whose coordinates match no known
+    region). Plan: the same broadcast cover equi-join as cover_read,
+    inverted — full-cell hits are definitely inside, boundary hits
+    ray-cast in-row, and a left_anti on the union keeps the rest.
+    Fact side stays exchange-free."""
+    from cityfinder_spark.operators.cover import cover_read
+
+    pts = _points(spark, sf_dir).select("pt_id", "lat", "lon")
+    inside = cover_read(
+        pts, _polygons(spark, sf_dir), cache_key=(sf_dir,)
+    ).select("pt_id")
+    return pts.join(inside, "pt_id", "left_anti").select("pt_id", "lat", "lon")
+
+
+def _o_ocean_points() -> str:
+    return f"""
+    WITH verts AS ({sc.polygon_vertices_sql()}),
+         edges AS (
+           SELECT v1.polygon_id, v1.vlat AS y1, v1.vlon AS x1,
+                  v2.vlat AS y2, v2.vlon AS x2
+           FROM verts v1 JOIN verts v2
+             ON v1.polygon_id = v2.polygon_id AND v2.v = (v1.v + 1) % 6),
+         pts AS ({sc.points_from_orders_sql()}),
+         crossings AS (
+           SELECT p.pt_id, e.polygon_id, count(*) AS ncross
+           FROM pts p JOIN edges e
+             ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+            AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+           GROUP BY 1, 2),
+         inside AS (SELECT DISTINCT pt_id FROM crossings WHERE ncross % 2 = 1)
+    SELECT p.pt_id, p.lat, p.lon
+    FROM pts p WHERE NOT EXISTS (
+      SELECT 1 FROM inside i WHERE i.pt_id = p.pt_id)
+    """
+
+
 def q_streaming_cover_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 driver gate: admin-boundary tagging at INGESTION TIME —
     cover_read running UNCHANGED on a real multi-batch stream. The
@@ -5995,6 +6034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_hot_cells": q_hex_hot_cells,
         "region_cover": q_region_cover,
         "cover_read": q_cover_read,
+        "ocean_points": q_ocean_points,
         "streaming_cover_read": q_streaming_cover_read,
         "box_range_join": q_box_range_join,
         "cell_pyramid": q_cell_pyramid,
@@ -6131,6 +6171,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_hot_cells": _o_hex_hot_cells(),
         "region_cover": _o_region_cover(),
         "cover_read": _o_point_in_polygon(),
+        "ocean_points": _o_ocean_points(),
         "streaming_cover_read": _o_point_in_polygon(),
         "box_range_join": _o_box_range_join(),
         "cell_pyramid": _o_cell_pyramid(),

@@ -156,3 +156,15 @@ def test_cover_read_plan_shape(spark, polys):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "orders" not in line
+
+
+def test_ocean_points_partition_the_points(spark):
+    """inside ∪ outside == all points, disjoint (the anti-join is the
+    exact complement of the PIP tags)."""
+    from cityfinder_spark.contract import _points, q_cover_read, q_ocean_points
+
+    inside = {r.pt_id for r in q_cover_read(spark, SF_DIR).collect()}
+    outside = {r.pt_id for r in q_ocean_points(spark, SF_DIR).collect()}
+    allpts = {r.pt_id for r in _points(spark, SF_DIR).select("pt_id").collect()}
+    assert inside | outside == allpts
+    assert not (inside & outside)

@@ -110,6 +110,7 @@ def test_no_nested_loop_joins_across_the_contract(spark):
         # (pinned separately in tests/test_cover.py)
         "region_cover",
         "cover_read",
+        "ocean_points",
     }
     SKIP = {
         "streaming_cover_read",  # building the plan replays a stream
