@@ -78,6 +78,7 @@ HEADLINE = [
     "od_flows",
     "geofence_events",
     "spacetime_cube",
+    "distance_transform",
     "trajectory_stays",
     "geonames_scan",
     "postal_scan",
@@ -208,6 +209,7 @@ _FACT_TABLE = {
     "od_flows": "orders",
     "geofence_events": "orders",
     "spacetime_cube": "orders",
+    "distance_transform": "orders",
     "index_roundtrip": "orders",
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",

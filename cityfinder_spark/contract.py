@@ -1034,6 +1034,42 @@ def _o_od_flows() -> str:
     """
 
 
+def q_distance_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid distance transform: Chebyshev grid distance (lon wraps)
+    from every occupied cell to the nearest hot cell
+    (operators/raster.py::distance_transform). Empty at sf0.001 by
+    construction (no cell crosses HOT_THRESHOLD there — same as
+    hot_cells); the sf0.01 gate exercises it."""
+    from cityfinder_spark.operators.raster import distance_transform
+
+    return distance_transform(
+        _points(spark, sf_dir), level=CELL_LEVEL, hot_threshold=HOT_THRESHOLD
+    )
+
+
+def _o_distance_transform() -> str:
+    nlon = 2 << CELL_LEVEL
+    stride_tag = CELL_LEVEL * sc.LEVEL_STRIDE
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+    occ AS (SELECT {sc.cell_sql("lat", "lon", CELL_LEVEL)} AS cell_id,
+                   count(*) AS n_points
+            FROM pts GROUP BY 1),
+    cells AS (SELECT cell_id, n_points,
+                     (cell_id - {stride_tag}) // {nlon} AS i,
+                     (cell_id - {stride_tag}) % {nlon} AS j
+              FROM occ),
+    hot AS (SELECT i AS hi, j AS hj FROM cells
+            WHERE n_points >= {HOT_THRESHOLD})
+    SELECT c.cell_id, c.n_points,
+           min(greatest(abs(c.i - h.hi),
+                        least(abs(c.j - h.hj), {nlon} - abs(c.j - h.hj))))
+             AS d_hot
+    FROM cells c CROSS JOIN hot h
+    GROUP BY 1, 2
+    """
+
+
 def q_spacetime_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-time OLAP cube over (level-3 cell, order month): all four
     drill-down granularities from one fact scan via GROUPING SETS
@@ -6045,6 +6081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows": q_od_flows,
         "geofence_events": q_geofence_events,
         "spacetime_cube": q_spacetime_cube,
+        "distance_transform": q_distance_transform,
         "events_decay": q_events_decay,
         "trajectory_stays": q_trajectory_stays,
         "geonames_scan": q_geonames_scan,
@@ -6182,6 +6219,7 @@ def oracle_sql() -> dict[str, str]:
         "od_flows": _o_od_flows(),
         "geofence_events": _o_geofence_events(),
         "spacetime_cube": _o_spacetime_cube(),
+        "distance_transform": _o_distance_transform(),
         "events_decay": _o_events_decay(),
         "trajectory_stays": _o_trajectory_stays(),
         "geonames_scan": _o_geonames_scan(),

@@ -305,3 +305,54 @@ def spacetime_cube(
             "n_points",
         )
     )
+
+
+def distance_transform(
+    points: DataFrame,
+    *,
+    level: int,
+    hot_threshold: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Grid distance transform — the raster proximity-map primitive:
+    for every OCCUPIED cell, the Chebyshev grid distance (lon wraps)
+    to the nearest HOT cell (count >= hot_threshold). Downstream of
+    the same density pre-pass as hot_cells; used to grade how far any
+    activity sits from the dense cores (coverage analysis, anomaly
+    screens, expansion planning).
+
+    Scale shape: ONE map-side-combined groupBy(cell) is the only
+    corpus-sized exchange; the transform itself is a broadcast join
+    of occupied cells x hot cells — both grid-bounded (<= nlat*nlon
+    rows regardless of corpus size), min_by over integer distances.
+    Output: (cell_id, n_points, d_hot); d_hot = 0 on hot cells.
+    """
+    from cityfinder_spark.geo.cells import grid_dims
+    from cityfinder_spark.sqlcompat import LEVEL_STRIDE
+
+    nlat, nlon = grid_dims(level)
+    occ = (
+        points.select(cell_col(lat_col, lon_col, level).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    base = F.col("cell_id") - level * LEVEL_STRIDE
+    cells = occ.select(
+        "cell_id",
+        "n_points",
+        (base / nlon).cast("long").alias("i"),
+        F.pmod(base, F.lit(nlon)).alias("j"),
+    )
+    hot = cells.where(F.col("n_points") >= hot_threshold).select(
+        F.col("i").alias("hi"), F.col("j").alias("hj")
+    )
+    dj = F.abs(F.col("j") - F.col("hj"))
+    cheb = F.greatest(
+        F.abs(F.col("i") - F.col("hi")), F.least(dj, F.lit(nlon) - dj)
+    )
+    return (
+        cells.crossJoin(F.broadcast(hot))
+        .groupBy("cell_id", "n_points")
+        .agg(F.min(cheb).alias("d_hot"))
+    )

@@ -325,3 +325,31 @@ def test_getis_ord_hotspot_zscores(spark):
         assert out[cell]["window"] == 9
     assert out[clump]["hot"] and not out[lone]["hot"]
     assert out[clump]["gi_z"] > GI_HOT_Z > out[lone]["gi_z"]
+
+
+def test_distance_transform_properties(spark):
+    """d_hot == 0 exactly on hot cells; on any occupied neighbor of a
+    hot cell d_hot <= 1; all distances are >= 0."""
+    from cityfinder_spark.contract import CELL_LEVEL, HOT_THRESHOLD, _points
+    from cityfinder_spark.operators.raster import distance_transform
+    from cityfinder_spark.sqlcompat import LEVEL_STRIDE
+    from tests.conftest import SF_DIR_01
+
+    rows = distance_transform(
+        _points(spark, SF_DIR_01), level=CELL_LEVEL, hot_threshold=HOT_THRESHOLD
+    ).collect()
+    assert rows
+    nlon = 2 << CELL_LEVEL
+    ij = {}
+    for r in rows:
+        base = r.cell_id - CELL_LEVEL * LEVEL_STRIDE
+        ij[(base // nlon, base % nlon)] = r
+    for (i, j), r in ij.items():
+        assert r.d_hot >= 0
+        assert (r.d_hot == 0) == (r.n_points >= HOT_THRESHOLD)
+        if r.d_hot == 0:
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    nb = ij.get((i + di, (j + dj) % nlon))
+                    if nb is not None:
+                        assert nb.d_hot <= 1

@@ -111,6 +111,9 @@ def test_no_nested_loop_joins_across_the_contract(spark):
         "region_cover",
         "cover_read",
         "ocean_points",
+        # grid-bounded cross by design: occupied cells x hot cells,
+        # both <= nlat*nlon rows regardless of corpus size
+        "distance_transform",
     }
     SKIP = {
         "streaming_cover_read",  # building the plan replays a stream
