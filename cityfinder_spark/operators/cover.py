@@ -264,8 +264,16 @@ def region_cover(
         "j",
         "coverage",
         F.explode(
+            # sequence(a, b) with a > b is DESCENDING in Spark, not
+            # empty — an unguarded sequence(min_level, level-1) would
+            # hand min-level cells themselves as their own "ancestor"
+            # and self-suppress every min-level full cell (caught by
+            # tests/test_cover_adversarial.py on polygons big enough
+            # to produce one)
             F.expr(
-                f"transform(sequence({min_level}, level - 1), a -> struct("
+                f"transform(if(level > {min_level},"
+                f" sequence({min_level}, level - 1), array()),"
+                " a -> struct("
                 "a AS alevel, "
                 "shiftright(i, cast(level - a AS int)) AS ai, "
                 "shiftright(j, cast(level - a AS int)) AS aj))"
