@@ -89,3 +89,33 @@ def test_contract_query_runs(spark):
         qv = rem // HEX_PACK - HEX_OFF
         rv = rem % HEX_PACK - HEX_OFF
         assert abs(qv) < 500 and abs(rv) < 500
+
+
+def test_three_way_parity_random_coords(spark):
+    """Spark expr == NumPy twin == DuckDB on 5k random coordinates —
+    pins the shared-SQL-text FP contract beyond the fixture points."""
+    import duckdb
+    import pandas as pd
+
+    from cityfinder_spark.geo.hexgrid import hex_id_sql
+
+    rng = np.random.RandomState(42)
+    lat = rng.uniform(-89, 89, 5000)
+    lon = rng.uniform(-180, 180, 5000)
+    q, r = hex_qr_np(lat, lon, HEX_SIZE_DEG)
+    npv = hex_pack_np(q, r, HEX_RES_TAG)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"lat": lat, "lon": lon}))
+    duck = con.execute(
+        f"SELECT {hex_id_sql('lat', 'lon', HEX_SIZE_DEG, HEX_RES_TAG)} AS h FROM t"
+    ).fetchnumpy()["h"]
+    assert (duck == npv).all()
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lat, lon)], "lat double, lon double"
+    )
+    sp = np.array(
+        df.select(
+            hex_id_col("lat", "lon", HEX_SIZE_DEG, HEX_RES_TAG).alias("h")
+        ).toPandas()["h"]
+    )
+    assert (sp == npv).all()
