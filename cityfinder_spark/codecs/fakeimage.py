@@ -17,12 +17,13 @@ carrying state — that is what makes the PSNR/caption invariants
 checkable per-row at any scale.
 
 Real-codec integration point: REAL PNG is implemented end-to-end with
-stdlib zlib (encode_png_real / decode_real) — `decode()` dispatches on
-the PNG signature, so operators are codec-agnostic and a real PNG
-payload flows through image_decode_stats unchanged (pytest-pinned).
-The fake formats remain the default datagen path (they make the PSNR
-oracle closed-form); real JPEG still needs libjpeg and raises
-NotImplementedError at the same boundary.
+stdlib zlib (encode_png_real / decode_real) and REAL baseline JFIF
+JPEG with stdlib+NumPy (codecs/jpeg.py: standard Annex-K tables,
+huffman entropy coding, 8x8 DCT, 4:4:4 or 4:2:0) — `decode()`
+dispatches on the PNG / SOI signatures, so operators are
+codec-agnostic and real PNG/JPEG payloads flow through
+image_decode_stats unchanged (pytest-pinned). The fake formats remain
+the default datagen path (they make the PSNR oracle closed-form).
 """
 
 from __future__ import annotations
@@ -70,12 +71,23 @@ def encode(pix: np.ndarray, fmt: str) -> bytes:
         return _HDR.pack(MAGIC_JPG, w, h, c) + quantize_lossy(pix).tobytes()
     if fmt == "png_real":
         return encode_png_real(pix)
+    if fmt == "jpeg_real":
+        from cityfinder_spark.codecs.jpeg import encode_jpeg_real
+
+        # q=98 keeps worst-case noise pixels >= 40 dB (the invariant floor)
+        return encode_jpeg_real(pix, quality=98)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def decode(buf: bytes) -> tuple[str, np.ndarray]:
     if buf[:8] == PNG_SIG:
         return "png", decode_real(buf)
+    if buf[:2] == b"\xff\xd8":
+        from cityfinder_spark.codecs.jpeg import decode_jpeg_real
+
+        return "jpeg", decode_jpeg_real(buf)
+    if len(buf) < _HDR.size:
+        raise ValueError("byte stream too short for any known container")
     magic, w, h, c = _HDR.unpack_from(buf, 0)
     fmt = {MAGIC_PNG: "png", MAGIC_JPG: "jpeg"}.get(magic)
     if fmt is None:
@@ -156,14 +168,13 @@ def decode_real(buf: bytes) -> np.ndarray:
     """Real PNG decode with stdlib zlib: parses IHDR/IDAT/IEND chunks
     (CRC-checked), inflates, reverses scanline filtering -> (h, w, c)
     uint8. Supports 8-bit gray/RGB/gray+alpha/RGBA, non-interlaced.
-    Real JPEG still requires libjpeg and raises NotImplementedError —
-    that is the remaining swap boundary."""
+    A JPEG (SOI-signature) stream routes to the stdlib+NumPy baseline
+    JFIF decoder in codecs/jpeg.py."""
     if buf[:8] != PNG_SIG:
         if buf[:2] == b"\xff\xd8":
-            raise NotImplementedError(
-                "real JPEG decoding requires libjpeg — not in this "
-                "container; the deterministic fake codec stands in"
-            )
+            from cityfinder_spark.codecs.jpeg import decode_jpeg_real
+
+            return decode_jpeg_real(buf)
         raise ValueError("not a PNG byte stream")
     pos = 8
     w = h = None

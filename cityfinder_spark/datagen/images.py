@@ -26,7 +26,7 @@ HOT_SPOTS = [(40.7128, -74.0060), (51.5074, -0.1278), (35.6895, 139.6917)]
 SKEW_FRACTION = 0.3
 
 
-def _row(i: int, real_png: bool = False) -> dict:
+def _row(i: int, real_png: bool = False, real_jpeg: bool = False) -> dict:
     rng = np.random.default_rng(42 + i)  # per-row deterministic stream
     w = int(8 + (i * 13) % 57)
     h = int(8 + (i * 7) % 57)
@@ -42,8 +42,16 @@ def _row(i: int, real_png: bool = False) -> dict:
     # real_png: PNG rows carry SPEC-COMPLIANT PNG bytes (stdlib-zlib
     # codec, codecs.fakeimage.encode_png_real) instead of the fake
     # container — lossless, so every stat/phash/invariant is unchanged;
-    # decode() dispatches on the PNG signature
-    enc_fmt = "png_real" if (real_png and fmt == "png") else fmt
+    # decode() dispatches on the PNG signature. real_jpeg: jpeg rows
+    # carry SPEC-COMPLIANT baseline JFIF bytes (codecs/jpeg.py, q=98 —
+    # decoded pixels stay >= 40 dB PSNR vs the splitmix64 reference
+    # even on these worst-case noise images); decode() dispatches on
+    # the SOI signature.
+    enc_fmt = fmt
+    if real_png and fmt == "png":
+        enc_fmt = "png_real"
+    elif real_jpeg and fmt == "jpeg":
+        enc_fmt = "jpeg_real"
     return {
         "image_id": f"img{i:012d}",
         "bytes": encode(pix, enc_fmt),
@@ -98,14 +106,19 @@ def images_table(
     n: int,
     partitions: int | None = None,
     real_png: bool = False,
+    real_jpeg: bool = False,
 ) -> DataFrame:
     """Generate n deterministic image rows, distributed. real_png=True
     emits spec-compliant zlib PNG bytes for the png rows (same pixels,
-    stats, phash — only the container changes)."""
+    stats, phash — only the container changes); real_jpeg=True emits
+    spec-compliant baseline JFIF bytes for the jpeg rows (lossy but
+    above the 40 dB invariant floor)."""
     base = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame([_row(int(i), real_png=real_png) for i in pdf["id"]])
+            yield pd.DataFrame(
+                [_row(int(i), real_png=real_png, real_jpeg=real_jpeg) for i in pdf["id"]]
+            )
 
     return base.mapInPandas(gen, schema=IMAGES_SCHEMA)
