@@ -307,6 +307,14 @@ def spacetime_cube(
     )
 
 
+# Above this level the occupied x hot crossJoin is retired for the
+# staged probe: 2^7 x 2^8 = 32,768 grid cells is the last size where
+# the all-pairs product is provably cheap (<= 32k^2 integer ops,
+# broadcast side tiny); at level 12 the grid is 33M cells and
+# occupied x hot could reach 10^10+ pairs.
+DT_CROSSJOIN_MAX_LEVEL = 7
+
+
 def distance_transform(
     points: DataFrame,
     *,
@@ -314,6 +322,8 @@ def distance_transform(
     hot_threshold: int,
     lat_col: str = "lat",
     lon_col: str = "lon",
+    strategy: str = "auto",
+    cross_budget: int = 2_000_000_000,
 ) -> DataFrame:
     """Grid distance transform — the raster proximity-map primitive:
     for every OCCUPIED cell, the Chebyshev grid distance (lon wraps)
@@ -322,14 +332,62 @@ def distance_transform(
     activity sits from the dense cores (coverage analysis, anomaly
     screens, expansion planning).
 
-    Scale shape: ONE map-side-combined groupBy(cell) is the only
-    corpus-sized exchange; the transform itself is a broadcast join
-    of occupied cells x hot cells — both grid-bounded (<= nlat*nlon
-    rows regardless of corpus size), min_by over integer distances.
-    Output: (cell_id, n_points, d_hot); d_hot = 0 on hot cells.
+    Output: (cell_id, n_points, d_hot); d_hot = 0 on hot cells; empty
+    when no cell is hot (nothing to measure distance to).
+
+    Two parity-tested physical strategies (strategy="auto" routes on
+    the grid size, the same data-dependent stance as the kNN join):
+
+    * "cross" (level <= DT_CROSSJOIN_MAX_LEVEL): occupied x hot
+      broadcast product + min — optimal on small grids where the
+      all-pairs count is bounded by (nlat*nlon)^2 <= 10^9 cheap
+      integer rows and usually far fewer.
+    * "staged" (large grids): doubling coarse-ring probe with a
+      budgeted cross finish. Each round first checks the REMAINING
+      pair product: once |frontier| x |hot| <= cross_budget (default
+      2e9 — ~2s of distributed integer compare), the round finishes
+      with one bounded all-pairs min, which is exact. Otherwise round
+      m buckets both sides onto an f=4^m-times-coarser grid and
+      equi-joins each unresolved cell's 5x5 coarse window (array
+      explode, 25 keys) against the hot cells bucketed by coarse
+      cell; exact Chebyshev is computed on the matched (i, j, hi, hj)
+      pairs and a cell RESOLVES iff its candidate minimum is <= 2f —
+      sufficient because every hot cell within distance 2f is
+      provably inside the 5x5 window (|delta| <= 2f implies coarse
+      |delta| <= 2), so no closer hot cell can hide outside the
+      candidate set. Cells that fail the certificate carry true
+      d > 2f into the next round; once the +-2 window spans the whole
+      coarse lattice (nlat_c <= 3, nlon_c <= 5) every hot cell is a
+      candidate and the minimum is unconditionally exact, so the loop
+      terminates in <= log4(grid) rounds either way.
+
+      Cost is OUTPUT-SENSITIVE: a cell entering the f-round has
+      certified d > f/2, and the candidates it pulls all lie within
+      Chebyshev 3f <= 6d — each cell only ever pairs with hot cells
+      within a constant factor of its own answer distance
+      (sum_p |hot within O(d_p)|), never the unguarded |occupied| x
+      |hot| product; the cross finish is taken exactly when that
+      product is measured to fit the budget (where all-pairs IS the
+      cheapest plan — measured at level 12: 105k occupied x 93 hot =
+      9.8M pairs, 1.5s cross vs 40s of pure doubling-round fixed
+      overhead; at 1.7M occupied x 223k hot = 3.8e11 pairs the cross
+      extrapolates to ~4 hours while the staged rounds finish in 97s,
+      SCALE.md). The first round starts at a density-derived factor
+      f0 (the smallest power of two whose window expects a hot cell),
+      which is exactness-preserving and skips the empty early rounds.
+      All per-round tables are grid-bounded (<= occupied cells); the
+      corpus is touched exactly once by the shared groupBy(cell)
+      pre-pass, and every round is lineage-truncated (components.py
+      checkpoint stance) so Catalyst never re-analyzes a growing
+      loop plan.
     """
     from cityfinder_spark.geo.cells import grid_dims
     from cityfinder_spark.sqlcompat import LEVEL_STRIDE
+
+    if strategy not in ("auto", "cross", "staged"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = "cross" if level <= DT_CROSSJOIN_MAX_LEVEL else "staged"
 
     nlat, nlon = grid_dims(level)
     occ = (
@@ -347,12 +405,186 @@ def distance_transform(
     hot = cells.where(F.col("n_points") >= hot_threshold).select(
         F.col("i").alias("hi"), F.col("j").alias("hj")
     )
+
     dj = F.abs(F.col("j") - F.col("hj"))
     cheb = F.greatest(
         F.abs(F.col("i") - F.col("hi")), F.least(dj, F.lit(nlon) - dj)
     )
-    return (
-        cells.crossJoin(F.broadcast(hot))
+
+    if strategy == "cross":
+        return (
+            cells.crossJoin(F.broadcast(hot))
+            .groupBy("cell_id", "n_points")
+            .agg(F.min(cheb).alias("d_hot"))
+        )
+
+    return _distance_transform_staged(
+        cells, cheb, nlat, nlon, hot_threshold, cross_budget
+    )
+
+
+def _staged_round(frontier, hot, cheb, nlat: int, nlon: int, f: int):
+    """One probe round at coarse factor f, two-level (box then
+    member) candidate pruning:
+
+    1. hot cells aggregate to one BOUNDING BOX row per coarse cell
+       (min/max of hi and hj — coarse cells are contiguous in j, so
+       the box never wraps internally);
+    2. each frontier cell's 5x5 coarse window equi-joins the box
+       table; per (probe, box) an exact Chebyshev LOWER bound (point
+       to box) and UPPER bound (point to farthest box corner — the
+       Chebyshev max over the box is separable, and some member
+       exists inside, so min-over-members <= that) are computed;
+    3. only boxes whose lower bound is <= the probe's best upper
+       bound survive (the true argmin's box always does: its lb <=
+       true d <= best_ub), and ONLY their members are pulled for the
+       exact per-pair Chebyshev min.
+
+    The member pull is therefore bounded by the near-optimal shell —
+    a probe resolving at distance d pulls members of O(1) boxes near
+    d, never every hot cell inside the window (without this, a dense
+    multi-core hot set makes the resolving round's join degenerate to
+    |frontier| x |hot| — measured as the difference between a timed-
+    out run and seconds at level 12 with 26k hot cells).
+
+    Returns (best, full_cover); full_cover=True means the window
+    spanned the whole coarse lattice, so the minimum is
+    unconditionally exact."""
+    from pyspark.sql import Window
+
+    nlat_c = max((nlat + f - 1) // f, 1)
+    nlon_c = max(nlon // f, 1)
+    full_cover = nlat_c <= 3 and nlon_c <= 5
+    hkey = (F.floor(F.col("hi") / f) * nlon_c + F.floor(F.col("hj") / f)).alias(
+        "hkey"
+    )
+    boxes = (
+        hot.select(hkey, "hi", "hj")
+        .groupBy("hkey")
+        .agg(
+            F.min("hi").alias("hi_min"),
+            F.max("hi").alias("hi_max"),
+            F.min("hj").alias("hj_min"),
+            F.max("hj").alias("hj_max"),
+        )
+    )
+    ci = F.floor(F.col("i") / f)
+    cj = F.floor(F.col("j") / f)
+    keys = F.array_distinct(
+        F.array(
+            *[
+                (ci + di) * nlon_c + F.pmod(cj + dj, F.lit(nlon_c))
+                for di in range(-2, 3)
+                for dj in range(-2, 3)
+            ]
+        )
+    )
+    probes = frontier.withColumn("pkey", F.explode(keys)).where(
+        (F.col("pkey") >= 0) & (F.col("pkey") < nlat_c * nlon_c)
+    )
+    cand = probes.join(boxes, probes["pkey"] == boxes["hkey"])
+    dlat_lb = F.greatest(
+        F.lit(0), F.col("hi_min") - F.col("i"), F.col("i") - F.col("hi_max")
+    )
+    dlat_ub = F.greatest(
+        F.abs(F.col("i") - F.col("hi_min")), F.abs(F.col("i") - F.col("hi_max"))
+    )
+    cyc_a = F.least(
+        F.abs(F.col("j") - F.col("hj_min")),
+        F.lit(nlon) - F.abs(F.col("j") - F.col("hj_min")),
+    )
+    cyc_b = F.least(
+        F.abs(F.col("j") - F.col("hj_max")),
+        F.lit(nlon) - F.abs(F.col("j") - F.col("hj_max")),
+    )
+    inside = (F.col("j") >= F.col("hj_min")) & (F.col("j") <= F.col("hj_max"))
+    # cyclic distance max over the arc is endpoint-attained unless the
+    # probe's antipode falls inside the arc (then nlon/2 caps it)
+    antipode = F.pmod(F.col("j") + F.lit(nlon // 2), F.lit(nlon))
+    anti_in = (antipode >= F.col("hj_min")) & (antipode <= F.col("hj_max"))
+    dlon_lb = F.when(inside, F.lit(0)).otherwise(F.least(cyc_a, cyc_b))
+    dlon_ub = F.when(anti_in, F.lit(nlon // 2)).otherwise(F.greatest(cyc_a, cyc_b))
+    cand = (
+        cand.withColumn("lb", F.greatest(dlat_lb, dlon_lb))
+        .withColumn("ub", F.greatest(dlat_ub, dlon_ub))
+        .withColumn("best_ub", F.min("ub").over(Window.partitionBy("cell_id")))
+        .where(F.col("lb") <= F.col("best_ub"))
+        .select("cell_id", "n_points", "i", "j", "hkey")
+    )
+    members = hot.select(hkey.alias("mkey"), "hi", "hj")
+    best = (
+        cand.join(members, cand["hkey"] == members["mkey"])
         .groupBy("cell_id", "n_points")
         .agg(F.min(cheb).alias("d_hot"))
     )
+    return best, full_cover
+
+
+def _distance_transform_staged(
+    cells, cheb, nlat: int, nlon: int, hot_threshold: int, cross_budget: int
+) -> DataFrame:
+    """Doubling coarse-ring probe with budgeted cross finish (see
+    distance_transform docstring). cells: (cell_id, n_points, i, j);
+    cheb: the exact wrapped Chebyshev column over (i, j, hi, hj)."""
+    from cityfinder_spark.operators.components import _ckpt
+
+    spark = cells.sparkSession
+    out_schema = "cell_id long, n_points long, d_hot long"
+
+    # every round's tables are checkpointed (reliable when a dir is
+    # set, executor-local otherwise — components.py stance): without
+    # lineage truncation the frontier's logical plan nests one
+    # anti-join of an exploded join PER ROUND and Catalyst re-analyzes
+    # the exponentially growing tree on every job. The corpus-sized
+    # groupBy is paid exactly once (hot derives from the checkpointed
+    # cell table).
+    frontier = _ckpt(cells)
+    hot = _ckpt(
+        frontier.where(F.col("n_points") >= hot_threshold).select(
+            F.col("i").alias("hi"), F.col("j").alias("hj")
+        )
+    )
+    n_hot = hot.count()
+    if n_hot == 0:
+        return spark.createDataFrame([], out_schema)
+    n_frontier = frontier.count()
+    parts: list[DataFrame] = []
+    # density-derived starting factor: the smallest power of two whose
+    # 5x5 coarse window EXPECTS >= 1 hot cell (25 f^2 * density >= 1).
+    # Safe to skip the finer rounds entirely — round-f resolution is
+    # exact for every d <= 2f, so cells the skipped rounds would have
+    # resolved resolve identically (same minimum) at f0; skipping only
+    # removes the fixed cost of rounds where almost no window holds a
+    # candidate.
+    f = 1
+    while 25 * f * f * n_hot < nlat * nlon and f < nlat:
+        f *= 2
+    while True:
+        if n_frontier * n_hot <= cross_budget:
+            # remaining pair product fits the budget: one bounded
+            # all-pairs min IS the cheapest exact plan from here
+            right = F.broadcast(hot) if n_hot <= 1_000_000 else hot
+            parts.append(
+                frontier.crossJoin(right)
+                .groupBy("cell_id", "n_points")
+                .agg(F.min(cheb).alias("d_hot"))
+            )
+            break
+        best, full_cover = _staged_round(frontier, hot, cheb, nlat, nlon, f)
+        if full_cover:
+            parts.append(best)
+            break
+        resolved = _ckpt(best.where(F.col("d_hot") <= 2 * f))
+        parts.append(resolved)
+        frontier = _ckpt(
+            frontier.join(resolved.select("cell_id"), "cell_id", "left_anti")
+        )
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        f *= 4
+
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result

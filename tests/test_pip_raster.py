@@ -353,3 +353,141 @@ def test_distance_transform_properties(spark):
                     nb = ij.get((i + di, (j + dj) % nlon))
                     if nb is not None:
                         assert nb.d_hot <= 1
+
+
+def test_distance_transform_staged_parity_with_cross(spark):
+    """The staged doubling-ring probe returns EXACTLY the crossJoin
+    result (same occupied cells, same integer distances) on the
+    contract's own inputs."""
+    from cityfinder_spark.contract import CELL_LEVEL, HOT_THRESHOLD, _points
+    from cityfinder_spark.operators.raster import distance_transform
+    from tests.conftest import SF_DIR_01
+
+    pts = _points(spark, SF_DIR_01)
+    want = sorted(
+        map(tuple, distance_transform(
+            pts, level=CELL_LEVEL, hot_threshold=HOT_THRESHOLD, strategy="cross"
+        ).collect())
+    )
+    # cross_budget=0 forces the pure doubling rounds (the default
+    # budget would route this small product straight to the bounded
+    # cross finish, which is the "cross" plan again)
+    got = sorted(
+        map(tuple, distance_transform(
+            pts, level=CELL_LEVEL, hot_threshold=HOT_THRESHOLD,
+            strategy="staged", cross_budget=0,
+        ).collect())
+    )
+    assert want and got == want
+    # the default budget takes the bounded cross finish on this small
+    # product — same rows either way
+    hybrid = sorted(
+        map(tuple, distance_transform(
+            pts, level=CELL_LEVEL, hot_threshold=HOT_THRESHOLD, strategy="staged"
+        ).collect())
+    )
+    assert hybrid == want
+
+
+def test_distance_transform_staged_level12_vs_brute(spark):
+    """At level 12 (33M-cell grid — where the crossJoin shape dies)
+    the staged probe matches a NumPy brute force, including lon-wrap
+    and multi-round resolution for cells far from every hot core."""
+    from cityfinder_spark.geo.cells import grid_dims
+    from cityfinder_spark.operators.raster import distance_transform
+    from cityfinder_spark.sqlcompat import LEVEL_STRIDE
+
+    level = 12
+    nlat, nlon = grid_dims(level)
+    rng = np.random.default_rng(7)
+    # two tight hot clumps + a far-flung sparse field (some points
+    # hundreds of cells from any hot cell -> exercises many rounds)
+    hotspots = [(40.7, -74.0), (35.7, 139.7)]
+    rows = []
+    for k in range(600):
+        base = hotspots[k % 2]
+        rows.append((base[0] + rng.uniform(-0.01, 0.01),
+                     base[1] + rng.uniform(-0.01, 0.01)))
+    for _ in range(250):
+        rows.append((float(rng.uniform(-85, 85)), float(rng.uniform(-180, 180))))
+    pts = spark.createDataFrame(rows, "lat double, lon double")
+    out = distance_transform(
+        pts, level=level, hot_threshold=5, strategy="staged", cross_budget=0
+    ).collect()
+    assert out
+    # NumPy brute force over the distinct occupied cells
+    ij = {}
+    for r in out:
+        base_id = r.cell_id - level * LEVEL_STRIDE
+        ij[r.cell_id] = (base_id // nlon, base_id % nlon, r.n_points, r.d_hot)
+    arr = np.array([(i, j, n) for i, j, n, _ in ij.values()], dtype=np.int64)
+    hot = arr[arr[:, 2] >= 5]
+    assert len(hot) >= 2
+    di = np.abs(arr[:, None, 0] - hot[None, :, 0])
+    djraw = np.abs(arr[:, None, 1] - hot[None, :, 1])
+    dj = np.minimum(djraw, nlon - djraw)
+    want = np.maximum(di, dj).min(axis=1)
+    got = np.array([d for _, _, _, d in ij.values()])
+    assert (got == want).all()
+    # far-field points genuinely exercised the doubling (d >> 2)
+    assert int(got.max()) > 64
+
+
+def test_distance_transform_staged_plan_has_no_nested_loop(spark):
+    """The staged round is an equi-join (hash/sort-merge), never a
+    CartesianProduct / BroadcastNestedLoopJoin — the plan shape that
+    survives a level-12 grid."""
+    from cityfinder_spark.geo.cells import cell_col, grid_dims
+    from cityfinder_spark.operators.raster import _staged_round
+    from cityfinder_spark.sqlcompat import LEVEL_STRIDE
+    from pyspark.sql import functions as F
+
+    level = 12
+    nlat, nlon = grid_dims(level)
+    pts = spark.range(2000).select(
+        (F.rand(1) * 160 - 80).alias("lat"), (F.rand(2) * 360 - 180).alias("lon")
+    )
+    occ = (
+        pts.select(cell_col("lat", "lon", level).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    base = F.col("cell_id") - level * LEVEL_STRIDE
+    cells = occ.select(
+        "cell_id", "n_points",
+        (base / nlon).cast("long").alias("i"),
+        F.pmod(base, F.lit(nlon)).alias("j"),
+    )
+    hot = cells.where(F.col("n_points") >= 1).select(
+        F.col("i").alias("hi"), F.col("j").alias("hj")
+    )
+    dj = F.abs(F.col("j") - F.col("hj"))
+    cheb = F.greatest(F.abs(F.col("i") - F.col("hi")), F.least(dj, F.lit(nlon) - dj))
+    for f in (1, 64, 1024):
+        best, _fc = _staged_round(cells, hot, cheb, nlat, nlon, f)
+        plan = best._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (f, plan)
+
+
+def test_distance_transform_routing_and_empty_hot(spark):
+    """auto routes cross at the contract level and staged above the
+    threshold; with no hot cells both strategies return empty."""
+    from cityfinder_spark.operators.raster import (
+        DT_CROSSJOIN_MAX_LEVEL,
+        distance_transform,
+    )
+
+    assert DT_CROSSJOIN_MAX_LEVEL < 12
+    pts = spark.createDataFrame(
+        [(10.0 + k * 0.5, 20.0 + k * 0.5) for k in range(6)], "lat double, lon double"
+    )
+    # level 6 auto == cross plan (contains the broadcast product)
+    auto_small = distance_transform(pts, level=6, hot_threshold=2, strategy="auto")
+    plan = auto_small._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" in plan or "CartesianProduct" in plan
+    # every point alone in its cell -> nothing hot -> empty result
+    for strat in ("cross", "staged"):
+        out = distance_transform(
+            pts, level=12, hot_threshold=2, strategy=strat
+        ).collect()
+        assert out == []
