@@ -55,6 +55,26 @@ PQ_M = 4        # subspaces
 PQ_K = 16       # codes per subspace
 PQ_ITER = 2     # Lloyd iterations per subspace
 
+# Query rows the serving paths may collect to the driver (the
+# asymmetric-search contract says the query batch is small — this
+# makes that contract ENFORCED instead of assumed, the
+# ANN_AUTO_MAX_BASE_ROWS stance from operators/similarity.py): above
+# the cap, strategy="auto" routes to the fully relational path where
+# the query side stays distributed (per-query ADC tables built by a
+# zero-shuffle Arrow pass, corpus joins them JVM-side) instead of
+# silently OOMing the driver on a 50M-row query table.
+PQ_MAX_DRIVER_QUERIES = 100_000
+
+
+def _resolve_pq_strategy(
+    queries: DataFrame, strategy: str, max_rows: int = PQ_MAX_DRIVER_QUERIES
+) -> str:
+    if strategy not in ("auto", "arrow", "jvm"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "auto":
+        return strategy
+    return "arrow" if queries.count() <= max_rows else "jvm"
+
 
 def _fold_sqdist(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
     """All-pairs squared L2 (q x n) in the exact left-fold dimension
@@ -259,6 +279,63 @@ def pq_encode(
     return spread(emb.select(id_col, vec_col)).mapInPandas(gen, schema)
 
 
+def _pq_query_tables(
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    q_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Distributed per-query ADC tables: (q_id, tab array<double> of
+    M*K entries, tab[m*K + c] = fold-L2(query subvec m, codebook
+    [m][c])). Zero shuffle — broadcast codebooks, one Arrow pass; the
+    query side never touches the driver. The entries are the same
+    _fold_sqdist doubles the driver-side path computes, so the two
+    strategies stay bit-identical."""
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    m_sub, k_codes, dsub = codebooks.shape
+    schema = T.StructType(
+        [
+            _id_field(queries, q_id_col, "q_id"),
+            T.StructField("tab", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _tune_malloc()
+        CB = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            tabs = np.stack(
+                [
+                    _fold_sqdist(Q[:, m * dsub : (m + 1) * dsub], CB[m])
+                    for m in range(m_sub)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf[q_id_col].to_numpy(),
+                    "tab": list(tabs.reshape(len(Q), m_sub * k_codes)),
+                }
+            )
+
+    return spread(queries.select(q_id_col, vec_col)).mapInPandas(gen, schema)
+
+
+def _adc_fold_expr(m_sub: int, k_codes: int) -> F.Column:
+    """JVM-side ADC: left-fold over subspaces m = 0..M-1 adding
+    tab[m*K + codes[m]] — the SAME double-add sequence as the Arrow
+    kernel's subspace loop, so the rounded distances agree bitwise."""
+    return F.expr(
+        f"aggregate(sequence(0, {m_sub - 1}), cast(0 as double), "
+        f"(acc, m) -> acc + element_at(tab, "
+        f"cast(m * {k_codes} + element_at(codes, cast(m + 1 as int)) + 1 as int)))"
+    )
+
+
 def pq_search(
     queries: DataFrame,
     codes: DataFrame,
@@ -268,6 +345,7 @@ def pq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = COS_DIGITS,
+    strategy: str = "auto",
 ) -> DataFrame:
     """ADC top-k: (q_id, neighbor_id, adc_dist, rank), smallest
     approximate squared L2 first, ties neighbor_id asc. `codes` is
@@ -276,16 +354,52 @@ def pq_search(
     L2 folds; a corpus row's distance adds its M table cells in
     subspace order (fixed tree -> deterministic), rounded once.
 
-    The query side collects to a broadcast (asymmetric-search
-    contract: the query batch is small; the CORPUS must stream) and
-    the encoded corpus makes one mapInPandas pass keeping a
-    per-partition top-k per query; the global window then ranks
-    (partitions x q x k) candidate rows — equal to the full ranked
-    scan because both use the same (adc_dist, neighbor_id) order and
-    every global top-k row is its partition's top-k."""
+    Two parity-tested strategies, routed by a COUNT GUARD
+    (strategy="auto": arrow iff the query table is under
+    PQ_MAX_DRIVER_QUERIES rows):
+
+    * "arrow": the query side collects to a broadcast
+      (asymmetric-search contract: the query batch is small; the
+      CORPUS must stream) and the encoded corpus makes one
+      mapInPandas pass keeping a per-partition top-k per query; the
+      global window then ranks (partitions x q x k) candidate rows —
+      equal to the full ranked scan because both use the same
+      (adc_dist, neighbor_id) order and every global top-k row is its
+      partition's top-k.
+    * "jvm": nothing touches the driver — per-query ADC tables come
+      from a zero-shuffle Arrow pass (_pq_query_tables), the encoded
+      corpus joins them and the distance is a JVM aggregate-HOF fold
+      in the same subspace order. The corpus x queries product is
+      inherent to EXHAUSTIVE ADC at that query scale (use
+      ivfpq_search to cut it); the point of the fallback is that the
+      plan is fully distributed and spillable instead of a silent
+      driver OOM."""
+    strategy = _resolve_pq_strategy(queries, strategy)
+    m_sub, k_codes, dsub = codebooks.shape
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    if strategy == "jvm":
+        qtab = _pq_query_tables(queries, codebooks, q_id_col, vec_col)
+        cand = (
+            codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+            .crossJoin(qtab)
+            .select(
+                "q_id",
+                "neighbor_id",
+                round_digits_col(_adc_fold_expr(m_sub, k_codes), digits).alias(
+                    "adc_dist"
+                ),
+            )
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "neighbor_id", "adc_dist", "rank")
+        )
+
     spark = queries.sparkSession
     qrows = queries.select(q_id_col, vec_col).orderBy(q_id_col).collect()
-    m_sub, k_codes, dsub = codebooks.shape
     if qrows:
         Q = np.array(
             [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]
@@ -351,9 +465,6 @@ def pq_search(
         )
 
     cand = spread(codes.select(id_col, "codes")).mapInPandas(gen, schema)
-    w = Window.partitionBy("q_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
-    )
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -407,6 +518,69 @@ def residual_vectors(
     )
 
 
+def _ivfpq_query_probes(
+    queries: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    n_probe: int,
+    q_id_col: str,
+    vec_col: str,
+    digits: int,
+) -> DataFrame:
+    """Distributed probe selection + shifted ADC tables: n_probe rows
+    per query — (q_id, cluster_id, tab array<double> of M*K entries
+    for the query SHIFTED by that cluster's centroid). Zero shuffle,
+    broadcast (coarse, codebooks); identical NumPy kernels to the
+    driver-side path (rounded-cosine probe pick, lexsort ties cell
+    asc, _fold_sqdist tables), so the strategies stay bit-identical."""
+    from cityfinder_spark.operators.similarity import _fold_dots, _fold_norms
+
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((coarse, codebooks))
+    m_sub, k_codes, dsub = codebooks.shape
+    schema = T.StructType(
+        [
+            _id_field(queries, q_id_col, "q_id"),
+            T.StructField("cluster_id", T.LongType()),
+            T.StructField("tab", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _tune_malloc()
+        C, CB = bc.value
+        n_list = len(C)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cos = _fold_dots(Q, C)
+            cos /= _fold_norms(Q)[:, None] * _fold_norms(C)[None, :]
+            cosr = _round_np(cos, digits)
+            out_q, out_c, out_t = [], [], []
+            qid = pdf[q_id_col].to_numpy()
+            for qi in range(len(Q)):
+                probes = np.lexsort((np.arange(n_list), -cosr[qi]))[:n_probe]
+                for p in probes:
+                    sq = Q[qi] - C[p]
+                    tab = np.concatenate(
+                        [
+                            _fold_sqdist(
+                                sq[None, m * dsub : (m + 1) * dsub], CB[m]
+                            )[0]
+                            for m in range(m_sub)
+                        ]
+                    )
+                    out_q.append(qid[qi])
+                    out_c.append(int(p))
+                    out_t.append(tab)
+            yield pd.DataFrame(
+                {"q_id": out_q, "cluster_id": out_c, "tab": out_t}
+            )
+
+    return spread(queries.select(q_id_col, vec_col)).mapInPandas(gen, schema)
+
+
 def ivfpq_search(
     queries: DataFrame,
     enc: DataFrame,
@@ -419,6 +593,7 @@ def ivfpq_search(
     vec_col: str = "embedding",
     label_col: str = "cluster_id",
     digits: int = COS_DIGITS,
+    strategy: str = "auto",
 ) -> DataFrame:
     """IVFADC serving (the full FAISS IVF-PQ shape): per query, probe
     the n_probe coarse cells with the best rounded centroid cosine
@@ -430,15 +605,52 @@ def ivfpq_search(
 
     `enc` is the compressed corpus: (id, cluster_id, codes) — what a
     10^12-vector deployment actually stores (2 bytes + a cell id per
-    vector). Scale shape matches pq_search (query side broadcasts,
-    corpus streams once, per-partition top-k + dimension-sized
-    merge), with the probe step additionally cutting the scanned-row
-    work to the probed cells' share per query."""
-    spark = queries.sparkSession
-    qrows = queries.select(q_id_col, vec_col).orderBy(q_id_col).collect()
+    vector). Two parity-tested strategies behind the
+    PQ_MAX_DRIVER_QUERIES count guard (strategy="auto"):
+
+    * "arrow": scale shape matches pq_search (query side broadcasts,
+      corpus streams once, per-partition top-k + dimension-sized
+      merge), with the probe step additionally cutting the
+      scanned-row work to the probed cells' share per query.
+    * "jvm" (query table above the driver cap): per-(query, probe)
+      shifted ADC tables come from a zero-shuffle Arrow pass and the
+      corpus reaches its candidates through a plain EQUI-JOIN on the
+      probed cluster id — the inverted-list prune becomes the join
+      key, so candidate rows = the probed cells' members exactly,
+      nothing collects to the driver, and the distance is the same
+      subspace-order JVM fold as pq_search's fallback."""
+    strategy = _resolve_pq_strategy(queries, strategy)
     m_sub, k_codes, dsub = codebooks.shape
     n_list = len(coarse)
     n_probe = min(n_probe, n_list)
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    if strategy == "jvm":
+        qprobe = _ivfpq_query_probes(
+            queries, coarse, codebooks, n_probe, q_id_col, vec_col, digits
+        ).withColumnRenamed("cluster_id", label_col)
+        cand = (
+            enc.select(
+                F.col(id_col).alias("neighbor_id"), F.col(label_col), "codes"
+            )
+            .join(qprobe, label_col)
+            .select(
+                "q_id",
+                "neighbor_id",
+                round_digits_col(_adc_fold_expr(m_sub, k_codes), digits).alias(
+                    "adc_dist"
+                ),
+            )
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "neighbor_id", "adc_dist", "rank")
+        )
+
+    spark = queries.sparkSession
+    qrows = queries.select(q_id_col, vec_col).orderBy(q_id_col).collect()
     if qrows:
         Q = np.array(
             [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]
@@ -529,9 +741,6 @@ def ivfpq_search(
 
     cols = enc.select(id_col, label_col, "codes")
     cand_df = spread(cols).mapInPandas(gen, schema)
-    w = Window.partitionBy("q_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
-    )
     return (
         cand_df.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

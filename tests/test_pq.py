@@ -156,3 +156,73 @@ def test_ivfpq_search_recall_and_probe_locality(spark, emb):
         hit += int(np.argmin(d)) in approx.get(q, set())
         n += 1
     assert hit / n >= 0.9, hit / n
+
+
+def test_pq_search_jvm_strategy_parity_and_routing(spark, emb):
+    """The count-guarded relational fallback (nothing collects to the
+    driver) returns EXACTLY the arrow path's rows — same neighbors,
+    same rounded ADC distances, same ranks; auto routes arrow under
+    the cap and jvm above it."""
+    from cityfinder_spark.operators.pq import (
+        PQ_MAX_DRIVER_QUERIES,
+        _resolve_pq_strategy,
+        pq_encode,
+        pq_fit,
+        pq_search,
+    )
+
+    CB, _ = pq_fit(emb, m_sub=4, k_codes=16, n_iter=2)
+    codes = pq_encode(emb, CB)
+    queries = emb.where("vec_id % 10 = 0").select(
+        emb["vec_id"].alias("q_id"), "embedding"
+    )
+    want = sorted(
+        map(tuple, pq_search(queries, codes, CB, k=5, strategy="arrow").collect())
+    )
+    got = sorted(
+        map(tuple, pq_search(queries, codes, CB, k=5, strategy="jvm").collect())
+    )
+    assert want and got == want
+    # routing: small query table -> arrow; above the cap -> jvm
+    assert _resolve_pq_strategy(queries, "auto") == "arrow"
+    assert _resolve_pq_strategy(queries, "auto", max_rows=3) == "jvm"
+    assert PQ_MAX_DRIVER_QUERIES >= 1000
+    with pytest.raises(ValueError):
+        _resolve_pq_strategy(queries, "bogus")
+
+
+def test_ivfpq_search_jvm_strategy_parity_and_plan(spark, emb):
+    """IVFADC's relational fallback: per-(query, probe) shifted ADC
+    tables reach the corpus through an EQUI-JOIN on the probed
+    cluster id (plan-checked: no nested-loop join) and the rows match
+    the arrow path exactly."""
+    from cityfinder_spark.operators.kmeans import kmeans_fit
+    from cityfinder_spark.operators.pq import (
+        ivfpq_search,
+        pq_encode,
+        pq_fit,
+        residual_vectors,
+    )
+
+    C, _ = kmeans_fit(emb, k=8, n_iter=2)
+    resid = residual_vectors(emb, C)
+    CB, _ = pq_fit(resid, vec_col="residual")
+    enc = pq_encode(resid, CB, vec_col="residual").join(
+        resid.select("vec_id", "cluster_id"), "vec_id"
+    )
+    queries = emb.where("vec_id % 10 = 0").select(
+        emb["vec_id"].alias("q_id"), "embedding"
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_search(
+                queries, enc, C, CB, k=10, n_probe=2, strategy="arrow"
+            ).collect(),
+        )
+    )
+    jvm_df = ivfpq_search(queries, enc, C, CB, k=10, n_probe=2, strategy="jvm")
+    plan = jvm_df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    got = sorted(map(tuple, jvm_df.collect()))
+    assert want and got == want
