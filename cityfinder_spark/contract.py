@@ -628,6 +628,68 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(spark, path, target_rows=COMPACT_TARGET)
 
 
+def q_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 maintenance gate, EXECUTION half: rewrite the planned
+    merge groups (sinks.compaction_apply — the Iceberg
+    rewrite_data_files action) into one file per bin and audit the
+    rewritten `_metadata` inventory against the plan. The oracle
+    derives the whole audit from source row counts: any mismatch
+    means the rewrite lost/duplicated rows, split a merge group
+    across files, or broke spatial order."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.sinks import compaction_apply
+
+    # share the compacted source dir with q_compaction_plan
+    q_compaction_plan(spark, sf_dir)
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"cf_compact_{tag}")
+    out_path = os.path.join(tempfile.gettempdir(), f"cf_compacted_{tag}")
+
+    def build() -> DataFrame:
+        return compaction_apply(
+            spark, path, out_path, target_rows=COMPACT_TARGET
+        ).cache()
+
+    return memo_value(spark, ("compact-apply", sf_dir), build)
+
+
+def _o_compaction_apply() -> str:
+    from cityfinder_spark.sinks import DEFAULT_PARTITION_LEVEL
+
+    cell = sc.cell_sql("lat", "lon", DEFAULT_PARTITION_LEVEL)
+    return f"""
+    WITH pts AS ({sc.points_from_orders_sql()}),
+    cells AS (SELECT {cell} AS part_cell, count(*) AS n
+              FROM pts GROUP BY 1),
+    units AS (SELECT part_cell, n,
+                     unnest(generate_series(
+                       0, cast(ceil(n / {COMPACT_CAP}.0) AS BIGINT) - 1)) AS k
+              FROM cells),
+    sized AS (SELECT part_cell,
+                     least({COMPACT_CAP}, n - k * {COMPACT_CAP}) AS n_rows
+              FROM units),
+    ord AS (SELECT part_cell, n_rows,
+                   sum(n_rows) OVER (
+                     ORDER BY part_cell, n_rows DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_rows AS cum_before
+            FROM sized),
+    binned AS (SELECT part_cell, n_rows,
+                      cast(floor(cum_before / {COMPACT_TARGET}) AS BIGINT)
+                        AS bin_id
+               FROM ord)
+    SELECT bin_id, cast(1 AS BIGINT) AS n_files,
+           cast(sum(n_rows) AS BIGINT) AS n_rows,
+           min(part_cell) AS min_cell, max(part_cell) AS max_cell,
+           cast(count(*) AS BIGINT) AS planned_files,
+           true AS rows_ok
+    FROM binned GROUP BY 1
+    """
+
+
 def _o_compaction_plan() -> str:
     from cityfinder_spark.sinks import DEFAULT_PARTITION_LEVEL
 
@@ -6167,6 +6229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_merge": q_upsert_merge,
         "zorder_read": q_zorder_read,
         "compaction_plan": q_compaction_plan,
+        "compaction_apply": q_compaction_apply,
         "bucketed_join": q_bucketed_join,
         "resumable_rollup": q_resumable_rollup,
         "streaming_dedup_exact": q_streaming_dedup_exact,
@@ -6277,6 +6340,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_merge": _o_upsert_merge(),
         "zorder_read": _o_partitioned_read(),
         "compaction_plan": _o_compaction_plan(),
+        "compaction_apply": _o_compaction_apply(),
         "bucketed_join": _o_bucketed_join(),
         "resumable_rollup": _o_resumable_rollup(),
         # streaming gates: REAL multi-micro-batch runs on the Spark

