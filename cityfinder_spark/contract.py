@@ -2661,14 +2661,25 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     training, assignment, residuals, residual-PQ training, codes,
     probe choice, the ADC add chain — replays closed-form in one
     DuckDB oracle."""
-    from cityfinder_spark.bcast import memo_value
-    from cityfinder_spark.operators.kmeans import kmeans_fit
-    from cityfinder_spark.operators.pq import (
-        ivfpq_search,
-        pq_encode,
-        pq_fit,
-        residual_vectors,
+    from cityfinder_spark.operators.pq import ivfpq_search
+
+    C, CB, enc = _ivfpq_models(spark, sf_dir)
+    return ivfpq_search(
+        _emb_queries(spark, sf_dir), enc, C, CB,
+        k=PQ_SEARCH_K, n_probe=IVFPQ_PROBE,
     )
+
+
+def _ivfpq_models(spark: SparkSession, sf_dir: str):
+    """Shared IVFPQ artifacts: (coarse centroids, residual codebooks,
+    encoded corpus). All three memoized per session — the encoded
+    corpus is the STORED artifact (codes + cell id are what a
+    deployment persists; ann_search_persisted stance), so each query
+    batch pays probe + scan only and the upsert key pays only its
+    delta."""
+    from cityfinder_spark.bcast import memo_table, memo_value
+    from cityfinder_spark.operators.kmeans import kmeans_fit
+    from cityfinder_spark.operators.pq import pq_encode, pq_fit, residual_vectors
 
     def build_c():
         C, _ = kmeans_fit(
@@ -2687,11 +2698,6 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return CB
 
     CB = memo_value(spark, ("ivfpq-pq", sf_dir), build_cb)
-    # the encoded corpus is the STORED artifact (codes + cell id are
-    # what a deployment persists; ann_search_persisted stance) —
-    # memoized per session so each query batch pays probe + scan only
-    from cityfinder_spark.bcast import memo_table
-
     enc = memo_table(
         spark,
         ("ivfpq-enc", sf_dir),
@@ -2699,10 +2705,125 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             resid.select("vec_id", "cluster_id"), "vec_id"
         ),
     )
-    return ivfpq_search(
-        _emb_queries(spark, sf_dir), enc, C, CB,
-        k=PQ_SEARCH_K, n_probe=IVFPQ_PROBE,
+    return C, CB, enc
+
+
+def q_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ index LIFECYCLE gate: a delta batch — updates (every
+    base vector with vec_id % 7 = 3, re-embedded as its negation) +
+    inserts (the held-out vec_id % 5 = 0 rows) — re-encodes ONLY
+    itself against the frozen coarse/PQ models and merges
+    last-write-wins into the stored artifact
+    (operators/pq.py::ivfpq_upsert). The oracle re-derives the WHOLE
+    merged index from scratch (models + merged corpus in SQL), so a
+    green row proves incremental maintenance equals full re-encoding
+    — the steady-state ingestion shape for a living corpus."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.pq import ivfpq_upsert
+
+    C, CB, enc = _ivfpq_models(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    updates = embs.where("vec_id % 5 <> 0 AND vec_id % 7 = 3").select(
+        "vec_id", F.expr("transform(embedding, x -> -x)").alias("embedding")
     )
+    inserts = embs.where("vec_id % 5 = 0").select("vec_id", "embedding")
+    merged = ivfpq_upsert(enc, updates.unionByName(inserts), C, CB)
+    # pack the 4 codes into one int (left-assoc fold, the q_pq_encode
+    # convention — array columns don't survive the driver's sort+hash)
+    pack = F.expr(
+        "((element_at(codes, 1) * 16 + element_at(codes, 2)) * 16"
+        " + element_at(codes, 3)) * 16 + element_at(codes, 4)"
+    )
+    return merged.select(
+        "vec_id",
+        "cluster_id",
+        pack.alias("packed_code"),
+        "recon_err",
+        "from_update",
+    )
+
+
+def _o_ivfpq_upsert() -> str:
+    from cityfinder_spark.operators.pq import PQ_ITER, PQ_K, PQ_M
+
+    dsub = 64 // PQ_M
+    it = KMEANS_ITER
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> m.v[i] * c.cv[i]))"
+    )
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {dsub}),"
+        " i -> (s.svv[i] - c.cv[i]) * (s.svv[i] - c.cv[i])))"
+    )
+    recon = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> (b.rv[i] - e2.r[i]) * (b.rv[i] - e2.r[i])))"
+    )
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    {_o_kmeans_cte(KMEANS_K, it)},
+    cnF AS (
+      SELECT cluster_id, cv,
+             sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+      FROM c{it}),
+    aF AS (
+      SELECT m.vec_id, c.cluster_id, row_number() OVER (
+        PARTITION BY m.vec_id
+        ORDER BY {sc.round6_sql(f"{dot} / (m.nrm * c.cnrm)")} DESC,
+                 c.cluster_id ASC) AS pr
+      FROM n m CROSS JOIN cnF c),
+    asg AS (SELECT vec_id, cluster_id FROM aF WHERE pr = 1),
+    rb AS (
+      SELECT m.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> m.v[i] - c.cv[i]) AS v
+      FROM n m JOIN asg a ON a.vec_id = m.vec_id
+      JOIN cnF c ON c.cluster_id = a.cluster_id
+      WHERE m.vec_id % 5 <> 0),
+    {_o_pq_cte(PQ_M, PQ_K, PQ_ITER, src_sql="SELECT vec_id, v FROM rb")},
+    mc AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 5 <> 0 AND vec_id % 7 = 3
+                  THEN list_transform(v, x -> -x) ELSE v END AS v,
+             (vec_id % 5 = 0 OR vec_id % 7 = 3) AS from_update
+      FROM e),
+    mn AS (SELECT vec_id, v, from_update,
+                  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM mc),
+    maF AS (
+      SELECT m.vec_id, c.cluster_id, row_number() OVER (
+        PARTITION BY m.vec_id
+        ORDER BY {sc.round6_sql(f"{dot} / (m.nrm * c.cnrm)")} DESC,
+                 c.cluster_id ASC) AS pr
+      FROM mn m CROSS JOIN cnF c),
+    masg AS (SELECT vec_id, cluster_id FROM maF WHERE pr = 1),
+    mrb AS (
+      SELECT m.vec_id, a.cluster_id, m.from_update,
+             list_transform(generate_series(1, 64),
+               i -> m.v[i] - c.cv[i]) AS rv
+      FROM mn m JOIN masg a ON a.vec_id = m.vec_id
+      JOIN cnF c ON c.cluster_id = a.cluster_id),
+    msv AS (
+      SELECT vec_id, subs.m AS sub_id,
+             rv[subs.m * {dsub} + 1 : subs.m * {dsub} + {dsub}] AS svv
+      FROM mrb CROSS JOIN subs),
+    mpa AS (
+      SELECT s.vec_id, s.sub_id, c.code_id, c.cv, row_number() OVER (
+        PARTITION BY s.vec_id, s.sub_id
+        ORDER BY {sc.round6_sql(d2)} ASC, c.code_id ASC) AS pr
+      FROM msv s JOIN p{PQ_ITER} c USING (sub_id)),
+    menc AS (
+      SELECT vec_id, list(code_id ORDER BY sub_id) AS codes,
+             flatten(list(cv ORDER BY sub_id)) AS r
+      FROM mpa WHERE pr = 1 GROUP BY vec_id)
+    SELECT b.vec_id, b.cluster_id,
+           ((e2.codes[1] * 16 + e2.codes[2]) * 16 + e2.codes[3]) * 16
+             + e2.codes[4] AS packed_code,
+           {sc.round6_sql(recon)} AS recon_err, b.from_update
+    FROM mrb b JOIN menc e2 USING (vec_id)
+    """
 
 
 def _o_ivfpq_search() -> str:
@@ -6230,6 +6351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_read": q_zorder_read,
         "compaction_plan": q_compaction_plan,
         "compaction_apply": q_compaction_apply,
+        "ivfpq_upsert": q_ivfpq_upsert,
         "bucketed_join": q_bucketed_join,
         "resumable_rollup": q_resumable_rollup,
         "streaming_dedup_exact": q_streaming_dedup_exact,
@@ -6341,6 +6463,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_read": _o_partitioned_read(),
         "compaction_plan": _o_compaction_plan(),
         "compaction_apply": _o_compaction_apply(),
+        "ivfpq_upsert": _o_ivfpq_upsert(),
         "bucketed_join": _o_bucketed_join(),
         "resumable_rollup": _o_resumable_rollup(),
         # streaming gates: REAL multi-micro-batch runs on the Spark

@@ -518,6 +518,49 @@ def residual_vectors(
     )
 
 
+def ivfpq_upsert(
+    enc_base: DataFrame,
+    delta_emb: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "cluster_id",
+    digits: int = COS_DIGITS,
+) -> DataFrame:
+    """Incremental IVFPQ index maintenance — the steady-state
+    ingestion shape for a living corpus: a delta batch (updates +
+    inserts) re-encodes ONLY ITSELF against the FROZEN models (coarse
+    quantizer + residual codebooks stay fixed between retrains, the
+    FAISS add-with-ids contract), then a last-write-wins MERGE on id
+    (sinks.upsert_merge — ONE id-keyed window) replaces the stored
+    rows. Because encoding is a pure per-row function of the frozen
+    models, the merged index is bit-identical to re-encoding the
+    merged corpus from scratch (pytest-pinned) — so search over
+    base ∪ delta needs no special casing and the base pays ZERO
+    re-encode work per batch.
+
+    enc_base: the stored artifact (id, codes, recon_err, cluster_id).
+    delta_emb: (id, vector) rows — ids present in base are updates,
+    new ids are inserts; both flow through the same path. Output: the
+    merged artifact + from_update (merge audit column)."""
+    from cityfinder_spark.sinks import upsert_merge
+
+    resid_d = residual_vectors(
+        delta_emb, coarse, id_col, vec_col, label_col, digits
+    )
+    enc_d = pq_encode(resid_d, codebooks, id_col, "residual", digits).join(
+        resid_d.select(id_col, label_col), id_col
+    )
+    cols = [id_col, "codes", "recon_err", label_col]
+    return upsert_merge(
+        enc_base.select(*cols).withColumn("__ver", F.lit(0)),
+        enc_d.select(*cols).withColumn("__ver", F.lit(1)),
+        id_col,
+        "__ver",
+    ).drop("__ver")
+
+
 def _ivfpq_query_probes(
     queries: DataFrame,
     coarse: np.ndarray,

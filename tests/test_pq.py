@@ -226,3 +226,65 @@ def test_ivfpq_search_jvm_strategy_parity_and_plan(spark, emb):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     got = sorted(map(tuple, jvm_df.collect()))
     assert want and got == want
+
+
+def test_ivfpq_upsert_equals_scratch_reencode(spark, emb):
+    """Index lifecycle: updates (re-embedded vectors) + inserts merge
+    into the stored artifact by encoding ONLY the delta against the
+    frozen models; the merged index — and IVFADC search over it — is
+    IDENTICAL to re-encoding the merged corpus from scratch."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.kmeans import kmeans_fit
+    from cityfinder_spark.operators.pq import (
+        ivfpq_search,
+        ivfpq_upsert,
+        pq_encode,
+        pq_fit,
+        residual_vectors,
+    )
+
+    base = emb.where("vec_id % 5 <> 0")
+    C, _ = kmeans_fit(base, k=8, n_iter=2)
+    resid = residual_vectors(base, C)
+    CB, _ = pq_fit(resid, vec_col="residual")
+    enc_base = pq_encode(resid, CB, vec_col="residual").join(
+        resid.select("vec_id", "cluster_id"), "vec_id"
+    )
+    # delta: every %7==3 base vector re-embedded (negated) + the
+    # held-out %5==0 rows as inserts
+    updates = base.where("vec_id % 7 = 3").select(
+        "vec_id", F.expr("transform(embedding, x -> -x)").alias("embedding")
+    )
+    inserts = emb.where("vec_id % 5 = 0").select("vec_id", "embedding")
+    delta = updates.unionByName(inserts)
+    merged = ivfpq_upsert(enc_base, delta, C, CB)
+
+    # scratch: encode the merged corpus with the same frozen models
+    merged_corpus = (
+        base.where("vec_id % 7 <> 3")
+        .select("vec_id", "embedding")
+        .unionByName(delta)
+    )
+    resid_m = residual_vectors(merged_corpus, C)
+    scratch = pq_encode(resid_m, CB, vec_col="residual").join(
+        resid_m.select("vec_id", "cluster_id"), "vec_id"
+    )
+    key = lambda r: (r["vec_id"], r["cluster_id"], tuple(r["codes"]), r["recon_err"])
+    got = sorted(map(key, merged.select("vec_id", "cluster_id", "codes", "recon_err").collect()))
+    want = sorted(map(key, scratch.select("vec_id", "cluster_id", "codes", "recon_err").collect()))
+    assert got == want and len(got) == merged_corpus.count()
+
+    # the merge audit: exactly the delta ids came from the update side
+    fu = {r["vec_id"]: r["from_update"] for r in merged.collect()}
+    delta_ids = {r["vec_id"] for r in delta.collect()}
+    assert all(fu[i] == (i in delta_ids) for i in fu)
+
+    # search over the incrementally maintained index == search over
+    # the scratch index
+    queries = emb.where("vec_id % 10 = 1").select(
+        emb["vec_id"].alias("q_id"), "embedding"
+    )
+    a = sorted(map(tuple, ivfpq_search(queries, merged, C, CB, k=5, n_probe=2).collect()))
+    b = sorted(map(tuple, ivfpq_search(queries, scratch, C, CB, k=5, n_probe=2).collect()))
+    assert a and a == b
