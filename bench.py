@@ -88,6 +88,7 @@ HEADLINE = [
     "upsert_merge",
     "zorder_read",
     "compaction_plan",
+    "compaction_apply",
     "bucketed_join",
     "resumable_rollup",
     "salted_agg",
@@ -149,6 +150,7 @@ HEADLINE = [
     "pq_encode",
     "pq_search",
     "ivfpq_search",
+    "ivfpq_upsert",
     "streaming_pq_encode",
     "kmeans_assign",
     "semdedup",
@@ -214,6 +216,7 @@ _FACT_TABLE = {
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",
     "compaction_plan": "orders",
+    "compaction_apply": "orders",
     "upsert_merge": "documents",
     "bucketed_join": "documents",
     "resumable_rollup": "documents",
@@ -274,6 +277,7 @@ _FACT_TABLE = {
     "pq_encode": "embeddings",
     "pq_search": "embeddings",
     "ivfpq_search": "embeddings",
+    "ivfpq_upsert": "embeddings",
     "streaming_pq_encode": "embeddings",
     "kmeans_assign": "embeddings",
     "semdedup": "embeddings",
@@ -393,6 +397,7 @@ def run(names: list[str]) -> dict:
 
     times: dict[str, float] = {}
     rates: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in names:
         fn = qs[name]
         t0 = time.perf_counter()
@@ -400,6 +405,7 @@ def run(names: list[str]) -> dict:
         print(f"  warmup {name}: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
         _drain_garbage()
         best = float("inf")
+        contract.LAST_STREAM_PROGRESS.clear()
         for _ in range(MEASURE_RUNS):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -408,6 +414,22 @@ def run(names: list[str]) -> dict:
         tab = fact_table.get(name)
         if tab:
             rates[name] = round(fact_rows[tab] / best, 1)
+        # streaming keys: ALSO report steady-state per-batch rows/s
+        # (batches after the first trigger — state-store open, codegen
+        # and source listing amortized) so a state-handling regression
+        # can't hide inside the cold-start fixed cost the wall time is
+        # dominated by at gate scale
+        prog = contract.LAST_STREAM_PROGRESS
+        if prog:
+            tail = [
+                p for p in prog[1:]
+                if p.get("numInputRows", 0) > 0
+                and p.get("durationMs", {}).get("triggerExecution", 0) > 0
+            ]
+            rows_t = sum(p["numInputRows"] for p in tail)
+            secs_t = sum(p["durationMs"]["triggerExecution"] for p in tail) / 1e3
+            if rows_t and secs_t:
+                steady[name] = round(rows_t / secs_t, 1)
         print(f"  {name}: {best:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
@@ -418,6 +440,7 @@ def run(names: list[str]) -> dict:
         "queries": times,
         "sf": _sf_of(SF_DIR),
         "rows_per_sec": rates,
+        "streaming_steady_rows_per_sec": steady,
         "nearest_city_rows_per_sec": rates.get(
             "nearest_city_10m", rates.get("nearest_city")
         ),

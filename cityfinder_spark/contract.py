@@ -3665,6 +3665,16 @@ def _stage_id_ordered(
     return memo_value(spark, ("stream-src", tag), build)
 
 
+# Per-batch progress of the most recent stream gate run (populated by
+# _run_stream_to_table from StreamingQuery.recentProgress). bench.py
+# reads this to report STEADY-STATE per-batch throughput — batches
+# after the first trigger, where one-time costs (state-store open,
+# codegen, source listing) are amortized — alongside the cold-start
+# wall time, so a state-handling regression can't hide inside fixed
+# setup cost.
+LAST_STREAM_PROGRESS: list[dict] = []
+
+
 def _run_stream_to_table(
     spark: SparkSession, sdf: DataFrame, mode: str, shuffle_parts: int = 8
 ) -> DataFrame:
@@ -3699,6 +3709,13 @@ def _run_stream_to_table(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    import json as _json
+
+    LAST_STREAM_PROGRESS.clear()
+    for p in q.recentProgress:
+        LAST_STREAM_PROGRESS.append(
+            p if isinstance(p, dict) else _json.loads(p.json)
+        )
     if len(q.recentProgress) < 2:
         raise RuntimeError(
             f"stream gate expected multiple micro-batches, got "
