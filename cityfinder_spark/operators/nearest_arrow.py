@@ -108,6 +108,47 @@ def _chord_sq_pairs(
     return dot
 
 
+# The float32 prefilter's error budget, in km, covering BOTH sides of
+# the comparison: storing unit vectors at float32 loses <= ~0.8 m of
+# position per endpoint (6371 km x sqrt(3) x 2^-24), and the
+# squared-DIFFERENCE chord form keeps full relative precision on the
+# small differences (unlike 2 - 2*dot, which cancels catastrophically
+# below ~20 km) — total bound ~2-3 m; 10 m is a 3x guard. Widening the
+# prefilter margin by this can only ADD survivors, and every survivor
+# is re-measured by the exact float64 rounded haversine, so outputs
+# are bit-identical to the float64 prefilter (parity-pinned) while the
+# per-candidate gather traffic halves (measured 1.8x on the 32-worker
+# prefilter microbenchmark — the bandwidth-bound regime BASELINE.md's
+# 8->32 step identified).
+F32_PREFILTER_SLACK_KM = 0.01
+
+
+def _chord_sq_pairs_f32(
+    index: CityIndex,
+    px32: np.ndarray,
+    py32: np.ndarray,
+    pz32: np.ndarray,
+    flat: np.ndarray,
+) -> np.ndarray:
+    """float32 squared-difference chord^2 between per-pair point
+    components and city[flat] float32 unit vectors — half the memory
+    traffic of the float64 dot form on the gather-dominated hot loop.
+    MUST be consumed with margins widened by F32_PREFILTER_SLACK_KM
+    (see above); never use the value as a distance."""
+    dx = np.take(index.ux32, flat)
+    dx -= px32
+    dx *= dx
+    t = np.take(index.uy32, flat)
+    t -= py32
+    t *= t
+    dx += t
+    t = np.take(index.uz32, flat)
+    t -= pz32
+    t *= t
+    dx += t
+    return dx
+
+
 def _chord_sq_to_km(c2: np.ndarray) -> np.ndarray:
     """Exact great-circle km for a chord^2 (used per-SEGMENT on the
     minima only, never per pair)."""
@@ -240,7 +281,10 @@ class CityIndex:
         ring: int,
         max_per_cell: int | None = None,
         fine_delta: int = 2,
+        use_f32_prefilter: bool = True,
     ):
+        # travels with the pickle so the worker-side kernel sees it
+        self.use_f32_prefilter = use_f32_prefilter
         order = np.argsort(city_id, kind="stable")
         self.city_id = city_id[order]
         self.lat = lat[order]
@@ -266,10 +310,15 @@ class CityIndex:
         self.rad_lat = np.radians(self.lat)
         self.rad_lon = np.radians(self.lon)
         self.cos_lat = np.cos(self.rad_lat)
-        # unit vectors for the chord^2 prefilter (no trig per pair)
+        # unit vectors for the chord^2 prefilter (no trig per pair);
+        # float32 twins serve the bandwidth-bound in-ring prefilter
+        # (margins widened by F32_PREFILTER_SLACK_KM keep it exact)
         self.ux = self.cos_lat * np.cos(self.rad_lon)
         self.uy = self.cos_lat * np.sin(self.rad_lon)
         self.uz = np.sin(self.rad_lat)
+        self.ux32 = self.ux.astype(np.float32)
+        self.uy32 = self.uy.astype(np.float32)
+        self.uz32 = self.uz.astype(np.float32)
         if n == 0:
             self.cover_cells = np.empty(0, np.int64)
             self.cover_offsets = np.zeros(1, np.int64)
@@ -435,25 +484,47 @@ def _solve_batch(
         # candidates within (that distance + 2*round-step) can tie the
         # rounded minimum — so the transcendental kernel runs on the
         # near-disc survivors only (~50 ring candidates/point at the
-        # default level, ~1-2 survivors). The per-pair arrays stay in
-        # DOT space (chord^2 = 2 - 2*dot, monotone decreasing): min
-        # chord == max dot, and only the per-SEGMENT extrema pay the
-        # chord/km conversions — three fewer full passes (scale, shift,
-        # clip; the conversion helpers clamp their own inputs).
-        dot = _dot_pairs(
-            index,
-            np.repeat(p_ux, counts),
-            np.repeat(p_uy, counts),
-            np.repeat(p_uz, counts),
-            flat,
-        )
-        max_dot = np.maximum.reduceat(dot, red_at)
-        min_c2 = 2.0 - 2.0 * np.minimum(max_dot, 1.0)
-        margin_km = _chord_sq_to_km(min_c2) + 2.0 * slack
-        # c2 <= bound  <=>  dot >= 1 - bound/2
-        dot_bound_pt = np.full(npts, np.inf)
-        dot_bound_pt[has] = 1.0 - 0.5 * _km_to_chord_sq_bound(margin_km)
-        keep = dot >= np.repeat(dot_bound_pt, counts)
+        # default level, ~1-2 survivors).
+        if getattr(index, "use_f32_prefilter", True):
+            # float32 squared-difference form: half the gather traffic
+            # (the hot loop is bandwidth-bound at 32 cores); margins
+            # widen by the f32 error budget so the survivor set can
+            # only GROW — every survivor is re-measured in float64, so
+            # the output is identical (parity-pinned in tests)
+            c2 = _chord_sq_pairs_f32(
+                index,
+                np.repeat(p_ux.astype(np.float32), counts),
+                np.repeat(p_uy.astype(np.float32), counts),
+                np.repeat(p_uz.astype(np.float32), counts),
+                flat,
+            )
+            min_c2 = np.minimum.reduceat(c2, red_at).astype(np.float64)
+            margin_km = (
+                _chord_sq_to_km(min_c2)
+                + 2.0 * slack
+                + 2.0 * F32_PREFILTER_SLACK_KM
+            )
+            c2_bound_pt = np.full(npts, np.inf)
+            c2_bound_pt[has] = _km_to_chord_sq_bound(margin_km)
+            keep = c2 <= np.repeat(c2_bound_pt, counts)
+        else:
+            # float64 DOT space (chord^2 = 2 - 2*dot, monotone
+            # decreasing): min chord == max dot, and only the
+            # per-SEGMENT extrema pay the chord/km conversions
+            dot = _dot_pairs(
+                index,
+                np.repeat(p_ux, counts),
+                np.repeat(p_uy, counts),
+                np.repeat(p_uz, counts),
+                flat,
+            )
+            max_dot = np.maximum.reduceat(dot, red_at)
+            min_c2 = 2.0 - 2.0 * np.minimum(max_dot, 1.0)
+            margin_km = _chord_sq_to_km(min_c2) + 2.0 * slack
+            # c2 <= bound  <=>  dot >= 1 - bound/2
+            dot_bound_pt = np.full(npts, np.inf)
+            dot_bound_pt[has] = 1.0 - 0.5 * _km_to_chord_sq_bound(margin_km)
+            keep = dot >= np.repeat(dot_bound_pt, counts)
         counts2 = np.add.reduceat(keep, red_at, dtype=np.int64)
         seg2 = np.cumsum(counts2) - counts2
         sel = np.flatnonzero(keep)

@@ -129,3 +129,43 @@ def test_topk_duplicate_sites_rank_by_id(idx):
     zero = d[order] == 0.0
     ids = idx.city_id[pos[order]][zero]
     assert np.all(np.diff(ids) > 0)
+
+
+def test_f32_prefilter_parity_with_f64(spark):
+    """The float32 squared-difference prefilter (half the gather
+    traffic on the bandwidth-bound hot loop) returns BIT-IDENTICAL
+    (position, rounded distance) to the float64 dot prefilter —
+    margins widen by the f32 error budget, survivors re-measure in
+    float64, so only the candidate set (never the answer) differs.
+    Includes near-tie pairs 1-2 m apart, where a naive f32 dot form
+    would misrank."""
+    import pandas as pd
+
+    rng = np.random.default_rng(77)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "city_id": np.arange(n, dtype=np.int64),
+            "lat": rng.uniform(-85, 85, n),
+            "lon": rng.uniform(-180, 180, n),
+            "name": [f"c{i}" for i in range(n)],
+            "country": ["XX"] * n,
+        }
+    )
+    # plant near-tie twins ~1.5 m apart (sub-f32-position-error scale)
+    pdf.loc[1, ["lat", "lon"]] = (pdf.loc[0, "lat"] + 1.4e-5, pdf.loc[0, "lon"])
+    pdf.loc[3, ["lat", "lon"]] = (pdf.loc[2, "lat"], pdf.loc[2, "lon"] + 2e-5)
+    cities = spark.createDataFrame(pdf)
+    idx32 = na.build_city_index(cities, 5, 1)
+    assert getattr(idx32, "use_f32_prefilter", None) is True
+    idx64 = na.build_city_index(cities, 5, 1)
+    idx64.use_f32_prefilter = False
+    lat = rng.uniform(-85, 85, 3000)
+    lon = rng.uniform(-180, 180, 3000)
+    # aim a third of the probes at the planted near-tie sites
+    lat[:1000] = pdf.loc[0, "lat"] + rng.uniform(-0.01, 0.01, 1000)
+    lon[:1000] = pdf.loc[0, "lon"] + rng.uniform(-0.01, 0.01, 1000)
+    p32, d32 = na._solve_batch(idx32, lat, lon, na.ROUND_DIGITS)
+    p64, d64 = na._solve_batch(idx64, lat, lon, na.ROUND_DIGITS)
+    np.testing.assert_array_equal(p32, p64)
+    np.testing.assert_array_equal(d32, d64)
