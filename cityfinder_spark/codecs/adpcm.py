@@ -1,0 +1,234 @@
+"""IMA ADPCM WAV codec (WAVE format tag 0x0011) — stdlib + NumPy.
+
+This closes the compressed-audio swap boundary the same way
+codecs/jpeg.py closed the image one: a REAL standardized compressed
+audio format (IMA/DVI ADPCM, 4 bits per sample — the classic 4x PCM16
+compression used in telephony and game audio), in its REAL container
+(RIFF/WAVE with fmt tag 0x11, block headers, fact chunk), implemented
+from the public spec with no external library.
+
+Verification stance (the PNG/WAV pattern): the per-block nibble
+recurrence is cross-checked in tests against the stdlib `audioop`
+module's C implementation of the same IMA algorithm — an INDEPENDENT
+implementation, so agreement proves the spec math, not just a
+roundtrip (audioop packs the first sample in the HIGH nibble while
+the WAV container mandates LOW-nibble-first; the test repacks before
+comparing). The container structure is proven by a marker-level parse
+plus strict-reject tests.
+
+Encoding (per IMA spec / Microsoft WAVE appendix):
+  * mono int16 PCM, block_align bytes per block (default 256);
+  * each block: 4-byte header (predictor int16 = the block's first
+    sample, step index uint8, reserved 0) + (block_align-4)*2
+    4-bit samples, low nibble first;
+  * samples_per_block = (block_align - 4) * 2 + 1 (the header carries
+    sample 0 verbatim);
+  * the step/index state RESETS per block (that is what makes blocks
+    independently decodable — the seek/robustness property the format
+    exists for).
+
+ADPCM is genuinely lossy on arbitrary signals (it tracks deltas, so
+white noise — the datagen's worst case — decodes poorly by design);
+tests assert SNR on band-limited waveforms where the format's own
+quality contract applies, and exact state-machine agreement with
+audioop everywhere.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WAVE_FORMAT_IMA_ADPCM = 0x0011
+
+# Public IMA tables (IMA ADPCM reference algorithm / RFC 3551 App.)
+INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+
+
+def _encode_nibbles(samples: np.ndarray, pred: int, index: int) -> tuple[list[int], int, int]:
+    """IMA recurrence, one 4-bit code per sample. Returns (codes,
+    final predictor, final index)."""
+    codes: list[int] = []
+    for s in samples:
+        s = int(s)
+        step = int(STEP_TABLE[index])
+        diff = s - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        temp = step
+        if diff >= temp:
+            code |= 4
+            diff -= temp
+        temp >>= 1
+        if diff >= temp:
+            code |= 2
+            diff -= temp
+        temp >>= 1
+        if diff >= temp:
+            code |= 1
+        # reconstruct exactly as the decoder will
+        diffq = step >> 3
+        if code & 4:
+            diffq += step
+        if code & 2:
+            diffq += step >> 1
+        if code & 1:
+            diffq += step >> 2
+        pred = pred - diffq if code & 8 else pred + diffq
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(INDEX_TABLE[code & 7])))
+        codes.append(code)
+    return codes, pred, index
+
+
+def decode_nibbles(codes: np.ndarray, pred: int, index: int) -> np.ndarray:
+    """Decode 4-bit IMA codes from an explicit (predictor, index)
+    state -> int16 samples. This is the exact audioop.adpcm2lin
+    recurrence (cross-checked in tests)."""
+    out = np.empty(len(codes), dtype=np.int16)
+    for i, code in enumerate(codes):
+        code = int(code)
+        step = int(STEP_TABLE[index])
+        diffq = step >> 3
+        if code & 4:
+            diffq += step
+        if code & 2:
+            diffq += step >> 1
+        if code & 1:
+            diffq += step >> 2
+        pred = pred - diffq if code & 8 else pred + diffq
+        pred = max(-32768, min(32767, pred))
+        out[i] = pred
+        index = max(0, min(88, index + int(INDEX_TABLE[code & 7])))
+    return out
+
+
+def encode_adpcm_real(
+    pcm: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """Spec-compliant IMA-ADPCM RIFF/WAVE bytes for mono int16 PCM.
+
+    Container: fmt chunk (tag 0x11, cbSize 2, samples_per_block) +
+    fact chunk (total sample count — mandatory for compressed WAVE) +
+    data chunk of fixed-size blocks. The final block zero-pads."""
+    if block_align < 8 or block_align % 4:
+        raise ValueError(f"bad block_align {block_align}")
+    pcm = np.asarray(pcm, dtype=np.int16)
+    n = len(pcm)
+    if n == 0:
+        raise ValueError("empty audio")
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    blocks = []
+    index = 0
+    for b0 in range(0, n, spb):
+        chunk = pcm[b0 : b0 + spb]
+        pred = int(chunk[0])
+        # choose the block's starting index as the carried-over one
+        # (encoder freedom per spec; header makes decode exact anyway)
+        hdr = struct.pack("<hBB", pred, index, 0)
+        rest = chunk[1:]
+        if len(rest) < spb - 1:  # final partial block: zero-pad
+            rest = np.concatenate(
+                [rest, np.zeros(spb - 1 - len(rest), dtype=np.int16)]
+            )
+        codes, _pred, index = _encode_nibbles(rest, pred, index)
+        packed = bytearray()
+        for i in range(0, len(codes), 2):  # LOW nibble first, per spec
+            packed.append((codes[i] & 0xF) | ((codes[i + 1] & 0xF) << 4))
+        blocks.append(hdr + bytes(packed))
+    data = b"".join(blocks)
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        WAVE_FORMAT_IMA_ADPCM,
+        1,
+        sample_rate,
+        byte_rate,
+        block_align,
+        4,
+        2,      # cbSize
+        spb,    # wSamplesPerBlock
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_adpcm_real(buf: bytes) -> tuple[int, np.ndarray]:
+    """Decode an IMA-ADPCM RIFF/WAVE stream -> (sample_rate, int16
+    mono samples). Chunk-walking parser (fmt/fact/data); rejects
+    non-IMA tags, stereo, and truncated blocks with precise errors."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE byte stream")
+    pos = 12
+    sr = None
+    block_align = spb = None
+    n_samples = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError(f"WAV chunk {cid!r} truncated")
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            tag, ch, sr, _br, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if tag != WAVE_FORMAT_IMA_ADPCM:
+                raise ValueError(
+                    f"not IMA ADPCM (fmt tag 0x{tag:04x}); PCM16 WAV "
+                    "routes through decode_audio_real"
+                )
+            if ch != 1:
+                raise ValueError(f"unsupported channel count {ch} (want mono)")
+            if bits != 4:
+                raise ValueError(f"unsupported ADPCM bit depth {bits}")
+            if len(body) >= 20:
+                (spb,) = struct.unpack_from("<H", body, 18)
+            else:
+                spb = (block_align - 4) * 2 + 1
+        elif cid == b"fact":
+            (n_samples,) = struct.unpack_from("<I", body, 0)
+        elif cid == b"data":
+            data = body
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if block_align is None or len(data) % block_align:
+        raise ValueError("ADPCM data is not a whole number of blocks")
+    out = []
+    for b0 in range(0, len(data), block_align):
+        blk = data[b0 : b0 + block_align]
+        pred, index, _res = struct.unpack_from("<hBB", blk, 0)
+        if not 0 <= index <= 88:
+            raise ValueError(f"ADPCM block step index {index} out of range")
+        nib = np.frombuffer(blk, dtype=np.uint8, offset=4)
+        codes = np.empty(len(nib) * 2, dtype=np.uint8)
+        codes[0::2] = nib & 0xF          # LOW nibble first, per spec
+        codes[1::2] = nib >> 4
+        out.append(np.concatenate([[np.int16(pred)], decode_nibbles(codes, pred, index)]))
+    pcm = np.concatenate(out)
+    if n_samples is not None:
+        pcm = pcm[:n_samples]  # drop final-block zero padding
+    return sr, pcm

@@ -21,10 +21,16 @@ by hand per the spec, `decode_audio_real` parses it back with the
 stdlib `wave` module (an independent parser, so the roundtrip proves
 spec compliance, mirroring codecs/fakeimage.py's real-PNG path), and
 `decode_audio` dispatches on the RIFF signature so a real WAV payload
-flows through audio_features unchanged (pytest-pinned). The fake
+flows through audio_features unchanged (pytest-pinned). REAL
+COMPRESSED audio is implemented too (r4): IMA ADPCM in its RIFF/WAVE
+container (fmt tag 0x11, 4 bits/sample — codecs/adpcm.py), the
+per-block nibble recurrence cross-verified bit-for-bit against the
+stdlib audioop C implementation; the RIFF dispatch routes on the fmt
+tag, so ADPCM payloads flow through audio_features as well. The fake
 formats remain the default datagen path (they make the SNR oracle
-closed-form); compressed audio (ogg/mp3) still needs soundfile/ffmpeg
-and raises NotImplementedError at the same boundary.
+closed-form); ogg/mp3 specifically still need soundfile/ffmpeg and
+raise NotImplementedError (entropy-coded psychoacoustic codecs are
+out of stdlib scope — IMA ADPCM is the in-scope compressed format).
 """
 
 from __future__ import annotations
@@ -71,6 +77,11 @@ def encode_audio(pcm: np.ndarray, sample_rate: int, fmt: str) -> bytes:
 def decode_audio(buf: bytes) -> tuple[str, int, np.ndarray]:
     """-> (fmt, sample_rate, int16 samples)."""
     if buf[:4] == RIFF_SIG and buf[8:12] == b"WAVE":
+        if _riff_fmt_tag(buf) == 0x0011:  # IMA ADPCM container
+            from cityfinder_spark.codecs.adpcm import decode_adpcm_real
+
+            sr, pcm = decode_adpcm_real(buf)
+            return "adpcm", sr, pcm
         sr, pcm = decode_audio_real(buf)
         return "wav", sr, pcm
     magic, sr, n, _c = _HDR.unpack_from(buf, 0)
@@ -97,6 +108,20 @@ RIFF_SIG = b"RIFF"
 _FMT_PCM16 = struct.Struct("<HHIIHH")  # tag, ch, sr, byterate, align, bits
 
 
+def _riff_fmt_tag(buf: bytes) -> int | None:
+    """The WAVE format tag of the first fmt chunk (chunk-walk, not a
+    fixed offset — fmt need not be first)."""
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", buf, pos + 4)
+        if cid == b"fmt " and ln >= 2:
+            (tag,) = struct.unpack_from("<H", buf, pos + 8)
+            return tag
+        pos += 8 + ln + (ln & 1)
+    return None
+
+
 def encode_wav_real(pcm: np.ndarray, sample_rate: int) -> bytes:
     """Spec-compliant RIFF/WAVE: PCM16 mono, canonical 44-byte header,
     built by hand per the spec (the decoder below parses it back with
@@ -113,15 +138,22 @@ def encode_wav_real(pcm: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_audio_real(buf: bytes) -> tuple[int, np.ndarray]:
-    """Real RIFF/WAVE decode via the stdlib `wave` module ->
-    (sample_rate, int16 mono samples). Compressed audio (ogg/mp3)
-    still requires soundfile/ffmpeg and raises NotImplementedError —
-    that is the remaining swap boundary."""
+    """Real RIFF/WAVE decode -> (sample_rate, int16 mono samples):
+    PCM16 parses via the stdlib `wave` module (independent parser);
+    IMA ADPCM (fmt tag 0x11) routes to the codecs/adpcm.py decoder
+    (cross-verified against stdlib audioop). ogg/mp3 — entropy-coded
+    psychoacoustic codecs — still require soundfile/ffmpeg and raise
+    NotImplementedError."""
     if buf[:4] == b"OggS" or buf[:3] == b"ID3" or buf[:2] == b"\xff\xfb":
         raise NotImplementedError(
-            "compressed audio (ogg/mp3) requires soundfile/ffmpeg — not "
-            "in this container; the deterministic fake codec stands in"
+            "ogg/mp3 require soundfile/ffmpeg — not in this container; "
+            "IMA ADPCM (codecs/adpcm.py) is the supported compressed "
+            "format, the deterministic fake codec stands in otherwise"
         )
+    if _riff_fmt_tag(buf) == 0x0011:
+        from cityfinder_spark.codecs.adpcm import decode_adpcm_real
+
+        return decode_adpcm_real(buf)
     with wave.open(io.BytesIO(buf), "rb") as wf:
         if wf.getsampwidth() != 2:
             raise ValueError(
