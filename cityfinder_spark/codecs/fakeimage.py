@@ -215,7 +215,13 @@ def encode_video(frames: list[np.ndarray]) -> bytes:
 
 
 def decode_video(buf: bytes) -> np.ndarray:
-    """-> (n_frames, h, w, c)."""
+    """-> (n_frames, h, w, c). A RIFF/AVI stream routes to the real
+    MJPEG-AVI decoder (codecs/mjpeg.py — real container, real
+    per-frame JFIF decode); FVID is the deterministic fake."""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        from cityfinder_spark.codecs.mjpeg import decode_mjpeg_avi
+
+        return decode_mjpeg_avi(buf)
     magic, w, h, c = _HDR.unpack_from(buf, 0)
     if magic != MAGIC_VID:
         raise ValueError(f"bad magic {magic!r}")

@@ -591,3 +591,59 @@ def test_decode_quarantine_survives_corruption(spark):
         r = out[bad]
         assert not r["ok"] and r["w"] is None and r["fmt"] is None
     assert out["empty"]["n_bytes"] == 0
+
+
+def test_real_mjpeg_avi_roundtrip_and_structure():
+    """Real video: MJPEG frames in a spec AVI RIFF container —
+    round-trips through the baseline JFIF codec per frame, container
+    markers verified, truncation rejected."""
+    import struct as _s
+
+    from cityfinder_spark.codecs.mjpeg import decode_mjpeg_avi, encode_mjpeg_avi
+
+    yy, xx = np.meshgrid(np.arange(24), np.arange(32), indexing="ij")
+    frames = [
+        np.stack(
+            [(yy * 4 + k * 9) % 200 + 20, (xx * 3) % 150 + 40, ((yy + xx) * 2) % 180 + 30],
+            -1,
+        ).astype(np.uint8)
+        for k in range(5)
+    ]
+    buf = encode_mjpeg_avi(frames, fps=10, quality=95)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+    assert b"MJPG" in buf[:300] and b"idx1" in buf
+    back = decode_mjpeg_avi(buf)
+    assert back.shape == (5, 24, 32, 3)
+    for k in range(5):
+        assert psnr(frames[k], back[k]) >= 40.0
+    # dispatch through the generic video decoder
+    assert (decode_video(buf) == back).all()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_mjpeg_avi(buf[: len(buf) // 2])
+    with _pt.raises(ValueError):
+        decode_mjpeg_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_real_mjpeg_avi_flows_through_frame_sample(spark):
+    """frame_sample runs unchanged on real AVI payloads: sampled
+    frames decode (as PNG re-encodes) and match the source frames."""
+    import pandas as pd
+
+    from cityfinder_spark.codecs.mjpeg import encode_mjpeg_avi
+
+    frames = []
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    for k in range(6):
+        frames.append(
+            np.stack([(yy * 8 + k * 11) % 256, (xx * 8) % 256, np.full((16, 16), 30 * k)], -1).astype(np.uint8)
+        )
+    vids = spark.createDataFrame(
+        pd.DataFrame([{"video_id": "v0", "bytes": encode_mjpeg_avi(frames, quality=98)}])
+    )
+    rows = {r["frame_idx"]: r for r in frame_sample(vids, every=2).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    for k, r in rows.items():
+        _fmt, pix = decode(bytes(r["bytes"]))
+        assert psnr(frames[k], pix) >= 40.0
