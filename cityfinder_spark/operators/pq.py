@@ -592,7 +592,7 @@ def _ivfpq_query_probes(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _tune_malloc()
         C, CB = bc.value
-        n_list = len(C)
+        k_tab = CB.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -600,25 +600,28 @@ def _ivfpq_query_probes(
             cos = _fold_dots(Q, C)
             cos /= _fold_norms(Q)[:, None] * _fold_norms(C)[None, :]
             cosr = _round_np(cos, digits)
-            out_q, out_c, out_t = [], [], []
-            qid = pdf[q_id_col].to_numpy()
-            for qi in range(len(Q)):
-                probes = np.lexsort((np.arange(n_list), -cosr[qi]))[:n_probe]
-                for p in probes:
-                    sq = Q[qi] - C[p]
-                    tab = np.concatenate(
-                        [
-                            _fold_sqdist(
-                                sq[None, m * dsub : (m + 1) * dsub], CB[m]
-                            )[0]
-                            for m in range(m_sub)
-                        ]
-                    )
-                    out_q.append(qid[qi])
-                    out_c.append(int(p))
-                    out_t.append(tab)
+            # stable argsort on -cosr == lexsort((arange, -cosr)):
+            # equal keys keep index order, the ivf_search tie rule
+            probes = np.argsort(-cosr, axis=1, kind="stable")[:, :n_probe]
+            nq = len(Q)
+            # shifted queries (nq, n_probe, dim); ADC tables built by
+            # the SAME per-dimension accumulation order as
+            # _fold_sqdist, just with leading batch axes
+            SQ = Q[:, None, :] - C[probes]
+            tabs = np.zeros((nq, n_probe, m_sub, k_tab))
+            for m in range(m_sub):
+                sub = SQ[:, :, m * dsub : (m + 1) * dsub]
+                acc = tabs[:, :, m, :]
+                for d in range(dsub):
+                    diff = sub[:, :, d, None] - CB[m][None, None, :, d]
+                    acc += diff * diff
+            qid = np.repeat(pdf[q_id_col].to_numpy(), n_probe)
             yield pd.DataFrame(
-                {"q_id": out_q, "cluster_id": out_c, "tab": out_t}
+                {
+                    "q_id": qid,
+                    "cluster_id": probes.reshape(-1),
+                    "tab": list(tabs.reshape(nq * n_probe, m_sub * k_tab)),
+                }
             )
 
     return spread(queries.select(q_id_col, vec_col)).mapInPandas(gen, schema)
