@@ -112,6 +112,7 @@ HEADLINE = [
     "token_percentiles",
     "length_buckets",
     "vocab_topk",
+    "bpe_train",
     "bm25_search",
     "lm_score",
     "importance_sample",
@@ -241,6 +242,7 @@ _FACT_TABLE = {
     "token_percentiles": "documents",
     "length_buckets": "documents",
     "vocab_topk": "documents",
+    "bpe_train": "documents",
     "bm25_search": "documents",
     "lm_score": "documents",
     "importance_sample": "documents",

@@ -1910,6 +1910,89 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_docs(spark, sf_dir), k=VOCAB_K)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (Sennrich et al. 2016 — the tokenizer
+    TRAINING step): one corpus pass collapses text to the word-
+    frequency table, then every merge iteration runs on that
+    vocabulary-sized table (operators/bpe.py). The oracle replays all
+    iterations as chained CTEs — pair counts, deterministic winner
+    (count DESC, pair ASC), relational greedy islands merge — so the
+    whole learned merge table value-hashes."""
+    from cityfinder_spark.operators.bpe import BPE_MERGES, bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+
+
+def _o_bpe_train() -> str:
+    from cityfinder_spark.operators.bpe import BPE_EOW, BPE_MERGES
+
+    parts = [
+        f"""w0 AS (
+      SELECT w, cast(count(*) AS bigint) AS freq,
+             list_append(list_transform(generate_series(1, length(w)),
+               i -> substring(w, i, 1)), '{BPE_EOW}') AS t
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w)"""
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        p = r - 1
+        parts.append(
+            f"""pr{r} AS (
+      SELECT p.lhs AS lhs, p.rhs AS rhs, cast(sum(freq) AS bigint) AS cnt
+      FROM (SELECT freq,
+              unnest(CASE WHEN len(t) < 2
+                     THEN []::STRUCT(lhs VARCHAR, rhs VARCHAR)[]
+                     ELSE list_transform(generate_series(1, len(t) - 1),
+                       i -> struct_pack(lhs := t[i], rhs := t[i + 1]))
+                     END) AS p
+            FROM w{p})
+      GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""win{r} AS (SELECT lhs, rhs, cnt FROM pr{r} WHERE cnt >= 2
+           ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1)"""
+        )
+        parts.append(
+            f"""cd{r} AS (
+      SELECT w, unnest(list_filter(
+          CASE WHEN len(t) < 2 THEN []::BIGINT[]
+               ELSE list_transform(generate_series(1, len(t) - 1), i -> i)
+          END,
+          i -> t[i] = x.lhs AND t[i + 1] = x.rhs)) AS i
+      FROM w{p}, win{r} x)"""
+        )
+        parts.append(
+            f"""kp{r} AS (
+      SELECT w, list(i ORDER BY i) AS k FROM (
+        SELECT w, i FROM (
+          SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS g0 FROM (
+            SELECT w, i,
+                   i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+            FROM cd{r}))
+        WHERE (i - g0) % 2 = 0) GROUP BY w)"""
+        )
+        parts.append(
+            f"""w{r} AS (
+      SELECT s.w, s.freq,
+        list_filter(list_transform(generate_series(1, len(s.t)), j -> CASE
+          WHEN kp.k IS NOT NULL AND list_contains(kp.k, j)
+            THEN s.t[j] || s.t[j + 1]
+          WHEN kp.k IS NOT NULL AND list_contains(kp.k, j - 1) THEN NULL
+          ELSE s.t[j] END), x -> x IS NOT NULL) AS t
+      FROM w{p} s LEFT JOIN kp{r} kp USING (w))"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, cnt AS pair_count FROM win{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT cast(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_count
+    FROM ({unions})
+    """
+
+
 def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainer-input tokenization: map every corpus token to its
     vocab id (vocab = the vocab_topk ranks), OOV -> 0. posexplode is a
@@ -6302,6 +6385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_percentiles": q_token_percentiles,
         "length_buckets": q_length_buckets,
         "vocab_topk": q_vocab_topk,
+        "bpe_train": q_bpe_train,
         "bm25_search": q_bm25_search,
         "lm_score": q_lm_score,
         "pii_redact": q_pii_redact,
@@ -6442,6 +6526,7 @@ def oracle_sql() -> dict[str, str]:
         "token_percentiles": _o_token_percentiles(),
         "length_buckets": _o_length_buckets(),
         "vocab_topk": _o_vocab_topk(),
+        "bpe_train": _o_bpe_train(),
         "bm25_search": _o_bm25_search(),
         "lm_score": _o_lm_score(),
         "pii_redact": _o_pii_redact(),
