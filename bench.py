@@ -113,6 +113,7 @@ HEADLINE = [
     "length_buckets",
     "vocab_topk",
     "bpe_train",
+    "bpe_segment",
     "bm25_search",
     "lm_score",
     "importance_sample",
@@ -243,6 +244,7 @@ _FACT_TABLE = {
     "length_buckets": "documents",
     "vocab_topk": "documents",
     "bpe_train": "documents",
+    "bpe_segment": "documents",
     "bm25_search": "documents",
     "lm_score": "documents",
     "importance_sample": "documents",

@@ -1923,8 +1923,68 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
 
 
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY half: tokenize the corpus with the learned merge
+    table (operators/bpe.py::bpe_segment) — merges replay in rank
+    order on the distinct-word table, corpus pays one split + one
+    word equi-join. Output (doc_id, wpos, tpos, token) is
+    window-free deterministic; the oracle replays training AND
+    segmentation in one CTE chain."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.operators.bpe import BPE_MERGES, bpe_segment, bpe_train
+
+    def build():
+        return [
+            (r.lhs, r.rhs)
+            for r in bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+
+    merges = memo_value(spark, ("bpe-merges", sf_dir), build)
+    return bpe_segment(_docs(spark, sf_dir), merges)
+
+
+def _o_bpe_segment() -> str:
+    from cityfinder_spark.operators.bpe import BPE_MERGES
+
+    return f"""
+    WITH {_o_bpe_cte(BPE_MERGES)}
+    SELECT d.doc_id, d.wpos, tp.tpos, tp.token
+    FROM (
+      SELECT doc_id, p.wpos, p.w FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(sl)),
+                 i -> struct_pack(wpos := i - 1, w := sl[i]))) AS p
+        FROM (SELECT doc_id, string_split(text, ' ') AS sl
+              FROM documents))
+      WHERE p.w <> '') d
+    JOIN (
+      SELECT w, unnest(list_transform(generate_series(1, len(t)),
+               j -> struct_pack(tpos := j - 1, token := t[j]))) AS q
+      FROM w{BPE_MERGES}) s ON s.w = d.w
+    CROSS JOIN LATERAL (SELECT cast(d.wpos AS INT) AS wpos,
+                               cast(s.q.tpos AS INT) AS tpos,
+                               s.q.token AS token) tp
+    """
+
+
 def _o_bpe_train() -> str:
-    from cityfinder_spark.operators.bpe import BPE_EOW, BPE_MERGES
+    from cityfinder_spark.operators.bpe import BPE_MERGES
+
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, cnt AS pair_count FROM win{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+    WITH {_o_bpe_cte(BPE_MERGES)}
+    SELECT cast(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_count
+    FROM ({unions})
+    """
+
+
+def _o_bpe_cte(n_merges: int) -> str:
+    from cityfinder_spark.operators.bpe import BPE_EOW
 
     parts = [
         f"""w0 AS (
@@ -1934,7 +1994,7 @@ def _o_bpe_train() -> str:
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> '' GROUP BY w)"""
     ]
-    for r in range(1, BPE_MERGES + 1):
+    for r in range(1, n_merges + 1):
         p = r - 1
         parts.append(
             f"""pr{r} AS (
@@ -1981,16 +2041,7 @@ def _o_bpe_train() -> str:
           ELSE s.t[j] END), x -> x IS NOT NULL) AS t
       FROM w{p} s LEFT JOIN kp{r} kp USING (w))"""
         )
-    unions = "\n    UNION ALL ".join(
-        f"SELECT {r} AS merge_rank, lhs, rhs, cnt AS pair_count FROM win{r}"
-        for r in range(1, BPE_MERGES + 1)
-    )
-    joined = ",\n    ".join(parts)
-    return f"""
-    WITH {joined}
-    SELECT cast(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_count
-    FROM ({unions})
-    """
+    return ",\n    ".join(parts)
 
 
 def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6386,6 +6437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "vocab_topk": q_vocab_topk,
         "bpe_train": q_bpe_train,
+        "bpe_segment": q_bpe_segment,
         "bm25_search": q_bm25_search,
         "lm_score": q_lm_score,
         "pii_redact": q_pii_redact,
@@ -6527,6 +6579,7 @@ def oracle_sql() -> dict[str, str]:
         "length_buckets": _o_length_buckets(),
         "vocab_topk": _o_vocab_topk(),
         "bpe_train": _o_bpe_train(),
+        "bpe_segment": _o_bpe_segment(),
         "bm25_search": _o_bm25_search(),
         "lm_score": _o_lm_score(),
         "pii_redact": _o_pii_redact(),

@@ -152,3 +152,38 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a LEARNED merge table (the apply half
+    of BPE): replay the merges in rank order over the DISTINCT-word
+    table — segmentation is a pure function of the word, so the
+    corpus-sized side pays one split + one word equi-join and the
+    merge replay runs on vocabulary-sized state (same _merge_pair
+    machinery as training, no winner computation). Output grain:
+    (id, wpos, tpos, token) — word position in the doc (0-based,
+    pre-filter indices) x token position within the word's
+    segmentation; deterministic with NO window, so it value-hashes."""
+    from cityfinder_spark.operators.components import _ckpt
+
+    state = _ckpt(_word_table(docs, text_col).select("w", "t"))
+    for a, b in merges:
+        st = _merge_pair(state.withColumn("freq", F.lit(1)), a, b)
+        state = _ckpt(st.select("w", "t"))
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("wpos", "w"),
+    ).where(F.col("w") != "")
+    return (
+        words.join(state, "w")
+        .select(
+            id_col,
+            "wpos",
+            F.posexplode("t").alias("tpos", "token"),
+        )
+    )

@@ -100,3 +100,46 @@ def test_bpe_train_early_stop_and_empty(spark):
     got2 = _run(spark, ["xy xy xy"], 5)
     assert got2 == _ref_bpe(["xy xy xy"], 5)
     assert len(got2) == 2  # (x,y) then (xy, EOW); then nothing repeats
+
+
+def test_bpe_segment_matches_reference(spark):
+    """Apply half: replaying the learned merges segments every word
+    exactly as the reference greedy implementation does."""
+    from cityfinder_spark.operators.bpe import bpe_segment
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "wide wider widest new new",
+    ]
+    merges = [(l, r) for _, l, r, _ in _ref_bpe(texts, 6)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {}
+    for row in bpe_segment(docs, merges).collect():
+        got.setdefault((row.doc_id, row.wpos), {})[row.tpos] = row.token
+    # reference: apply merges in order per word
+    def seg(word):
+        syms = list(word) + [BPE_EOW]
+        for pair in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for di, t in enumerate(texts):
+        for wi, w in enumerate(t.split(" ")):
+            want = seg(w)
+            toks = got[(di, wi)]
+            assert [toks[j] for j in sorted(toks)] == want, (di, wi, w)
+    # tokens reassemble the corpus exactly
+    for (di, wi), toks in got.items():
+        joined = "".join(toks[j] for j in sorted(toks))
+        assert joined == texts[di].split(" ")[wi] + BPE_EOW
