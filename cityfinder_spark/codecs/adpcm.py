@@ -227,8 +227,16 @@ def decode_adpcm_real(buf: bytes) -> tuple[int, np.ndarray]:
         codes = np.empty(len(nib) * 2, dtype=np.uint8)
         codes[0::2] = nib & 0xF          # LOW nibble first, per spec
         codes[1::2] = nib >> 4
-        out.append(np.concatenate([[np.int16(pred)], decode_nibbles(codes, pred, index)]))
+        blk_pcm = np.concatenate(
+            [[np.int16(pred)], decode_nibbles(codes, pred, index)]
+        )
+        # wSamplesPerBlock is authoritative for per-block payload: a
+        # block physically holds 1 + (block_align-4)*2 sample slots but
+        # only spb are audio — trim here so streams WITHOUT the
+        # (spec-mandatory but often omitted) fact chunk don't surface
+        # trailing zero padding as real audio.
+        out.append(blk_pcm[:spb])
     pcm = np.concatenate(out)
     if n_samples is not None:
-        pcm = pcm[:n_samples]  # drop final-block zero padding
+        pcm = pcm[:n_samples]  # fact refines the final partial block
     return sr, pcm

@@ -55,9 +55,13 @@ def encode_mjpeg_avi(
         maxbuf,            # dwSuggestedBufferSize
         w, h, 0, 0, 0, 0,  # dwWidth, dwHeight, reserved[4]
     )
+    # AVISTREAMHEADER: after the two fccs exactly 11 DWORDs/WORD-pairs
+    # (dwFlags, wPriority+wLanguage, dwInitialFrames, dwScale, dwRate,
+    # dwStart, dwLength, dwSuggestedBufferSize, dwQuality,
+    # dwSampleSize) then rcFrame — 56 bytes total, fixed offsets.
     strh = (
         b"vids" + b"MJPG"
-        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(encoded), maxbuf, 0xFFFFFFFF, 0, 0)
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(encoded), maxbuf, 0xFFFFFFFF, 0)
         + struct.pack("<HHHH", 0, 0, w, h)  # rcFrame
     )
     # BITMAPINFOHEADER with biCompression = 'MJPG'
@@ -90,6 +94,9 @@ def decode_mjpeg_avi(buf: bytes) -> np.ndarray:
     truncation, or frame-shape disagreement."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not an AVI byte stream")
+    declared_end = 8 + struct.unpack_from("<I", buf, 4)[0]
+    if declared_end > len(buf):
+        raise ValueError("AVI truncated (buffer shorter than RIFF size)")
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
@@ -101,11 +108,21 @@ def decode_mjpeg_avi(buf: bytes) -> np.ndarray:
                 raise ValueError(f"AVI chunk {cid!r} truncated")
             if cid == b"LIST":
                 walk(body_start + 4, body_start + ln)
+            elif cid == b"strh" and ln >= 8 and buf[body_start : body_start + 4] == b"vids":
+                # strict-reject dispatch (the ADPCM stance): this decoder
+                # only speaks MJPG-in-AVI; cinepak/DV/xvid etc. would
+                # feed garbage to the JFIF decoder, so refuse up front.
+                handler = buf[body_start + 4 : body_start + 8]
+                if handler not in (b"MJPG", b"mjpg", b"dmb1"):
+                    raise ValueError(
+                        f"AVI video stream handler {handler!r} is not "
+                        "MJPG; only Motion-JPEG AVIs are supported"
+                    )
             elif cid == b"00dc" and ln:
                 frames.append(decode_jpeg_real(buf[body_start : body_start + ln]))
             pos = body_start + ln + (ln & 1)
 
-    walk(12, 12 + struct.unpack_from("<I", buf, 4)[0] - 4)
+    walk(12, declared_end)
     if not frames:
         raise ValueError("AVI contains no video frames")
     shape = frames[0].shape

@@ -296,3 +296,38 @@ def test_audio_invariants_detect_length_corruption(spark):
     v = check_audio_invariants(tbl).toPandas()
     assert len(v) == 6
     assert not v["snr_ok"].any()
+
+
+def test_real_adpcm_factless_stream_uses_samples_per_block():
+    """An ADPCM WAV missing its (spec-mandatory, often omitted) fact
+    chunk must not surface block zero-padding as audio: the decoder
+    trims every block to wSamplesPerBlock, so a fact-less stream
+    decodes to whole-block granularity and agrees with the
+    fact-bearing decode on every real sample."""
+    import struct as _s
+
+    from cityfinder_spark.codecs.adpcm import decode_adpcm_real, encode_adpcm_real
+
+    sr = 8000
+    sig = (5000 * np.sin(np.arange(2500) * 0.013)).astype(np.int16)
+    buf = encode_adpcm_real(sig, sr)
+    _sr, with_fact = decode_adpcm_real(buf)
+    assert len(with_fact) == len(sig)
+
+    # rebuild the RIFF without the fact chunk
+    out = bytearray(buf[:12])
+    pos, spb = 12, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (ln,) = _s.unpack_from("<I", buf, pos + 4)
+        if cid == b"fmt ":
+            (spb,) = _s.unpack_from("<H", buf, pos + 8 + 18)
+        if cid != b"fact":
+            out += buf[pos : pos + 8 + ln + (ln & 1)]
+        pos += 8 + ln + (ln & 1)
+    _s.pack_into("<I", out, 4, len(out) - 8)
+    _sr2, no_fact = decode_adpcm_real(bytes(out))
+    assert spb is not None and spb > 1
+    # whole-block granularity: padded up to spb, never a full capacity pad
+    assert len(sig) <= len(no_fact) <= -(-len(sig) // spb) * spb
+    assert (no_fact[: len(with_fact)] == with_fact).all()

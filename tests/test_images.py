@@ -145,10 +145,14 @@ def test_real_jpeg_rejects_unsupported_and_truncated():
         decode_jpeg_real(b"\xff\xd8\xff\xe0 fake jfif")
     with pytest.raises(ValueError):
         decode_jpeg_real(buf[: len(buf) // 2])  # truncated entropy data
-    prog = bytearray(buf)
-    sof = prog.find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2  # pretend progressive
+    bad = bytearray(buf)
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC3  # lossless sequential: out of scope
     with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_real(bytes(bad))
+    prog = bytearray(buf)
+    prog[sof + 1] = 0xC2  # progressive-tagged but full-band scan
+    with pytest.raises(ValueError, match="spectral band"):
         decode_jpeg_real(bytes(prog))
 
 
@@ -647,3 +651,135 @@ def test_real_mjpeg_avi_flows_through_frame_sample(spark):
     for k, r in rows.items():
         _fmt, pix = decode(bytes(r["bytes"]))
         assert psnr(frames[k], pix) >= 40.0
+
+
+def test_real_mjpeg_avi_strict_rejects_foreign_codec():
+    """Dispatch honesty (the ADPCM strict-reject stance): an AVI whose
+    vids stream handler is not MJPG is refused up front instead of
+    feeding foreign bitstreams to the JFIF decoder; the strh header is
+    the standard 56 bytes so the handler sits at its fixed offset."""
+    import struct as _s
+
+    from cityfinder_spark.codecs.mjpeg import decode_mjpeg_avi, encode_mjpeg_avi
+
+    frames = [np.full((16, 16, 3), 90, np.uint8)]
+    buf = encode_mjpeg_avi(frames, fps=5)
+    # strh chunk body must be exactly 56 bytes (fixed rcFrame offset)
+    sh = buf.find(b"strh")
+    (strh_len,) = _s.unpack_from("<I", buf, sh + 4)
+    assert strh_len == 56
+    assert buf[sh + 8 : sh + 16] == b"vidsMJPG"
+    bad = bytearray(buf)
+    bad[sh + 12 : sh + 16] = b"cvid"  # pretend cinepak
+    with pytest.raises(ValueError, match="MJPG"):
+        decode_mjpeg_avi(bytes(bad))
+    # physically-short buffer vs declared RIFF size: clean ValueError
+    with pytest.raises(ValueError, match="truncated"):
+        decode_mjpeg_avi(buf[:-3])
+
+
+def test_real_jpeg_tolerates_fill_bytes():
+    """T.81 B.1.1.2 fill bytes: extra 0xFF padding before a marker id
+    is legal; the decoder must skip it, not misparse."""
+    from cityfinder_spark.codecs.jpeg import decode_jpeg_real, encode_jpeg_real
+
+    pix = gen_pixels(11, 24, 24)
+    buf = encode_jpeg_real(pix, 95)
+    base = decode_jpeg_real(buf)
+    filled = bytearray(buf)
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xda"):
+        at = bytes(filled).find(marker)
+        filled[at:at] = b"\xff\xff"  # two fill bytes before the marker
+    assert (decode_jpeg_real(bytes(filled)) == base).all()
+
+
+def test_real_jpeg_progressive_roundtrip_exact_vs_baseline():
+    """Progressive (SOF2) streams: spectral selection + successive
+    approximation + EOB runs decode to the BIT-IDENTICAL pixels of
+    the baseline stream at the same (quality, subsample) — the two
+    encoders share one quantized-coefficient front end, so full
+    progressive reconstruction must recover exactly those
+    coefficients. Also pins the PSNR invariant floor directly."""
+    from cityfinder_spark.codecs.jpeg import (
+        decode_jpeg_real,
+        encode_jpeg_progressive,
+        encode_jpeg_real,
+    )
+
+    for seed, (h, w, c), sub in [
+        (3, (24, 32, 3), False),
+        (4, (40, 56, 3), True),
+        (5, (17, 23, 1), False),
+    ]:
+        pix = gen_pixels(seed, w, h) if c == 3 else gen_pixels(seed, w, h)[:, :, :1]
+        pb = encode_jpeg_progressive(pix, 98, subsample=sub)
+        bb = encode_jpeg_real(pix, 98, subsample=sub)
+        # really progressive: SOF2 marker, multiple SOS scans
+        assert b"\xff\xc2" in pb and pb.count(b"\xff\xda") >= 6
+        dec_p = decode_jpeg_real(pb)
+        assert (dec_p == decode_jpeg_real(bb)).all(), (seed, sub)
+        if not sub:
+            # the invariant floor, same quality the suite pins baseline at
+            assert psnr(pix, dec_p) >= 40.0
+    # smooth image maximizes EOB-run batching; flat maximizes empty bands
+    yy, xx = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
+    smooth = np.stack(
+        [(yy * 255 // 48), (xx * 255 // 64), ((yy + xx) % 256)], -1
+    ).astype(np.uint8)
+    for img in (smooth, np.full((64, 64, 3), 77, np.uint8)):
+        from cityfinder_spark.codecs.jpeg import (
+            decode_jpeg_real as d,
+            encode_jpeg_progressive as ep,
+            encode_jpeg_real as er,
+        )
+
+        assert (d(ep(img, 90)) == d(er(img, 90))).all()
+
+
+def test_real_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: a restart-bearing baseline stream decodes to exactly
+    the no-DRI pixels; all eight RST markers appear (cycle 0..7) and
+    a stream with a corrupted restart sequence is rejected."""
+    from cityfinder_spark.codecs.jpeg import decode_jpeg_real, encode_jpeg_real
+
+    yy, xx = np.meshgrid(np.arange(96), np.arange(128), indexing="ij")
+    pix = np.stack(
+        [(yy * 3) % 256, (xx * 5) % 256, (yy + xx) % 256], -1
+    ).astype(np.uint8)
+    plain = decode_jpeg_real(encode_jpeg_real(pix, 92))
+    dri = encode_jpeg_real(pix, 92, restart_interval=5)
+    assert b"\xff\xdd" in dri
+    for m in range(8):
+        assert bytes((0xFF, 0xD0 + m)) in dri, m
+    assert (decode_jpeg_real(dri) == plain).all()
+    # break the first RST marker's sequence number -> precise error
+    bad = bytearray(dri)
+    at = bad.find(b"\xff\xd0", 200)
+    bad[at + 1] = 0xD3
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg_real(bytes(bad))
+
+
+def test_real_jpeg_quarantine_progressive_now_decodes(spark):
+    """The round-4 boundary is closed: progressive payloads were
+    reject-rows (ok=false) and now decode through the same
+    codec-agnostic pipeline, while genuinely unsupported streams
+    (arithmetic-coded SOF9) still quarantine cleanly."""
+    import pandas as pd
+
+    from cityfinder_spark.codecs.jpeg import encode_jpeg_progressive, encode_jpeg_real
+    from cityfinder_spark.operators.images_ops import decode_quarantine
+
+    pix = gen_pixels(11, 20, 14)
+    prog = encode_jpeg_progressive(pix, 95)
+    arith = bytearray(encode_jpeg_real(pix, 95))
+    arith[arith.find(b"\xff\xc0") + 1] = 0xC9  # arithmetic sequential
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("prog", prog), ("arith", bytes(arith))],
+            columns=["image_id", "bytes"],
+        )
+    )
+    out = {r["image_id"]: r for r in decode_quarantine(df).collect()}
+    assert out["prog"]["ok"] and (out["prog"]["w"], out["prog"]["h"]) == (20, 14)
+    assert not out["arith"]["ok"]
