@@ -12,24 +12,55 @@ count. That is exactly the vocab_topk exchange reused as a front end.
 
 Semantics (all deterministic, DuckDB-replayable):
   * words split on single spaces (the corpus tokenization convention
-    shared with vocab_topk); each word starts as its character
-    sequence plus an explicit end-of-word symbol "</w>" (the standard
-    Sennrich construction — merges can't leak across word boundaries
-    and learned units know whether they end a word);
-  * each iteration counts adjacent pairs weighted by word frequency
-    (one vocab-sized map-side-combined exchange), picks the winner by
-    (count DESC, left ASC, right ASC) — a total order, so ties are
-    deterministic — and fuses its occurrences GREEDILY left-to-right
-    ("aaaa" with winner (a,a) becomes "aa","aa", matching the
-    reference implementation);
-  * greedy overlap resolution is RELATIONAL: candidate positions form
-    gaps-and-islands (consecutive-integer runs can only arise when
-    left == right), and within each run the even offsets are kept —
-    provably the left-to-right greedy set;
-  * the per-iteration winner is ONE row collected to the driver (the
-    kmeans stance: the model crosses, never the data), and the word
-    table is lineage-truncated every round (components.py checkpoint
-    stance) so Catalyst never re-analyzes a growing loop plan.
+    shared with vocab_topk); under mode="char" each word starts as
+    its character sequence plus an explicit end-of-word symbol
+    "</w>" (the standard Sennrich construction — merges can't leak
+    across word boundaries and learned units know whether they end a
+    word); under mode="bytes" each word starts as its UTF-8 byte
+    sequence with NO end-of-word marker (the GPT-2-style byte-level
+    alphabet — every symbol is a fixed-width two-hex-digit string,
+    so merged symbols concatenate unambiguously and the whole chain
+    stays replayable as SQL over hex(encode(w)));
+  * each iteration counts adjacent pairs weighted by word frequency,
+    picks the winner by (count DESC, left ASC, right ASC) — a total
+    order, so ties are deterministic — and fuses its occurrences
+    GREEDILY left-to-right ("aaaa" with winner (a,a) becomes
+    "aa","aa", matching the reference implementation);
+  * training stops early when no pair repeats (count < 2).
+
+Two execution strategies, identical outputs (parity pinned in
+tests/test_bpe.py), routed by MERGE COUNT because that is the axis
+that scales differently:
+
+  * "relational" (the low-merge-count default): every iteration is
+    one vocab-sized map-side-combined pair-count exchange; the winner
+    is ONE row collected to the driver (the kmeans stance: the model
+    crosses, never the data); greedy overlap resolution is
+    gaps-and-islands (consecutive-integer candidate runs can only
+    arise when left == right, and keeping the even offsets within a
+    run is provably the left-to-right greedy set); the word table is
+    lineage-truncated every round (components.py checkpoint stance).
+    Cost: ~2 Spark jobs PER MERGE — corpus-size-independent but
+    linear in n_merges, so it is the wrong shape for a realistic
+    32k-merge vocabulary.
+  * "driver" (the high-merge-count path): the SAME single corpus
+    exchange collapses text to (word, freq); that state is
+    vocab-sized — the inverse of the kmeans stance applies (it IS
+    the model side), so above the merge-count threshold it MAY cross
+    the driver, guarded by BPE_MAX_DRIVER_WORDS (a bounded
+    limit-probe collect, never an unguarded full collect). Training
+    then runs the classic incremental-pair-count algorithm with a
+    lazy max-heap and a pair->words occurrence index: each merge
+    touches only the words containing the winning pair, so 32k
+    merges cost seconds of driver CPU instead of 32k Spark jobs.
+
+bpe_segment (the APPLY half) mirrors the routing: the corpus-sized
+side always pays exactly one split + one word equi-join; the merge
+replay over the DISTINCT-word table runs either relationally (same
+_merge_pair machinery, one job per merge) or — above the threshold —
+as ONE broadcast-merge-table Arrow pass that greedily replays the
+merges per distinct word in rank order (vocab-sized work, zero extra
+jobs).
 
 Output: the merge table (merge_rank, lhs, rhs, pair_count) —
 model-sized, the artifact a tokenizer ships.
@@ -37,13 +68,59 @@ model-sized, the artifact a tokenizer ships.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import heapq
+from collections import Counter, defaultdict
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 BPE_EOW = "</w>"
 BPE_MERGES = 8
 
+# Strategy routing: at or below this merge count "auto" stays fully
+# relational (one pair-count exchange per merge — the oracle-shaped
+# path); above it the vocab-sized (word, freq) state crosses to the
+# driver and the incremental heap trainer runs all merges in memory.
+BPE_RELATIONAL_MAX_MERGES = 64
 
-def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
+# Hard cap on vocabulary rows the driver path may collect (the
+# PQ_MAX_DRIVER_QUERIES stance: the "model-sized state may cross the
+# driver" contract is ENFORCED by a bounded limit-probe, not assumed).
+# 2M distinct words x ~50 bytes is ~100 MB — driver-safe; above it
+# the trainer falls back to the relational path, which is slower but
+# never OOMs the driver.
+BPE_MAX_DRIVER_WORDS = 2_000_000
+
+
+def _syms_expr(mode: str) -> str:
+    """SQL expression building a word's initial symbol array from
+    column `w` — shared shape with the DuckDB oracle CTE."""
+    if mode == "char":
+        return (
+            "concat(transform(sequence(1, length(w)),"
+            f" i -> substring(w, i, 1)), array('{BPE_EOW}'))"
+        )
+    if mode == "bytes":
+        # fixed-width two-hex-digit symbols: concatenation of merged
+        # symbols is unambiguous, and hex(encode(..)) is uppercase in
+        # both Spark and DuckDB, so the alphabet replays in SQL.
+        return (
+            "transform(sequence(1, octet_length(w)),"
+            " i -> substring(hex(encode(w, 'UTF-8')), 2 * i - 1, 2))"
+        )
+    raise ValueError(f"unknown BPE mode {mode!r} (want 'char' or 'bytes')")
+
+
+def _initial_syms_py(w: str, mode: str) -> list[str]:
+    """Python twin of _syms_expr — MUST construct the identical
+    symbol sequence (parity pinned in tests)."""
+    if mode == "char":
+        return list(w) + [BPE_EOW]
+    hx = w.encode("utf-8").hex().upper()
+    return [hx[i : i + 2] for i in range(0, len(hx), 2)]
+
+
+def _word_table(docs: DataFrame, text_col: str, mode: str = "char") -> DataFrame:
     """(w, freq, t): word frequencies + initial symbol arrays."""
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
@@ -51,14 +128,7 @@ def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    return words.select(
-        "w",
-        "freq",
-        F.expr(
-            "concat(transform(sequence(1, length(w)),"
-            f" i -> substring(w, i, 1)), array('{BPE_EOW}'))"
-        ).alias("t"),
-    )
+    return words.select("w", "freq", F.expr(_syms_expr(mode)).alias("t"))
 
 
 def _pair_counts(state: DataFrame) -> DataFrame:
@@ -124,19 +194,135 @@ def _merge_pair(state: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
+def _greedy_fuse(syms: list[str], a: str, b: str) -> tuple[list[str], bool]:
+    """Left-to-right greedy fuse of (a, b) — the reference semantics
+    shared by every path ("aaaa" + (a,a) -> "aa","aa")."""
+    out: list[str] = []
+    i, n, changed = 0, len(syms), False
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+            changed = True
+        else:
+            out.append(syms[i])
+            i += 1
+    return out, changed
+
+
+def _train_driver(
+    words: list[tuple[str, int]], n_merges: int, mode: str
+) -> list[tuple[int, str, str, int]]:
+    """Incremental-pair-count BPE on the driver: a lazy max-heap over
+    pair counts plus a pair -> word-ids occurrence index, so each
+    merge re-segments ONLY the words that contain the winning pair.
+    Winner order (-cnt, lhs, rhs) on the heap is exactly the
+    relational (count DESC, lhs ASC, rhs ASC) total order — Python
+    compares strings by code point, which equals UTF-8 binary order,
+    which is what Spark and DuckDB sort by, so tie-breaks agree
+    across all three engines."""
+    vocab: list[list] = []  # [syms, freq] per word id
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for w, f in words:
+        syms = _initial_syms_py(w, mode)
+        wid = len(vocab)
+        vocab.append([syms, f])
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += f
+            pair_words[p].add(wid)
+
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, a, b = heap[0]
+            cur = pair_counts.get((a, b), 0)
+            if cur != -negc:  # stale lazy-heap entry
+                heapq.heappop(heap)
+                continue
+            best = (a, b, cur)
+            break
+        if best is None or best[2] < 2:
+            break
+        a, b, cnt = best
+        merges.append((r, a, b, cnt))
+        for wid in sorted(pair_words.get((a, b), ())):
+            syms, f = vocab[wid]
+            out, changed = _greedy_fuse(syms, a, b)
+            if not changed:
+                continue
+            old_pairs = Counter(zip(syms, syms[1:]))
+            new_pairs = Counter(zip(out, out[1:]))
+            vocab[wid][0] = out
+            for p in old_pairs.keys() | new_pairs.keys():
+                d = new_pairs.get(p, 0) - old_pairs.get(p, 0)
+                if d:
+                    pair_counts[p] += d * f
+                    if pair_counts[p] <= 0:
+                        pair_counts.pop(p, None)
+                    else:
+                        heapq.heappush(
+                            heap, (-pair_counts[p], p[0], p[1])
+                        )
+                if p in new_pairs and p not in old_pairs:
+                    pair_words[p].add(wid)
+                elif p in old_pairs and p not in new_pairs:
+                    pair_words[p].discard(wid)
+        # greedy fuse removes every (a, b) adjacency from every word
+        pair_words.pop((a, b), None)
+        pair_counts.pop((a, b), None)
+    return merges
+
+
+def _resolve_bpe_strategy(n_merges: int, strategy: str, fast: str) -> str:
+    if strategy not in ("auto", "relational", fast):
+        raise ValueError(f"unknown BPE strategy {strategy!r}")
+    if strategy != "auto":
+        return strategy
+    return "relational" if n_merges <= BPE_RELATIONAL_MAX_MERGES else fast
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = BPE_MERGES,
     text_col: str = "text",
+    strategy: str = "auto",
+    mode: str = "char",
 ) -> DataFrame:
     """Learn the BPE merge table: (merge_rank, lhs, rhs, pair_count),
     rank 1 = first (most frequent) merge. Stops early if the corpus
-    runs out of repeated pairs."""
+    runs out of repeated pairs. strategy: "relational" | "driver" |
+    "auto" (auto routes by merge count, see module docstring); the
+    driver path is count-guarded and falls back to relational when
+    the vocabulary exceeds BPE_MAX_DRIVER_WORDS."""
     from cityfinder_spark.operators.components import _ckpt
 
     spark = docs.sparkSession
-    state = _ckpt(_word_table(docs, text_col))
-    merges: list[tuple[int, str, str, int]] = []
+    resolved = _resolve_bpe_strategy(n_merges, strategy, "driver")
+    schema = "merge_rank int, lhs string, rhs string, pair_count long"
+
+    if resolved == "driver":
+        rows = (
+            _word_table(docs, text_col, mode)
+            .select("w", "freq")
+            .limit(BPE_MAX_DRIVER_WORDS + 1)
+            .collect()
+        )
+        if len(rows) <= BPE_MAX_DRIVER_WORDS:
+            merges = _train_driver(
+                [(r["w"], int(r["freq"])) for r in rows], n_merges, mode
+            )
+            return spark.createDataFrame(merges, schema)
+        # vocab too large for the driver: the relational path is
+        # merge-count-linear but bounded-memory everywhere
+        resolved = "relational"
+
+    state = _ckpt(_word_table(docs, text_col, mode))
+    merges = []
     for r in range(1, n_merges + 1):
         win = (
             _pair_counts(state)
@@ -149,9 +335,25 @@ def bpe_train(
         a, b, cnt = win[0]["lhs"], win[0]["rhs"], int(win[0]["cnt"])
         merges.append((r, a, b, cnt))
         state = _ckpt(_merge_pair(state, a, b))
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_count long"
-    )
+    return spark.createDataFrame(merges, schema)
+
+
+def _apply_merges_py(
+    syms: list[str], merges: list[tuple[str, str]]
+) -> list[str]:
+    """Sequential rank-order replay of the merge table over one
+    word's symbols — identical semantics to chaining _merge_pair.
+    The symbol-membership set prunes merges that cannot apply, so a
+    32k-entry table costs ~word-length work, not 32k scans."""
+    present = set(syms)
+    for a, b in merges:
+        if a not in present or b not in present:
+            continue
+        out, changed = _greedy_fuse(syms, a, b)
+        if changed:
+            syms = out
+            present = set(syms)
+    return syms
 
 
 def bpe_segment(
@@ -159,22 +361,41 @@ def bpe_segment(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "auto",
+    mode: str = "char",
 ) -> DataFrame:
     """Tokenize the corpus with a LEARNED merge table (the apply half
-    of BPE): replay the merges in rank order over the DISTINCT-word
-    table — segmentation is a pure function of the word, so the
+    of BPE): segmentation is a pure function of the word, so the
     corpus-sized side pays one split + one word equi-join and the
-    merge replay runs on vocabulary-sized state (same _merge_pair
-    machinery as training, no winner computation). Output grain:
-    (id, wpos, tpos, token) — word position in the doc (0-based,
-    pre-filter indices) x token position within the word's
+    merge replay runs on vocabulary-sized state. strategy:
+    "relational" replays each merge as one _merge_pair job (the
+    oracle shape); "broadcast" ships the model-sized merge table to
+    every executor and replays ALL merges per distinct word in one
+    Arrow pass (the 32k-merge shape); "auto" routes by merge count.
+    Output grain: (id, wpos, tpos, token) — word position in the doc
+    (0-based, pre-filter indices) x token position within the word's
     segmentation; deterministic with NO window, so it value-hashes."""
     from cityfinder_spark.operators.components import _ckpt
 
-    state = _ckpt(_word_table(docs, text_col).select("w", "t"))
-    for a, b in merges:
-        st = _merge_pair(state.withColumn("freq", F.lit(1)), a, b)
-        state = _ckpt(st.select("w", "t"))
+    spark = docs.sparkSession
+    resolved = _resolve_bpe_strategy(len(merges), strategy, "broadcast")
+    state = _word_table(docs, text_col, mode).select("w", "t")
+
+    if resolved == "broadcast":
+        bmerges = spark.sparkContext.broadcast([(a, b) for a, b in merges])
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def _seg(t: pd.Series) -> pd.Series:
+            mg = bmerges.value
+            return t.apply(lambda syms: _apply_merges_py(list(syms), mg))
+
+        state = state.withColumn("t", _seg("t"))
+    else:
+        state = _ckpt(state)
+        for a, b in merges:
+            st = _merge_pair(state.withColumn("freq", F.lit(1)), a, b)
+            state = _ckpt(st.select("w", "t"))
+
     words = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("wpos", "w"),
