@@ -73,7 +73,9 @@ def _resolve_pq_strategy(
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy != "auto":
         return strategy
-    return "arrow" if queries.count() <= max_rows else "jvm"
+    # Bounded probe: scanning max_rows+1 rows answers "over the cap?"
+    # without a full count job over an arbitrarily large query table.
+    return "arrow" if queries.limit(max_rows + 1).count() <= max_rows else "jvm"
 
 
 def _fold_sqdist(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -559,6 +561,70 @@ def ivfpq_upsert(
         id_col,
         "__ver",
     ).drop("__ver")
+
+
+def ivfpq_save(
+    path: str,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    enc: DataFrame,
+) -> None:
+    """Persist the complete IVFPQ artifact set as parquet tables (the
+    finder.py S5-S7 persistence stance: stored indexes are ordinary
+    tables ANY engine can read, not pickled blobs):
+
+      coarse/    (cluster_id long, centroid array<double>) — the
+                 coarse quantizer (model-sized, k rows)
+      codebooks/ (sub_id int, code_id int, centroid array<double>) —
+                 the M x K residual PQ codebooks
+      corpus/    the encoded corpus (vec_id, codes, recon_err,
+                 cluster_id) — the only data-sized table, written
+                 distributed
+
+    Doubles round-trip parquet exactly, so load-then-serve is
+    bit-identical to serving the in-memory models (pytest-pinned).
+    Closes the index lifecycle: train -> save -> load -> upsert ->
+    search all run from stored artifacts."""
+    import os
+
+    spark = enc.sparkSession
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in coarse[c]]) for c in range(len(coarse))],
+        "cluster_id long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "coarse"))
+    m_sub, k_codes, _dsub = codebooks.shape
+    spark.createDataFrame(
+        [
+            (m, k, [float(x) for x in codebooks[m, k]])
+            for m in range(m_sub)
+            for k in range(k_codes)
+        ],
+        "sub_id int, code_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+    enc.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+
+
+def ivfpq_load(spark, path: str) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """Load an ivfpq_save artifact set -> (coarse (k, D), codebooks
+    (M, K, D/M), corpus DataFrame). The two model tables are
+    model-sized driver collects (the kmeans stance: the model crosses,
+    never the data); the corpus stays a lazy parquet scan."""
+    import os
+
+    crows = spark.read.parquet(os.path.join(path, "coarse")).collect()
+    coarse = np.array(
+        [r["centroid"] for r in sorted(crows, key=lambda r: r["cluster_id"])]
+    )
+    brows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    m_sub = 1 + max(r["sub_id"] for r in brows)
+    k_codes = 1 + max(r["code_id"] for r in brows)
+    codebooks = np.zeros((m_sub, k_codes, len(brows[0]["centroid"])))
+    for r in brows:
+        codebooks[r["sub_id"], r["code_id"]] = r["centroid"]
+    enc = spark.read.parquet(os.path.join(path, "corpus"))
+    return coarse, codebooks, enc
 
 
 def _ivfpq_query_probes(

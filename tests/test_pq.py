@@ -288,3 +288,70 @@ def test_ivfpq_upsert_equals_scratch_reencode(spark, emb):
     a = sorted(map(tuple, ivfpq_search(queries, merged, C, CB, k=5, n_probe=2).collect()))
     b = sorted(map(tuple, ivfpq_search(queries, scratch, C, CB, k=5, n_probe=2).collect()))
     assert a and a == b
+
+
+def test_ivfpq_save_load_roundtrip_and_persisted_serving(spark, emb, tmp_path):
+    """Index persistence closes the lifecycle: ivfpq_save writes the
+    models + encoded corpus as parquet tables, ivfpq_load rebuilds
+    BIT-IDENTICAL serving state (parquet doubles are exact), and
+    upsert+search from the loaded artifacts equals the never-persisted
+    chain row-for-row."""
+    from pyspark.sql import functions as F
+
+    from cityfinder_spark.operators.kmeans import kmeans_fit
+    from cityfinder_spark.operators.pq import (
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_search,
+        ivfpq_upsert,
+        pq_encode,
+        pq_fit,
+        residual_vectors,
+    )
+
+    C, _ = kmeans_fit(emb, k=8, n_iter=2)
+    resid = residual_vectors(emb, C)
+    CB, _ = pq_fit(resid, vec_col="residual")
+    enc = pq_encode(resid, CB, vec_col="residual").join(
+        resid.select("vec_id", "cluster_id"), "vec_id"
+    )
+    path = str(tmp_path / "ivfpq_store")
+    ivfpq_save(path, C, CB, enc)
+    C2, CB2, enc2 = ivfpq_load(spark, path)
+    # models reload bit-exactly
+    assert C2.shape == C.shape and (C2 == C).all()
+    assert CB2.shape == CB.shape and (CB2 == CB).all()
+    # corpus reloads row-exactly (codes are ints, recon_err doubles)
+    a = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["recon_err"], r["cluster_id"])
+        for r in enc.collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["recon_err"], r["cluster_id"])
+        for r in enc2.collect()
+    )
+    assert a == b
+    # upsert + search from loaded artifacts == in-memory chain
+    delta = emb.where("vec_id % 9 = 1").select(
+        "vec_id", F.expr("transform(embedding, x -> -x)").alias("embedding")
+    )
+    queries = emb.where("vec_id % 10 = 0").select(
+        emb["vec_id"].alias("q_id"), "embedding"
+    )
+    mem = sorted(
+        map(
+            tuple,
+            ivfpq_search(
+                queries, ivfpq_upsert(enc, delta, C, CB), C, CB, k=5, n_probe=2
+            ).collect(),
+        )
+    )
+    per = sorted(
+        map(
+            tuple,
+            ivfpq_search(
+                queries, ivfpq_upsert(enc2, delta, C2, CB2), C2, CB2, k=5, n_probe=2
+            ).collect(),
+        )
+    )
+    assert mem == per and len(mem) > 0
