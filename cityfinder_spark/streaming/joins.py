@@ -39,6 +39,7 @@ def view_click_interval_join(
     *,
     attr_minutes: int = 10,
     delay: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Join every click to ALL same-user views in the preceding
     `attr_minutes` (view_ts <= click_ts <= view_ts + attr_minutes).
@@ -52,7 +53,23 @@ def view_click_interval_join(
     evictable (see module docstring). `delay` trades reordering
     tolerance for state size; correctness of emitted pairs does not
     depend on batch boundaries.
+
+    how="leftOuter" is the production attribution shape: every click
+    row emits — matched pairs immediately, UNMATCHED clicks as
+    (click_id, NULL view_id, NULL lag) once the watermark proves no
+    matching view can still arrive (a click is evictable when the
+    global watermark passes click_ts, since any joinable view has
+    view_ts <= click_ts). Under trigger(availableNow) the engine runs
+    a final no-data micro-batch after the last file, so the emitted
+    null set is exactly the unmatched clicks with
+    click_ts < min(max view_ts, max click_ts) - delay — closed-form,
+    which is what the streaming_stream_join_outer oracle replays.
+    Clicks above that final watermark remain buffered at shutdown and
+    do not emit (the documented streaming-outer-join semantics: their
+    attribution window is still open).
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported join type {how!r}")
     # parquet written by other engines is often TIMESTAMP_NTZ; event
     # time + watermarks need TIMESTAMP (session tz is UTC -> no-op,
     # and lag is a difference so any fixed offset cancels).
@@ -78,7 +95,7 @@ def view_click_interval_join(
             <= F.col("view_ts") + F.expr(f"INTERVAL {int(attr_minutes)} MINUTES")
         )
     )
-    return c.join(v, cond, "inner").select(
+    return c.join(v, cond, how).select(
         "click_id",
         "view_id",
         "user_id",

@@ -525,3 +525,77 @@ def test_decayed_engagement_integer_halving(spark):
     exp7 = 1_000_000 + 500_000 + 250_000 + (1_000_000 >> 20)
     assert out[7] == (4, exp7, exp7 / 1e6)
     assert out[9] == (1, 1_000_000, 1.0)
+
+
+def test_stream_stream_left_outer_eviction_mechanics(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs emit immediately;
+    an unmatched click NULL-emits exactly when the final watermark
+    (min of both sides' max event time, minus delay — availableNow
+    runs a terminal no-data batch) passes its timestamp; an unmatched
+    click ABOVE that watermark stays buffered and must NOT emit."""
+    import glob
+    import os
+    import shutil
+
+    from cityfinder_spark.streaming.joins import view_click_interval_join
+
+    vschema = "event_id long, user_id long, ts timestamp"
+    views = [
+        [(101, 1, "2024-01-01 00:00:00")],
+        [(103, 1, "2024-01-01 10:00:00")],
+    ]
+    clicks = [
+        [(201, 1, "2024-01-01 00:05:00"), (202, 9, "2024-01-01 00:30:00")],
+        [(203, 9, "2024-01-01 09:59:00"), (204, 1, "2024-01-01 10:05:00")],
+    ]
+    # final watermark = min(10:00, 10:05) - 1h = 09:00 -> c202 (00:30)
+    # evicts and null-emits; c203 (09:59) is above it and must not.
+
+    def _stage(kind, files):
+        src = str(tmp_path / f"{kind}_src")
+        os.makedirs(src)
+        for i, rows in enumerate(files):
+            stage = str(tmp_path / f"{kind}_stage_{i}")
+            spark.createDataFrame(
+                rows, "event_id long, user_id long, ts string"
+            ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+                1
+            ).write.mode("overwrite").parquet(stage)
+            (f,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        return (
+            spark.readStream.schema(vschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    joined = view_click_interval_join(
+        _stage("v", views), _stage("c", clicks),
+        attr_minutes=10, delay="1 hour", how="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_outer_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+    got = sorted(
+        tuple(r)
+        for r in spark.table("ssjoin_outer_gate")
+        .select("click_id", "view_id", "user_id", "lag_us")
+        .collect()
+    )
+    assert got == [
+        (201, 101, 1, 5 * 60 * 1_000_000),
+        (202, None, 9, None),
+        (204, 103, 1, 5 * 60 * 1_000_000),
+    ]
+    with pytest.raises(ValueError, match="join type"):
+        view_click_interval_join(
+            _stage("v2", views), _stage("c2", clicks), how="fullOuter"
+        )
