@@ -113,6 +113,7 @@ HEADLINE = [
     "length_buckets",
     "vocab_topk",
     "bpe_train",
+    "bpe_train_bytes",
     "bpe_segment",
     "bm25_search",
     "lm_score",
@@ -153,6 +154,7 @@ HEADLINE = [
     "pq_search",
     "ivfpq_search",
     "ivfpq_upsert",
+    "ivfpq_persisted",
     "streaming_pq_encode",
     "kmeans_assign",
     "semdedup",
@@ -177,6 +179,7 @@ HEADLINE = [
     "streaming_heavy_hitters",
     "streaming_late_data",
     "streaming_stream_join",
+    "streaming_stream_join_outer",
     "streaming_knn",
     "running_user_totals",
 ]
@@ -244,6 +247,7 @@ _FACT_TABLE = {
     "length_buckets": "documents",
     "vocab_topk": "documents",
     "bpe_train": "documents",
+    "bpe_train_bytes": "documents",
     "bpe_segment": "documents",
     "bm25_search": "documents",
     "lm_score": "documents",
@@ -264,6 +268,7 @@ _FACT_TABLE = {
     "streaming_distinct_sketch": "orders",
     "streaming_late_data": "events",
     "streaming_stream_join": "events",
+    "streaming_stream_join_outer": "events",
     "streaming_knn": "orders",
     "cosine_topk": "embeddings",
     "cosine_dedup": "embeddings",
@@ -282,6 +287,7 @@ _FACT_TABLE = {
     "pq_search": "embeddings",
     "ivfpq_search": "embeddings",
     "ivfpq_upsert": "embeddings",
+    "ivfpq_persisted": "embeddings",
     "streaming_pq_encode": "embeddings",
     "kmeans_assign": "embeddings",
     "semdedup": "embeddings",

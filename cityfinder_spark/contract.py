@@ -1945,6 +1945,22 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment(_docs(spark, sf_dir), merges)
 
 
+def q_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE (the GPT-2-style alphabet: UTF-8 bytes as
+    fixed-width hex symbols, no end-of-word marker) trained on the
+    DRIVER fast path — the count-guarded incremental heap trainer
+    (operators/bpe.py::_train_driver). One contract key therefore
+    oracle-gates BOTH the byte alphabet and the in-memory trainer:
+    the DuckDB oracle replays the same merges as chained relational
+    CTEs over hex(encode(w)), so any winner/tie-break divergence
+    between the heap and the relational algebra hash-mismatches."""
+    from cityfinder_spark.operators.bpe import BPE_MERGES, bpe_train
+
+    return bpe_train(
+        _docs(spark, sf_dir), n_merges=BPE_MERGES, strategy="driver", mode="bytes"
+    )
+
+
 def _o_bpe_segment() -> str:
     from cityfinder_spark.operators.bpe import BPE_MERGES
 
@@ -1969,7 +1985,7 @@ def _o_bpe_segment() -> str:
     """
 
 
-def _o_bpe_train() -> str:
+def _o_bpe_train(mode: str = "char") -> str:
     from cityfinder_spark.operators.bpe import BPE_MERGES
 
     unions = "\n    UNION ALL ".join(
@@ -1977,20 +1993,29 @@ def _o_bpe_train() -> str:
         for r in range(1, BPE_MERGES + 1)
     )
     return f"""
-    WITH {_o_bpe_cte(BPE_MERGES)}
+    WITH {_o_bpe_cte(BPE_MERGES, mode)}
     SELECT cast(merge_rank AS INT) AS merge_rank, lhs, rhs, pair_count
     FROM ({unions})
     """
 
 
-def _o_bpe_cte(n_merges: int) -> str:
+def _o_bpe_cte(n_merges: int, mode: str = "char") -> str:
     from cityfinder_spark.operators.bpe import BPE_EOW
 
+    if mode == "char":
+        syms = (
+            f"""list_append(list_transform(generate_series(1, length(w)),
+               i -> substring(w, i, 1)), '{BPE_EOW}')"""
+        )
+    else:  # bytes: UTF-8 bytes as fixed-width two-hex-digit symbols, no EOW
+        syms = (
+            """list_transform(generate_series(1, octet_length(encode(w))),
+               i -> substring(hex(encode(w)), 2 * i - 1, 2))"""
+        )
     parts = [
         f"""w0 AS (
       SELECT w, cast(count(*) AS bigint) AS freq,
-             list_append(list_transform(generate_series(1, length(w)),
-               i -> substring(w, i, 1)), '{BPE_EOW}') AS t
+             {syms} AS t
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> '' GROUP BY w)"""
     ]
@@ -2876,6 +2901,169 @@ def q_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recon_err",
         "from_update",
     )
+
+
+def q_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ lifecycle closed over STORAGE (round-5 key): the trained
+    models + encoded corpus are written as parquet artifact tables
+    (operators/pq.py::ivfpq_save — coarse/, codebooks/, corpus/), a
+    fresh load (ivfpq_load) rebuilds the serving state from disk, the
+    SAME delta batch as ivfpq_upsert re-encodes against the LOADED
+    frozen models, and the query batch is served from the merged
+    stored corpus. The oracle re-derives the entire answer from
+    scratch in SQL (coarse training, residual PQ, merged-corpus
+    re-encode, probe choice, ADC ranking), so a green row proves
+    save -> load -> upsert -> search equals the never-persisted
+    chain — the full index lifecycle from stored artifacts."""
+    import tempfile
+
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.operators.pq import (
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_search,
+        ivfpq_upsert,
+    )
+
+    C, CB, enc = _ivfpq_models(spark, sf_dir)
+
+    def build() -> str:
+        path = tempfile.mkdtemp(prefix="ivfpq_store_")
+        ivfpq_save(path, C, CB, enc)
+        return path
+
+    path = memo_value(spark, ("ivfpq-store", sf_dir), build)
+    C2, CB2, enc2 = ivfpq_load(spark, path)
+    embs = _embs(spark, sf_dir)
+    updates = embs.where("vec_id % 5 <> 0 AND vec_id % 7 = 3").select(
+        "vec_id", F.expr("transform(embedding, x -> -x)").alias("embedding")
+    )
+    inserts = embs.where("vec_id % 5 = 0").select("vec_id", "embedding")
+    merged = ivfpq_upsert(enc2, updates.unionByName(inserts), C2, CB2)
+    return ivfpq_search(
+        _emb_queries(spark, sf_dir), merged, C2, CB2,
+        k=PQ_SEARCH_K, n_probe=IVFPQ_PROBE,
+    )
+
+
+def _o_ivfpq_persisted() -> str:
+    """Search over the merged (post-upsert) index: the upsert oracle's
+    merged-corpus re-encode chained into the search oracle's probe +
+    ADC ranking — persistence itself is exercised only on the Spark
+    side (parquet doubles round-trip exactly, pinned in pytest)."""
+    from cityfinder_spark.operators.pq import PQ_ITER, PQ_K, PQ_M
+
+    dsub = 64 // PQ_M
+    it = KMEANS_ITER
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> m.v[i] * c.cv[i]))"
+    )
+    td = (
+        f"list_sum(list_transform(generate_series(1, {dsub}),"
+        " i -> (s.svq[i] - c.cv[i]) * (s.svq[i] - c.cv[i])))"
+    )
+    adc = "0 + t0.td + t1.td + t2.td + t3.td"
+    joins = "\n      ".join(
+        f"JOIN td t{m} ON "
+        + ("t0.q_id = t0.q_id AND " if m == 0 else f"t{m}.q_id = t0.q_id AND ")
+        + f"t{m}.cluster_id = e.cluster_id"
+        f" AND t{m}.sub_id = {m} AND t{m}.code_id = e.c{m}"
+        for m in range(PQ_M)
+    )
+    codes_cols = ", ".join(f"codes[{m + 1}] AS c{m}" for m in range(PQ_M))
+    return f"""
+    WITH {_DUCK_EMB_CTE},
+    {_o_kmeans_cte(KMEANS_K, it)},
+    cnF AS (
+      SELECT cluster_id, cv,
+             sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+      FROM c{it}),
+    aF AS (
+      SELECT m.vec_id, c.cluster_id, row_number() OVER (
+        PARTITION BY m.vec_id
+        ORDER BY {sc.round6_sql(f"{dot} / (m.nrm * c.cnrm)")} DESC,
+                 c.cluster_id ASC) AS pr
+      FROM n m CROSS JOIN cnF c),
+    asg AS (SELECT vec_id, cluster_id FROM aF WHERE pr = 1),
+    rb AS (
+      SELECT m.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> m.v[i] - c.cv[i]) AS v
+      FROM n m JOIN asg a ON a.vec_id = m.vec_id
+      JOIN cnF c ON c.cluster_id = a.cluster_id
+      WHERE m.vec_id % 5 <> 0),
+    {_o_pq_cte(PQ_M, PQ_K, PQ_ITER, src_sql="SELECT vec_id, v FROM rb")},
+    mc AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 5 <> 0 AND vec_id % 7 = 3
+                  THEN list_transform(v, x -> -x) ELSE v END AS v
+      FROM e),
+    mn AS (SELECT vec_id, v,
+                  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM mc),
+    maF AS (
+      SELECT m.vec_id, c.cluster_id, row_number() OVER (
+        PARTITION BY m.vec_id
+        ORDER BY {sc.round6_sql(f"{dot} / (m.nrm * c.cnrm)")} DESC,
+                 c.cluster_id ASC) AS pr
+      FROM mn m CROSS JOIN cnF c),
+    masg AS (SELECT vec_id, cluster_id FROM maF WHERE pr = 1),
+    mrb AS (
+      SELECT m.vec_id, a.cluster_id,
+             list_transform(generate_series(1, 64),
+               i -> m.v[i] - c.cv[i]) AS rv
+      FROM mn m JOIN masg a ON a.vec_id = m.vec_id
+      JOIN cnF c ON c.cluster_id = a.cluster_id),
+    msv AS (
+      SELECT vec_id, subs.m AS sub_id,
+             rv[subs.m * {dsub} + 1 : subs.m * {dsub} + {dsub}] AS svv
+      FROM mrb CROSS JOIN subs),
+    mpa AS (
+      SELECT s.vec_id, s.sub_id, c.code_id, row_number() OVER (
+        PARTITION BY s.vec_id, s.sub_id
+        ORDER BY {sc.round6_sql(
+            f"list_sum(list_transform(generate_series(1, {dsub}),"
+            " i -> (s.svv[i] - c.cv[i]) * (s.svv[i] - c.cv[i])))"
+        )} ASC, c.code_id ASC) AS pr
+      FROM msv s JOIN p{PQ_ITER} c USING (sub_id)),
+    menc AS (
+      SELECT vec_id, list(code_id ORDER BY sub_id) AS codes
+      FROM mpa WHERE pr = 1 GROUP BY vec_id),
+    qn AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id % 5 = 0),
+    qpr AS (
+      SELECT m.q_id, c.cluster_id, c.cv, row_number() OVER (
+        PARTITION BY m.q_id
+        ORDER BY {sc.round6_sql(
+            "list_sum(list_transform(generate_series(1, 64),"
+            " i -> m.v[i] * c.cv[i])) / (m.nrm * c.cnrm)"
+        )} DESC, c.cluster_id ASC) AS pr
+      FROM qn m CROSS JOIN cnF c),
+    shift AS (
+      SELECT q.q_id, p.cluster_id,
+             list_transform(generate_series(1, 64),
+               i -> q.v[i] - p.cv[i]) AS sv
+      FROM qn q JOIN qpr p ON p.q_id = q.q_id AND p.pr <= {IVFPQ_PROBE}),
+    ssv AS (
+      SELECT q_id, cluster_id, subs.m AS sub_id,
+             sv[subs.m * {dsub} + 1 : subs.m * {dsub} + {dsub}] AS svq
+      FROM shift CROSS JOIN subs),
+    td AS (SELECT s.q_id, s.cluster_id, s.sub_id, c.code_id, {td} AS td
+           FROM ssv s JOIN p{PQ_ITER} c USING (sub_id)),
+    encc AS (SELECT e2.vec_id, b.cluster_id, {codes_cols}
+             FROM menc e2 JOIN mrb b USING (vec_id)),
+    adc AS (
+      SELECT t0.q_id, e.vec_id AS neighbor_id,
+             {sc.round6_sql(adc)} AS adc_dist
+      FROM encc e
+      {joins}),
+    rk AS (SELECT q_id, neighbor_id, adc_dist, row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+           FROM adc)
+    SELECT q_id, neighbor_id, adc_dist, cast(rank AS INT) AS rank
+    FROM rk WHERE rank <= {PQ_SEARCH_K}
+    """
 
 
 def _o_ivfpq_upsert() -> str:
@@ -4189,6 +4377,19 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanics are pinned separately by streaming_late_data."""
     from cityfinder_spark.streaming.joins import view_click_interval_join
 
+    sides = _ssjoin_sides(spark, sf_dir)
+    joined = view_click_interval_join(
+        sides["view"],
+        sides["click"],
+        attr_minutes=_SSJOIN_ATTR_MIN,
+        delay=_SSJOIN_DELAY,
+    )
+    return _run_stream_to_table(spark, joined, mode="append")
+
+
+def _ssjoin_sides(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Views/clicks staged into 3 ts-ordered files each (shared by the
+    inner and leftOuter stream-join gates — same memoized staging)."""
     ev = _events(spark, sf_dir)
     sides = {}
     for kind in ("view", "click"):
@@ -4207,13 +4408,57 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
             .drop("ord")
         )
+    return sides
+
+
+def q_streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 LEFT-OUTER stream-stream join (round-5 key) — the
+    production attribution shape: every click emits, matched pairs
+    immediately (identical to the inner gate), UNMATCHED clicks as
+    NULL-extended rows when the watermark EVICTS them from join state
+    (no matching view can still arrive once the global watermark
+    passes click_ts). The availableNow trigger runs a terminal
+    no-data micro-batch, so the emitted null set is closed-form: the
+    unmatched clicks with ts < min(max view ts, max click ts) - 12h —
+    exactly what the DuckDB oracle replays (the streaming_late_data
+    stance: the oracle models the eviction mechanics, not just the
+    algebra). Clicks above that final watermark are still buffered at
+    shutdown (their window is open) and correctly do NOT emit."""
+    from cityfinder_spark.streaming.joins import view_click_interval_join
+
+    sides = _ssjoin_sides(spark, sf_dir)
     joined = view_click_interval_join(
         sides["view"],
         sides["click"],
         attr_minutes=_SSJOIN_ATTR_MIN,
         delay=_SSJOIN_DELAY,
+        how="leftOuter",
     )
     return _run_stream_to_table(spark, joined, mode="append")
+
+
+def _o_streaming_stream_join_outer() -> str:
+    return f"""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    v AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view'),
+    m AS (
+      SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+             epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+      FROM c JOIN v
+        ON v.user_id = c.user_id AND c.ts >= v.ts
+       AND c.ts <= v.ts + INTERVAL {_SSJOIN_ATTR_MIN} MINUTE),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+                  - INTERVAL {_SSJOIN_DELAY} AS w)
+    SELECT click_id, view_id, user_id, lag_us FROM m
+    UNION ALL
+    SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS view_id,
+           c.user_id, CAST(NULL AS BIGINT) AS lag_us
+    FROM c, wm
+    WHERE c.ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.event_id)
+    """
 
 
 def _o_streaming_stream_join() -> str:
@@ -6437,6 +6682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "vocab_topk": q_vocab_topk,
         "bpe_train": q_bpe_train,
+        "bpe_train_bytes": q_bpe_train_bytes,
         "bpe_segment": q_bpe_segment,
         "bm25_search": q_bm25_search,
         "lm_score": q_lm_score,
@@ -6505,6 +6751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "compaction_apply": q_compaction_apply,
         "ivfpq_upsert": q_ivfpq_upsert,
+        "ivfpq_persisted": q_ivfpq_persisted,
         "bucketed_join": q_bucketed_join,
         "resumable_rollup": q_resumable_rollup,
         "streaming_dedup_exact": q_streaming_dedup_exact,
@@ -6514,6 +6761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "streaming_late_data": q_streaming_late_data,
         "streaming_stream_join": q_streaming_stream_join,
+        "streaming_stream_join_outer": q_streaming_stream_join_outer,
         "streaming_knn": q_streaming_knn,
         "running_user_totals": q_running_user_totals,
     }
@@ -6579,6 +6827,7 @@ def oracle_sql() -> dict[str, str]:
         "length_buckets": _o_length_buckets(),
         "vocab_topk": _o_vocab_topk(),
         "bpe_train": _o_bpe_train(),
+        "bpe_train_bytes": _o_bpe_train(mode="bytes"),
         "bpe_segment": _o_bpe_segment(),
         "bm25_search": _o_bm25_search(),
         "lm_score": _o_lm_score(),
@@ -6619,6 +6868,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan": _o_compaction_plan(),
         "compaction_apply": _o_compaction_apply(),
         "ivfpq_upsert": _o_ivfpq_upsert(),
+        "ivfpq_persisted": _o_ivfpq_persisted(),
         "bucketed_join": _o_bucketed_join(),
         "resumable_rollup": _o_resumable_rollup(),
         # streaming gates: REAL multi-micro-batch runs on the Spark
@@ -6635,6 +6885,7 @@ def oracle_sql() -> dict[str, str]:
         # inner stream-stream join emissions = the batch interval join
         # (no late rows by construction), so the plain SQL is exact
         "streaming_stream_join": _o_streaming_stream_join(),
+        "streaming_stream_join_outer": _o_streaming_stream_join_outer(),
         # stateless enrichment: stream emissions = the batch flagship
         "streaming_knn": _o_nearest_city(),
         "running_user_totals": _o_running_user_totals(),
