@@ -115,6 +115,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_train_bytes",
     "bpe_segment",
+    "bpe_segment_bytes",
     "bm25_search",
     "lm_score",
     "importance_sample",
@@ -249,6 +250,7 @@ _FACT_TABLE = {
     "bpe_train": "documents",
     "bpe_train_bytes": "documents",
     "bpe_segment": "documents",
+    "bpe_segment_bytes": "documents",
     "bm25_search": "documents",
     "lm_score": "documents",
     "importance_sample": "documents",

@@ -1961,11 +1961,42 @@ def q_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_bpe_segment() -> str:
+def q_bpe_segment_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE apply on the BROADCAST fast path (round-5 key):
+    the merges learned by the driver trainer (byte alphabet) are
+    broadcast and replayed per DISTINCT word in ONE Arrow pass via
+    the rank-indexed segmenter (operators/bpe.py::
+    _apply_merges_indexed — symbol->ranks inverted index + lazy heap,
+    per-word cost independent of total merge count). One key
+    therefore oracle-gates the byte alphabet AND the indexed
+    broadcast segmenter: the DuckDB oracle replays training and
+    segmentation relationally over hex(encode(w)), so any divergence
+    in the fast path's replay order hash-mismatches."""
+    from cityfinder_spark.bcast import memo_value
+    from cityfinder_spark.operators.bpe import BPE_MERGES, bpe_segment, bpe_train
+
+    def build():
+        return [
+            (r.lhs, r.rhs)
+            for r in bpe_train(
+                _docs(spark, sf_dir), n_merges=BPE_MERGES,
+                strategy="driver", mode="bytes",
+            )
+            .orderBy("merge_rank")
+            .collect()
+        ]
+
+    merges = memo_value(spark, ("bpe-merges-bytes", sf_dir), build)
+    return bpe_segment(
+        _docs(spark, sf_dir), merges, strategy="broadcast", mode="bytes"
+    )
+
+
+def _o_bpe_segment(mode: str = "char") -> str:
     from cityfinder_spark.operators.bpe import BPE_MERGES
 
     return f"""
-    WITH {_o_bpe_cte(BPE_MERGES)}
+    WITH {_o_bpe_cte(BPE_MERGES, mode)}
     SELECT d.doc_id, d.wpos, tp.tpos, tp.token
     FROM (
       SELECT doc_id, p.wpos, p.w FROM (
@@ -2000,6 +2031,13 @@ def _o_bpe_train(mode: str = "char") -> str:
 
 
 def _o_bpe_cte(n_merges: int, mode: str = "char") -> str:
+    """Chained per-merge CTEs. Every CTE is AS MATERIALIZED: each
+    round references the previous round's word table ~3 times
+    (pair counts, candidates, rebuild), so DuckDB's default CTE
+    inlining re-expands the chain ~3^n_merges times — the 8-merge
+    oracle took ~20 min inlined vs 0.3 s materialized (measured r5).
+    Materialization also matches the operator's per-round
+    checkpointing, so the replay mirrors the execution shape."""
     from cityfinder_spark.operators.bpe import BPE_EOW
 
     if mode == "char":
@@ -2013,7 +2051,7 @@ def _o_bpe_cte(n_merges: int, mode: str = "char") -> str:
                i -> substring(hex(encode(w)), 2 * i - 1, 2))"""
         )
     parts = [
-        f"""w0 AS (
+        f"""w0 AS MATERIALIZED (
       SELECT w, cast(count(*) AS bigint) AS freq,
              {syms} AS t
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -2022,7 +2060,7 @@ def _o_bpe_cte(n_merges: int, mode: str = "char") -> str:
     for r in range(1, n_merges + 1):
         p = r - 1
         parts.append(
-            f"""pr{r} AS (
+            f"""pr{r} AS MATERIALIZED (
       SELECT p.lhs AS lhs, p.rhs AS rhs, cast(sum(freq) AS bigint) AS cnt
       FROM (SELECT freq,
               unnest(CASE WHEN len(t) < 2
@@ -2034,11 +2072,11 @@ def _o_bpe_cte(n_merges: int, mode: str = "char") -> str:
       GROUP BY 1, 2)"""
         )
         parts.append(
-            f"""win{r} AS (SELECT lhs, rhs, cnt FROM pr{r} WHERE cnt >= 2
+            f"""win{r} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM pr{r} WHERE cnt >= 2
            ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1)"""
         )
         parts.append(
-            f"""cd{r} AS (
+            f"""cd{r} AS MATERIALIZED (
       SELECT w, unnest(list_filter(
           CASE WHEN len(t) < 2 THEN []::BIGINT[]
                ELSE list_transform(generate_series(1, len(t) - 1), i -> i)
@@ -2047,7 +2085,7 @@ def _o_bpe_cte(n_merges: int, mode: str = "char") -> str:
       FROM w{p}, win{r} x)"""
         )
         parts.append(
-            f"""kp{r} AS (
+            f"""kp{r} AS MATERIALIZED (
       SELECT w, list(i ORDER BY i) AS k FROM (
         SELECT w, i FROM (
           SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS g0 FROM (
@@ -2057,7 +2095,7 @@ def _o_bpe_cte(n_merges: int, mode: str = "char") -> str:
         WHERE (i - g0) % 2 = 0) GROUP BY w)"""
         )
         parts.append(
-            f"""w{r} AS (
+            f"""w{r} AS MATERIALIZED (
       SELECT s.w, s.freq,
         list_filter(list_transform(generate_series(1, len(s.t)), j -> CASE
           WHEN kp.k IS NOT NULL AND list_contains(kp.k, j)
@@ -6684,6 +6722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_train_bytes": q_bpe_train_bytes,
         "bpe_segment": q_bpe_segment,
+        "bpe_segment_bytes": q_bpe_segment_bytes,
         "bm25_search": q_bm25_search,
         "lm_score": q_lm_score,
         "pii_redact": q_pii_redact,
@@ -6829,6 +6868,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _o_bpe_train(),
         "bpe_train_bytes": _o_bpe_train(mode="bytes"),
         "bpe_segment": _o_bpe_segment(),
+        "bpe_segment_bytes": _o_bpe_segment(mode="bytes"),
         "bm25_search": _o_bm25_search(),
         "lm_score": _o_lm_score(),
         "pii_redact": _o_pii_redact(),

@@ -58,9 +58,15 @@ bpe_segment (the APPLY half) mirrors the routing: the corpus-sized
 side always pays exactly one split + one word equi-join; the merge
 replay over the DISTINCT-word table runs either relationally (same
 _merge_pair machinery, one job per merge) or — above the threshold —
-as ONE broadcast-merge-table Arrow pass that greedily replays the
-merges per distinct word in rank order (vocab-sized work, zero extra
-jobs).
+as ONE broadcast-merge-table Arrow pass. The Arrow kernel is
+RANK-INDEXED (_apply_merges_indexed): a symbol -> merge-ranks
+inverted index plus a lazy min-heap visits only the ranks whose
+symbols ever occur in the word, so per-word cost tracks word length
+and index density instead of the total merge count R — the
+difference between minutes and hours at a GPT-style 32k-merge table
+over millions of distinct words. Exact sequential-replay semantics
+are preserved (ranks created "in the past" by later fuses never
+re-apply) and parity with the naive rank loop is pytest-pinned.
 
 Output: the merge table (merge_rank, lhs, rhs, pair_count) —
 model-sized, the artifact a tokenizer ships.
@@ -343,8 +349,8 @@ def _apply_merges_py(
 ) -> list[str]:
     """Sequential rank-order replay of the merge table over one
     word's symbols — identical semantics to chaining _merge_pair.
-    The symbol-membership set prunes merges that cannot apply, so a
-    32k-entry table costs ~word-length work, not 32k scans."""
+    The reference implementation (O(R) membership checks per word);
+    the serving path uses _apply_merges_indexed, parity-pinned."""
     present = set(syms)
     for a, b in merges:
         if a not in present or b not in present:
@@ -353,6 +359,64 @@ def _apply_merges_py(
         if changed:
             syms = out
             present = set(syms)
+    return syms
+
+
+def _merge_rank_index(
+    merges: list[tuple[str, str]]
+) -> dict[str, list[int]]:
+    """symbol -> ascending ranks (0-based) whose merge mentions it as
+    lhs or rhs. Built once per executor from the broadcast table."""
+    index: dict[str, list[int]] = {}
+    for r, (a, b) in enumerate(merges):
+        index.setdefault(a, []).append(r)
+        if b != a:
+            index.setdefault(b, []).append(r)
+    return index
+
+
+def _apply_merges_indexed(
+    syms: list[str],
+    merges: list[tuple[str, str]],
+    index: dict[str, list[int]],
+) -> list[str]:
+    """Sequential replay visiting ONLY the ranks whose symbols ever
+    occur in this word: candidate ranks come from the symbol->ranks
+    inverted index through a lazy min-heap, so per-word cost is
+    ~(word symbols + fuses) x index-list length instead of the full
+    merge count R. Exactly equivalent to the naive rank loop
+    (parity-pinned): a rank r can only apply if both its symbols are
+    present when r is reached, and every such symbol is either
+    initial (all its ranks seeded) or created by a fuse at q < r
+    (which seeds its ranks > q, including r); ranks seeded for
+    symbols created at q' > r are correctly excluded — r is in the
+    past by then, as in the naive loop."""
+    import heapq
+    from bisect import bisect_right
+
+    heap: list[int] = []
+    for s in set(syms):
+        heap.extend(index.get(s, ()))
+    heapq.heapify(heap)
+    present = set(syms)
+    last = -1
+    while heap:
+        r = heapq.heappop(heap)
+        if r == last:  # duplicate seeds (lhs + rhs both present)
+            continue
+        last = r
+        a, b = merges[r]
+        if a not in present or b not in present:
+            continue
+        out, changed = _greedy_fuse(syms, a, b)
+        if not changed:
+            continue
+        syms = out
+        present = set(syms)
+        ns = a + b
+        ranks = index.get(ns, ())
+        for q in ranks[bisect_right(ranks, r) :]:
+            heapq.heappush(heap, q)
     return syms
 
 
@@ -387,7 +451,10 @@ def bpe_segment(
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def _seg(t: pd.Series) -> pd.Series:
             mg = bmerges.value
-            return t.apply(lambda syms: _apply_merges_py(list(syms), mg))
+            idx = _merge_rank_index(mg)
+            return t.apply(
+                lambda syms: _apply_merges_indexed(list(syms), mg, idx)
+            )
 
         state = state.withColumn("t", _seg("t"))
     else:

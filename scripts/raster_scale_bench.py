@@ -32,7 +32,6 @@ if _HERE not in sys.path:
 BIG_TABLE = os.path.join(_HERE, "BENCH", "data", "images_10000000")
 OUT = os.path.join(_HERE, "BENCH", "raster_scale.json")
 LEVEL = 12
-HOT_THRESHOLD = 8
 
 
 def main() -> None:
@@ -51,15 +50,24 @@ def main() -> None:
     result: dict = {
         "metric": "distance_transform staged-router scale runs",
         "level": LEVEL,
-        "hot_threshold": HOT_THRESHOLD,
         "cpus": cpus,
         "runs": [],
     }
-    for n_rows in (150_000, 2_000_000):
-        pts = pts_all.where(F.col("image_id") < n_rows)
+    # (rows, hot_threshold): the small run lands under the 2e9 pair
+    # budget (router must pick the bounded cross product — it IS the
+    # cheapest plan there); the big run at threshold 2 produces
+    # ~200k hot cells x ~1.4M occupied (product ~3e11), which MUST
+    # route to the staged doubling-ring rounds — the regime where the
+    # old crossJoin extrapolated to hours.
+    for n_rows, hot_threshold in ((150_000, 8), (2_000_000, 2)):
+        # image_id is 'img<zero-padded number>': deterministic subset
+        # by parsing the numeric suffix (no sampling nondeterminism)
+        pts = pts_all.where(
+            F.expr("cast(substring(image_id, 4) as bigint)") < n_rows
+        )
         t0 = time.perf_counter()
         out = distance_transform(
-            pts, level=LEVEL, hot_threshold=HOT_THRESHOLD
+            pts, level=LEVEL, hot_threshold=hot_threshold
         )
         out.write.format("noop").mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 2)
@@ -68,6 +76,7 @@ def main() -> None:
         result["runs"].append(
             {
                 "n_points": n_rows,
+                "hot_threshold": hot_threshold,
                 "wall_sec": wall,
                 "occupied_cells": occupied,
                 "hot_cells": hot,

@@ -323,3 +323,45 @@ def test_bpe_auto_routes_by_merge_count(spark):
     )
     bad = joined.where(~F.col("j").rlike("</w>$")).count()
     assert bad == 0
+
+
+def test_indexed_segmenter_equals_naive_replay():
+    """The serving-path indexed replay (symbol->ranks inverted index +
+    lazy heap) is EXACTLY the naive sequential rank loop, including
+    the subtle case where a fuse creates a symbol that a LOWER-rank
+    merge mentions (the rank is in the past and must NOT re-apply).
+    Randomized words over a real learned table + adversarial
+    hand-built tables."""
+    import random
+
+    from cityfinder_spark.operators.bpe import (
+        _apply_merges_indexed,
+        _apply_merges_py,
+        _merge_rank_index,
+    )
+
+    # a real learned table from a mixed corpus
+    texts = [
+        "low low low lower lowest newest newer",
+        "aaaa aaab aabb abbb bbbb",
+        "xyxy xyxz xzxz zzzz",
+    ]
+    merges = [(l, r) for _, l, r, _ in _ref_bpe(texts, 40)]
+    idx = _merge_rank_index(merges)
+    rng = random.Random(17)
+    alphabet = list("abxyzlowenst")
+    for trial in range(300):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        syms = list(w) + [BPE_EOW]
+        assert _apply_merges_indexed(list(syms), merges, idx) == (
+            _apply_merges_py(list(syms), merges)
+        ), (trial, w)
+    # adversarial: rank 2 creates "ab" but rank 0 mentions "ab" — the
+    # naive loop passes rank 0 before "ab" exists; indexed must too.
+    tricky = [("ab", "c"), ("x", "y"), ("a", "b")]
+    tidx = _merge_rank_index(tricky)
+    for w in ("abc", "abcabc", "xyab", "aabbcc"):
+        syms = list(w)
+        assert _apply_merges_indexed(list(syms), tricky, tidx) == (
+            _apply_merges_py(list(syms), tricky)
+        ), w
