@@ -59,14 +59,16 @@ side always pays exactly one split + one word equi-join; the merge
 replay over the DISTINCT-word table runs either relationally (same
 _merge_pair machinery, one job per merge) or — above the threshold —
 as ONE broadcast-merge-table Arrow pass. The Arrow kernel is
-RANK-INDEXED (_apply_merges_indexed): a symbol -> merge-ranks
+DENSITY-ROUTED (_apply_merges_indexed): a symbol -> merge-ranks
 inverted index plus a lazy min-heap visits only the ranks whose
-symbols ever occur in the word, so per-word cost tracks word length
-and index density instead of the total merge count R — the
-difference between minutes and hours at a GPT-style 32k-merge table
-over millions of distinct words. Exact sequential-replay semantics
-are preserved (ranks created "in the past" by later fuses never
-re-apply) and parity with the naive rank loop is pytest-pinned.
+symbols ever occur in the word — a win exactly when that seed mass
+is well below the merge count R (sparse large alphabets: byte-level
+text with punctuation/multi-byte characters); for dense
+small-alphabet words, where every rank seeds anyway, the naive
+two-set-lookups-per-rank loop is measurably faster and the router
+picks it. Exact sequential-replay semantics are preserved on both
+paths (ranks created "in the past" by later fuses never re-apply)
+and parity is pytest-pinned.
 
 Output: the merge table (merge_rank, lhs, rhs, pair_count) —
 model-sized, the artifact a tokenizer ships.
@@ -390,12 +392,29 @@ def _apply_merges_indexed(
     initial (all its ranks seeded) or created by a fuse at q < r
     (which seeds its ranks > q, including r); ranks seeded for
     symbols created at q' > r are correctly excluded — r is in the
-    past by then, as in the naive loop."""
+    past by then, as in the naive loop.
+
+    DENSITY ROUTER (measured, r5): the heap only wins when the seed
+    mass (sum of the word's symbols' index lists) is well below R —
+    with a small alphabet (26 letters char-mode) every rank seeds
+    anyway and the heap's log factor LOSES to the naive loop's two
+    set lookups per rank (225s vs 173s on the 4000-merge bench). So
+    words whose seed mass reaches R/2 take the naive loop; sparse
+    words (large alphabets, byte-level corpora with punctuation/
+    multi-byte text) take the heap. Pure function of (word, table) —
+    deterministic either way."""
     import heapq
     from bisect import bisect_right
 
+    seed_mass = 0
+    distinct = set(syms)
+    for s in distinct:
+        seed_mass += len(index.get(s, ()))
+    if seed_mass * 2 >= len(merges):
+        return _apply_merges_py(syms, merges)
+
     heap: list[int] = []
-    for s in set(syms):
+    for s in distinct:
         heap.extend(index.get(s, ()))
     heapq.heapify(heap)
     present = set(syms)
