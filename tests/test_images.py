@@ -783,3 +783,35 @@ def test_real_jpeg_quarantine_progressive_now_decodes(spark):
     out = {r["image_id"]: r for r in decode_quarantine(df).collect()}
     assert out["prog"]["ok"] and (out["prog"]["w"], out["prog"]["h"]) == (20, 14)
     assert not out["arith"]["ok"]
+
+
+def test_real_jpeg_progressive_restart_intervals():
+    """Progressive + DRI: restart markers inside SOF2 multi-scan
+    streams (camera/web layout) — DC predictors, EOB runs and their
+    buffered correction bits reset at every RSTn; the decode must
+    equal the no-DRI baseline decode exactly at several intervals."""
+    from cityfinder_spark.codecs.jpeg import (
+        decode_jpeg_real,
+        encode_jpeg_progressive,
+        encode_jpeg_real,
+    )
+
+    yy, xx = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
+    pix = np.stack(
+        [(yy * 3) % 256, (xx * 5) % 256, (yy + xx) % 256], -1
+    ).astype(np.uint8)
+    for sub in (False, True):
+        base = decode_jpeg_real(encode_jpeg_real(pix, 92, subsample=sub))
+        for ri in (1, 3, 7):
+            pd = encode_jpeg_progressive(
+                pix, 92, subsample=sub, restart_interval=ri
+            )
+            assert b"\xff\xdd" in pd and b"\xff\xd0" in pd
+            assert (decode_jpeg_real(pd) == base).all(), (sub, ri)
+    # corrupted RST sequence inside a progressive scan -> precise error
+    pd = encode_jpeg_progressive(pix, 92, restart_interval=3)
+    bad = bytearray(pd)
+    at = bad.find(b"\xff\xd0", bad.find(b"\xff\xda"))
+    bad[at + 1] = 0xD6
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg_real(bytes(bad))
