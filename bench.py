@@ -79,6 +79,7 @@ HEADLINE = [
     "geofence_events",
     "spacetime_cube",
     "distance_transform",
+    "region_rings",
     "trajectory_stays",
     "geonames_scan",
     "postal_scan",
@@ -218,6 +219,7 @@ _FACT_TABLE = {
     "geofence_events": "orders",
     "spacetime_cube": "orders",
     "distance_transform": "orders",
+    "region_rings": "orders",
     "index_roundtrip": "orders",
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",

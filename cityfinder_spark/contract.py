@@ -1132,6 +1132,92 @@ def _o_distance_transform() -> str:
     """
 
 
+def q_region_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector POLYGONIZATION (round-5 key): the hot-cell
+    regions of the density grid become boundary polygons — directed
+    lattice rings with hole classification
+    (operators/raster.py::region_rings). Every stage replays in SQL:
+    boundary edges are NOT-EXISTS anti-joins on the hot set, the
+    successor permutation is a turn-priority window, rings + vertex
+    positions come from a recursive-CTE walk of that permutation
+    (the oracle's sequential twin of the operator's pointer-doubling
+    label/ranking loops), and the turning-number hole rule is a SUM.
+    Empty at sf0.001 (no hot cells, same as distance_transform); the
+    sf0.01 gate exercises real rings."""
+    from cityfinder_spark.operators.raster import region_rings
+
+    return region_rings(
+        _points(spark, sf_dir), level=CELL_LEVEL, hot_threshold=HOT_THRESHOLD
+    )
+
+
+def _o_region_rings() -> str:
+    nlon = 2 << CELL_LEVEL
+    stride_tag = CELL_LEVEL * sc.LEVEL_STRIDE
+    return f"""
+    WITH RECURSIVE pts AS ({sc.points_from_orders_sql()}),
+    occ AS (SELECT {sc.cell_sql("lat", "lon", CELL_LEVEL)} AS cell_id,
+                   count(*) AS n_points
+            FROM pts GROUP BY 1),
+    hot AS (SELECT (cell_id - {stride_tag}) // {nlon} AS i,
+                   (cell_id - {stride_tag}) % {nlon} AS j
+            FROM occ WHERE n_points >= {HOT_THRESHOLD}),
+    edges AS (
+      SELECT (h.i * {nlon} + h.j) * 4 + 0 AS id,
+             h.i AS tvi, h.j AS tvj, h.i AS hvi,
+             (h.j + 1) % {nlon} AS hvj, 0 AS dir
+      FROM hot h WHERE NOT EXISTS (SELECT 1 FROM hot x
+                                   WHERE x.i = h.i - 1 AND x.j = h.j)
+      UNION ALL
+      SELECT (h.i * {nlon} + h.j) * 4 + 1,
+             h.i, (h.j + 1) % {nlon}, h.i + 1, (h.j + 1) % {nlon}, 1
+      FROM hot h WHERE NOT EXISTS (SELECT 1 FROM hot x
+                                   WHERE x.i = h.i
+                                     AND x.j = (h.j + 1) % {nlon})
+      UNION ALL
+      SELECT (h.i * {nlon} + h.j) * 4 + 2,
+             h.i + 1, (h.j + 1) % {nlon}, h.i + 1, h.j, 2
+      FROM hot h WHERE NOT EXISTS (SELECT 1 FROM hot x
+                                   WHERE x.i = h.i + 1 AND x.j = h.j)
+      UNION ALL
+      SELECT (h.i * {nlon} + h.j) * 4 + 3,
+             h.i + 1, h.j, h.i, h.j, 3
+      FROM hot h WHERE NOT EXISTS (SELECT 1 FROM hot x
+                                   WHERE x.i = h.i
+                                     AND x.j = (h.j - 1 + {nlon}) % {nlon})
+    ),
+    succ AS (
+      SELECT id, nid, turn FROM (
+        SELECT e.id, f.id AS nid,
+               CASE WHEN f.dir = (e.dir + 1) % 4 THEN 1
+                    WHEN f.dir = e.dir THEN 0 ELSE -1 END AS turn,
+               row_number() OVER (PARTITION BY e.id ORDER BY
+                 CASE WHEN f.dir = (e.dir + 1) % 4 THEN 0
+                      WHEN f.dir = e.dir THEN 1 ELSE 2 END) AS pr
+        FROM edges e JOIN edges f ON f.tvi = e.hvi AND f.tvj = e.hvj)
+      WHERE pr = 1),
+    walk(start_id, cur_id, step) AS (
+      SELECT id, id, 0 FROM edges
+      UNION ALL
+      SELECT w.start_id, s.nid, w.step + 1
+      FROM walk w JOIN succ s ON s.id = w.cur_id
+      WHERE s.nid <> w.start_id),
+    rid AS (SELECT start_id AS id, min(cur_id) AS ring_id
+            FROM walk GROUP BY 1),
+    ts AS (SELECT r.ring_id, cast(sum(s.turn) AS BIGINT) AS turn_sum
+           FROM succ s JOIN rid r ON r.id = s.id GROUP BY 1),
+    canon AS (SELECT w.cur_id AS id, w.step AS seq, w.start_id AS ring_id
+              FROM walk w JOIN rid r
+                ON r.id = w.start_id AND r.ring_id = w.start_id)
+    SELECT cast(c.ring_id AS BIGINT) AS ring_id, cast(c.seq AS INT) AS seq,
+           cast(e.tvi AS BIGINT) AS vi0, cast(e.tvj AS BIGINT) AS vj0,
+           cast(e.hvi AS BIGINT) AS vi1, cast(e.hvj AS BIGINT) AS vj1,
+           t.turn_sum, t.turn_sum < 0 AS is_hole
+    FROM canon c JOIN edges e ON e.id = c.id
+    JOIN ts t ON t.ring_id = c.ring_id
+    """
+
+
 def q_spacetime_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-time OLAP cube over (level-3 cell, order month): all four
     drill-down granularities from one fact scan via GROUPING SETS
@@ -6699,6 +6785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence_events": q_geofence_events,
         "spacetime_cube": q_spacetime_cube,
         "distance_transform": q_distance_transform,
+        "region_rings": q_region_rings,
         "events_decay": q_events_decay,
         "trajectory_stays": q_trajectory_stays,
         "geonames_scan": q_geonames_scan,
@@ -6845,6 +6932,7 @@ def oracle_sql() -> dict[str, str]:
         "geofence_events": _o_geofence_events(),
         "spacetime_cube": _o_spacetime_cube(),
         "distance_transform": _o_distance_transform(),
+        "region_rings": _o_region_rings(),
         "events_decay": _o_events_decay(),
         "trajectory_stays": _o_trajectory_stays(),
         "geonames_scan": _o_geonames_scan(),

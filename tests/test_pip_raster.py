@@ -491,3 +491,77 @@ def test_distance_transform_routing_and_empty_hot(spark):
             pts, level=12, hot_threshold=2, strategy=strat
         ).collect()
         assert out == []
+
+
+def test_region_rings_polygonize_cases(spark):
+    """Raster->vector polygonization: hand-built grids with known
+    boundary geometry — single cell (one CCW 4-ring), 3x3 block
+    (one 12-ring), donut (outer +4 ring AND a -4 hole ring),
+    diagonal-touching cells (TWO rings: the 4-connected corner rule),
+    antimeridian-crossing block (one ring, wraps), full latitude band
+    (two wrap rings, turning number 0), and seq chains head->tail."""
+    import pandas as pd
+
+    from cityfinder_spark.geo.cells import grid_dims
+    from cityfinder_spark.operators.raster import region_rings
+
+    level = 3
+    nlat, nlon = grid_dims(level)
+
+    def pts(cells, per=3):
+        rows = []
+        for i, j in cells:
+            lat = (i + 0.5) * 180.0 / nlat - 90.0
+            lon = (j + 0.5) * 360.0 / nlon - 180.0
+            rows.extend([(lat, lon)] * per)
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["lat", "lon"]))
+
+    def rings_of(cells, per=3):
+        out = region_rings(pts(cells, per), level=level, hot_threshold=2).collect()
+        rings: dict = {}
+        for r in out:
+            rings.setdefault(r.ring_id, []).append(r)
+        return out, rings
+
+    # single hot cell: one CCW ring of its 4 lattice edges
+    out, rings = rings_of([(3, 5)])
+    assert len(rings) == 1 and len(out) == 4
+    assert all(r.turn_sum == 4 and not r.is_hole for r in out)
+    assert sorted(r.seq for r in out) == [0, 1, 2, 3]
+
+    # 3x3 block: one 12-edge ring
+    block = [(i, j) for i in (2, 3, 4) for j in (4, 5, 6)]
+    out, rings = rings_of(block)
+    assert len(rings) == 1 and len(out) == 12 and out[0].turn_sum == 4
+    # consecutive segments chain head -> tail and close the loop
+    by_seq = {r.seq: r for r in out}
+    for s in range(len(out)):
+        cur, nxt = by_seq[s], by_seq[(s + 1) % len(out)]
+        assert (cur.vi1, cur.vj1) == (nxt.vi0, nxt.vj0), s
+
+    # donut: outer ring (+4) and a true hole ring (-4)
+    donut = [c for c in block if c != (3, 5)]
+    _out, rings = rings_of(donut)
+    info = sorted(
+        (len(v), v[0].turn_sum, v[0].is_hole) for v in rings.values()
+    )
+    assert info == [(4, -4, True), (12, 4, False)]
+
+    # diagonal touch: 4-connected foreground keeps regions separate
+    _out, rings = rings_of([(3, 5), (4, 6)])
+    assert len(rings) == 2 and all(len(v) == 4 for v in rings.values())
+
+    # antimeridian: a 1x2 block across the seam is ONE 6-edge ring
+    out, rings = rings_of([(3, nlon - 1), (3, 0)])
+    assert len(rings) == 1 and len(out) == 6 and out[0].turn_sum == 4
+
+    # full latitude band: two globe-circling rings, turning number 0
+    _out, rings = rings_of([(3, j) for j in range(nlon)])
+    assert len(rings) == 2
+    assert all(v[0].turn_sum == 0 and not v[0].is_hole for v in rings.values())
+
+    # below threshold: empty result
+    assert (
+        region_rings(pts([(3, 5)], per=1), level=level, hot_threshold=2).count()
+        == 0
+    )
