@@ -80,6 +80,7 @@ HEADLINE = [
     "spacetime_cube",
     "distance_transform",
     "region_rings",
+    "streaming_region_rings",
     "trajectory_stays",
     "geonames_scan",
     "postal_scan",
@@ -220,6 +221,7 @@ _FACT_TABLE = {
     "spacetime_cube": "orders",
     "distance_transform": "orders",
     "region_rings": "orders",
+    "streaming_region_rings": "orders",
     "index_roundtrip": "orders",
     "index_roundtrip_postal": "orders",
     "partitioned_read": "orders",

@@ -4228,6 +4228,38 @@ def q_streaming_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_region_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 monitor -> geometry pipeline (round-5 key): the hot-cell
+    monitor's STREAMING state becomes live boundary polygons. The
+    same staged multi-batch point stream as streaming_hot_cells runs
+    streaming_cell_counts (cell-keyed running counts, state bounded
+    by the grid); the final per-cell counts — which provably equal
+    the batch aggregate, that is streaming_hot_cells' own gate — feed
+    region_rings_from_counts, the grid-bounded ring epilogue
+    (operators/raster.py). No second corpus scan: counts are the
+    stream state, geometry is derived from state. Shares the
+    region_rings oracle; empty at sf0.001 (no hot cells), real rings
+    at sf0.01."""
+    from cityfinder_spark.operators.raster import region_rings_from_counts
+    from cityfinder_spark.streaming.windows import streaming_cell_counts
+
+    pts = _points(spark, sf_dir).select("pt_id", "lat", "lon")
+    src = _stage_id_ordered(spark, pts, "pt_id", f"pts|{sf_dir}", n_files=3)
+    schema = spark.read.parquet(src).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_table(
+        spark, streaming_cell_counts(stream_in, level=CELL_LEVEL), mode="update"
+    )
+    counts = out.groupBy("cell_id").agg(F.max("n_points").alias("n_points"))
+    return region_rings_from_counts(
+        counts, level=CELL_LEVEL, hot_threshold=HOT_THRESHOLD
+    )
+
+
 def q_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 driver gate: the HLL distinct sketch as a REAL stream.
     Orders are staged into 3 id-ordered files and streamed one per
@@ -6786,6 +6818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spacetime_cube": q_spacetime_cube,
         "distance_transform": q_distance_transform,
         "region_rings": q_region_rings,
+        "streaming_region_rings": q_streaming_region_rings,
         "events_decay": q_events_decay,
         "trajectory_stays": q_trajectory_stays,
         "geonames_scan": q_geonames_scan,
@@ -6933,6 +6966,7 @@ def oracle_sql() -> dict[str, str]:
         "spacetime_cube": _o_spacetime_cube(),
         "distance_transform": _o_distance_transform(),
         "region_rings": _o_region_rings(),
+        "streaming_region_rings": _o_region_rings(),
         "events_decay": _o_events_decay(),
         "trajectory_stays": _o_trajectory_stays(),
         "geonames_scan": _o_geonames_scan(),

@@ -646,7 +646,32 @@ def region_rings(
     cell is hot. At 100 TB the corpus is touched once; everything
     downstream is bounded by the BOUNDARY length (<= 4 x hot cells),
     the vocab_topk shape applied to geometry extraction."""
-    from cityfinder_spark.geo.cells import cell_col, grid_dims
+    from cityfinder_spark.geo.cells import cell_col
+
+    occ = (
+        points.select(cell_col(lat_col, lon_col, level).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    return region_rings_from_counts(
+        occ, level=level, hot_threshold=hot_threshold, max_rounds=max_rounds
+    )
+
+
+def region_rings_from_counts(
+    cell_counts: DataFrame,
+    *,
+    level: int,
+    hot_threshold: int,
+    max_rounds: int = 48,
+) -> DataFrame:
+    """The ring-extraction half of region_rings over a PRE-AGGREGATED
+    (cell_id, n_points) table — exactly what the streaming hot-cell
+    monitor's state emits, so live boundary geometry composes with
+    streaming_cell_counts without a second corpus scan (the
+    monitor -> geometry pipeline: counts are the stream state, rings
+    are a grid-bounded batch epilogue over them)."""
+    from cityfinder_spark.geo.cells import grid_dims
     from cityfinder_spark.operators.components import (
         _ckpt,
         connected_components,
@@ -654,14 +679,9 @@ def region_rings(
     from cityfinder_spark.sqlcompat import LEVEL_STRIDE
 
     nlat, nlon = grid_dims(level)
-    occ = (
-        points.select(cell_col(lat_col, lon_col, level).alias("cell_id"))
-        .groupBy("cell_id")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-    )
     base = F.col("cell_id") - level * LEVEL_STRIDE
     hot = (
-        occ.where(F.col("n_points") >= hot_threshold)
+        cell_counts.where(F.col("n_points") >= hot_threshold)
         .select(
             (base / nlon).cast("long").alias("i"),
             F.pmod(base, F.lit(nlon)).alias("j"),

@@ -815,3 +815,47 @@ def test_real_jpeg_progressive_restart_intervals():
     bad[at + 1] = 0xD6
     with pytest.raises(ValueError, match="restart"):
         decode_jpeg_real(bytes(bad))
+
+
+def test_real_jpeg_decoder_fuzz_never_hangs_or_crashes_python():
+    """Poison-row safety (the 10^12-payload reality): random byte
+    flips, truncations and insertions over valid baseline AND
+    progressive streams must always TERMINATE — either a decoded
+    uint8 image or an exception decode_quarantine converts to a
+    verdict row. Every internal loop is progress-bounded, so no
+    corrupt stream can wedge an executor."""
+    import random
+
+    from cityfinder_spark.codecs.jpeg import (
+        decode_jpeg_real,
+        encode_jpeg_progressive,
+        encode_jpeg_real,
+    )
+
+    pix = gen_pixels(19, 24, 18)
+    streams = [
+        encode_jpeg_real(pix, 90),
+        encode_jpeg_real(pix, 90, restart_interval=2),
+        encode_jpeg_progressive(pix, 90),
+    ]
+    rng = random.Random(99)
+    outcomes = {"ok": 0, "raised": 0}
+    for trial in range(240):
+        buf = bytearray(rng.choice(streams))
+        op = rng.randrange(3)
+        if op == 0:  # flip 1-4 bytes
+            for _ in range(rng.randint(1, 4)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+        elif op == 1:  # truncate
+            del buf[rng.randrange(4, len(buf)) :]
+        else:  # insert garbage
+            at = rng.randrange(len(buf))
+            buf[at:at] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 8)))
+        try:
+            out = decode_jpeg_real(bytes(buf))
+            assert out.dtype == np.uint8 and out.ndim == 3
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["raised"] += 1
+    # both outcomes occur across 240 mutations; neither crashes pytest
+    assert outcomes["raised"] > 100
